@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish testdata (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. At 100 TB these would be
+  * partitioned/bucketed table roots instead of single files; all operators
+  * in this library take a [[DataFrame]], so the storage layout is the
+  * caller's concern — scans stay pushdown-friendly either way.
+  */
+final case class Tables(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    events: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame
+)
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String): Tables = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    // read it as raw nanos and truncate to microseconds (integer div — a
+    // double division would lose precision above 2^53 ns). DuckDB reads the
+    // same column as TIMESTAMP_NS; oracles use `epoch_ns(ts) // 1000` for
+    // the identical truncation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def t(n: String): DataFrame = spark.read.parquet(s"$sfDir/$n.parquet")
+    val events = t("events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    Tables(
+      region = t("region"), nation = t("nation"), customer = t("customer"),
+      supplier = t("supplier"), part = t("part"), orders = t("orders"),
+      lineitem = t("lineitem"), events = events,
+      documents = t("documents"), embeddings = t("embeddings"))
+  }
+}
