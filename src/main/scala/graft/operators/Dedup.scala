@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fp._
+
+/** Deduplication operators (reference D1-D5, SURVEY.md §2.6) plus the
+  * near-dup family a training-data pipeline needs at 100 TB.
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy on a content fingerprint — one shuffle on
+  *    an already-compact key;
+  *  - exact Jaccard near-dup = shingle inverted-index self-join. Correct
+  *    but O(Σ df²) in shingle document-frequency; at 100 TB you first cut
+  *    stop-shingles (df > threshold drops hot keys, AQE skew-join handles
+  *    the rest) or switch to the MinHash-LSH variant;
+  *  - MinHash-LSH = signatures computed per row (no shuffle), one shuffle
+  *    on (band, bandHash) to bucket candidates, then exact-Jaccard verify
+  *    of candidates only. Probability of missing a pair with j ≥ 0.9 at
+  *    16 bands × 4 rows is (1 - j⁴)¹⁶ < 5e-8 — the verify step makes
+  *    emitted pairs exact;
+  *  - SimHash = per-row 16-bit signature; hamming-adjacent bucketing is a
+  *    single groupBy on the signature.
+  *
+  * All hashing is md5-derived (graft.functions.Fp) — deterministic across
+  * engines, partitionings and retries; no RNG state anywhere.
+  */
+object Dedup {
+
+  /** Sliding n-gram shingles over whitespace tokens, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+      concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Exploded (doc_id, shingle) inverted-index rows. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(shingles($"text", 3)).as("s"))
+  }
+
+  /** Exact 3-gram Jaccard similarity join: all pairs with j >= minJ.
+    * Inverted-index formulation: |A∩B| via shingle self-join, sizes via
+    * groupBy, j = ∩ / (|A|+|B|-∩) — an exact integer ratio, so the double
+    * is bit-deterministic.
+    */
+  def jaccardNearDups(docs: DataFrame, minJ: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / (col("na.n") + col("nb.n") - $"c")).as("jaccard"))
+      .filter($"jaccard" >= minJ)
+  }
+
+  /** MinHash signature: perms × min over shingles of md5-derived 60-bit
+    * hashes. Pure per-row expression — no shuffle, codegen-friendly.
+    */
+  def minhashSignature(text: Column, perms: Int): Column =
+    transform(sequence(lit(0), lit(perms - 1)), p =>
+      array_min(transform(shingles(text, 3), s =>
+        hash60(concat_ws(":", p, s)))))
+
+  /** LSH-bucketed near-dup join with exact-Jaccard verification of the
+    * candidates. bands × rowsPerBand = signature length. Output schema and
+    * (w.h.p.) contents equal [[jaccardNearDups]] at the same threshold —
+    * but candidate generation is a single (band, hash) shuffle instead of
+    * a full inverted-index join.
+    */
+  def lshNearDups(docs: DataFrame, minJ: Double, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sig = docs.select($"doc_id",
+      minhashSignature($"text", bands * rowsPerBand).as("sig"))
+    val banded = sig.select($"doc_id", explode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          md5(concat_ws(",", slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))
+            .as("bh")))).as("bb"))
+      .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verify: recompute jaccard on candidate pairs only.
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+        col("sa.s") === col("sb.s"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / (col("na.n") + col("nb.n") - $"c")).as("jaccard"))
+      .filter($"jaccard" >= minJ)
+  }
+
+  /** 16-bit SimHash over distinct tokens: bit j set iff more than half the
+    * tokens have bit j set in their 60-bit hash.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(split(text, " "))
+    val n = size(toks).cast("long")
+    (0 until 16).map { j =>
+      val ones = size(filter(toks, t =>
+        shiftright(hash60(t), j).bitwiseAND(lit(1L)) === 1L)).cast("long")
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def simhashes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", simhash16($"text").as("simhash"))
+  }
+
+  /** Keep-first exact dedup on a compound key with deterministic survivor
+    * choice (reference D1/D5 keep-first-seen semantics,
+    * /root/reference/test_kimono.py:316-356): unlike dropDuplicates, the
+    * survivor is total-order defined, so distributed runs are stable.
+    */
+  def firstEventPerKey(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    events.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_type", $"event_id".as("first_event_id"),
+        unix_micros($"ts").as("first_us"))
+  }
+
+  /** Exact-dedup grouping by content fingerprint (reference D2 global
+    * hash dedup): survivor id + duplicate count per distinct content.
+    */
+  def exactDedupGroups(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q24_dedup_exact" -> ((s, d) => exactDedupGroups(Tables.load(s, d).documents)),
+    "q25_dedup_first_event" -> ((s, d) => firstEventPerKey(Tables.load(s, d).events)),
+    "q26_neardup_jaccard" -> ((s, d) => jaccardNearDups(Tables.load(s, d).documents, 0.6)),
+    "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
+    "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents))
+  )
+
+  private val shingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '), 1) AS i
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
+  private def jaccardSql(minJ: Double): String =
+    s"""$shingleCte
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+       |FROM inter
+       |JOIN sizes na ON doc_a = na.doc_id
+       |JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= CAST($minJ AS DOUBLE)""".stripMargin
+
+  private val simhashSql: String = {
+    val terms = (0 until 16).map { j =>
+      s"""CASE WHEN 2 * len(list_filter(list_distinct(string_split(text,' ')),
+         |  t -> ((${hash60Sql("t")} >> $j) & 1) = 1))
+         |  > len(list_distinct(string_split(text,' '))) THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM documents"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q24_dedup_exact" ->
+      s"""SELECT ${TextAnalysis.fingerprintSql} AS fp,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q25_dedup_first_event" ->
+      """SELECT user_id, event_type, first_event_id, first_us FROM (
+        |  SELECT user_id, event_type, event_id AS first_event_id,
+        |    epoch_ns(ts) // 1000 AS first_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS rk
+        |  FROM events) WHERE rk = 1""".stripMargin,
+    "q26_neardup_jaccard" -> jaccardSql(0.6),
+    // The LSH path is exact-verified; at 16×4 bands the candidate recall at
+    // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
+    "q27_neardup_lsh" -> jaccardSql(0.9),
+    "q28_simhash" -> simhashSql
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fp._
+
+/** Text-analysis operators for LLM training-data pipelines: token stats,
+  * indicator-marker classification (reference T10,
+  * /root/reference/data_pipeline/tests/test_website_accessibility.py:206-276),
+  * quality scoring (reference F1/F10 quality predicates), and content
+  * fingerprinting (reference T3 image-hash extraction semantics,
+  * /root/reference/data_pipeline/scrapers/any_scraper.py:198-222).
+  *
+  * Everything is a pure column expression (whole-stage codegen, no UDFs) —
+  * per-row work with no shuffle, so it scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split keeps cross-engine parity with
+    * DuckDB's string_split; documents are single-spaced.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Count of tokens that appear in `markers` (with repeats). */
+  def markerCount(text: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
+  }
+
+  def markerCountSql(textExpr: String, markers: Seq[String]): String = {
+    val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(string_split($textExpr, ' '), t -> list_contains($lst, t))) AS BIGINT)"
+  }
+
+  /** Marker groups for the topic classifier — an instance of the
+    * reference's indicator-substring classification (T10).
+    */
+  val relationalMarkers = Seq("table", "scan", "join", "merge", "sort", "hash", "key")
+  val streamingMarkers = Seq("stream", "batch", "window", "event")
+  val vectorMarkers = Seq("vector", "embedding", "cosine", "dup")
+  val stopwords = Seq("the", "a")
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = tokens($"text")
+    docs.select(
+      $"doc_id",
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      ((length($"text") - (size(t) - 1)).cast("double") / size(t)).as("avg_tok_len"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+  }
+
+  /** Marker-count argmax topic classification; ties broken by fixed
+    * priority (relational > streaming > vector) so the result is total.
+    */
+  def topicClassify(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        $"doc_id",
+        markerCount($"text", relationalMarkers).as("s_rel"),
+        markerCount($"text", streamingMarkers).as("s_str"),
+        markerCount($"text", vectorMarkers).as("s_vec"))
+      .withColumn("topic",
+        when($"s_rel" >= $"s_str" && $"s_rel" >= $"s_vec", "relational")
+          .when($"s_str" >= $"s_vec", "streaming")
+          .otherwise("vector"))
+  }
+
+  /** Heuristic quality score: length band + stopword ratio + type-token
+    * ratio, fixed weights. All inputs are exact integer ratios, so the
+    * float expression is deterministic across engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = tokens($"text")
+    docs
+      .select(
+        $"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        markerCount($"text", stopwords).as("n_stop"),
+        size(array_distinct(t)).cast("long").as("n_distinct"))
+      .select(
+        $"doc_id", $"n_tokens",
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        (when($"n_tokens" >= 20 && $"n_tokens" <= 80, 1.0).otherwise(0.5) * 0.4 +
+          (lit(1.0) - $"n_stop".cast("double") / $"n_tokens") * 0.3 +
+          ($"n_distinct".cast("double") / $"n_tokens") * 0.3).as("quality"))
+      .withColumn("accept", $"quality" >= 0.75)
+  }
+
+  /** Canonical content fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Used as the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  val fingerprintSql: String =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
+  def fingerprints(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", fingerprint($"text").as("fp"),
+      hash60(fingerprint($"text")).as("fp60"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q20_token_stats" -> ((s, d) => tokenStats(Tables.load(s, d).documents)),
+    "q21_doc_topics" -> ((s, d) => topicClassify(Tables.load(s, d).documents)),
+    "q22_quality_score" -> ((s, d) => qualityScore(Tables.load(s, d).documents)),
+    "q23_fingerprints" -> ((s, d) => fingerprints(Tables.load(s, d).documents))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS avg_tok_len,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS ttr
+        |FROM documents""".stripMargin,
+    "q21_doc_topics" -> {
+      val sRel = markerCountSql("text", relationalMarkers)
+      val sStr = markerCountSql("text", streamingMarkers)
+      val sVec = markerCountSql("text", vectorMarkers)
+      s"""SELECT doc_id, s_rel, s_str, s_vec,
+         |  CASE WHEN s_rel >= s_str AND s_rel >= s_vec THEN 'relational'
+         |       WHEN s_str >= s_vec THEN 'streaming'
+         |       ELSE 'vector' END AS topic
+         |FROM (SELECT doc_id, $sRel AS s_rel, $sStr AS s_str, $sVec AS s_vec
+         |      FROM documents)""".stripMargin
+    },
+    "q22_quality_score" -> {
+      val nStop = markerCountSql("text", stopwords)
+      s"""SELECT doc_id, n_tokens,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 80 THEN 1.0 ELSE 0.5 END AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+         |    + (CAST(n_distinct AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE) AS quality,
+         |  (CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 80 THEN 1.0 ELSE 0.5 END AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+         |    + (CAST(n_distinct AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)) >= CAST(0.75 AS DOUBLE) AS accept
+         |FROM (SELECT doc_id,
+         |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |        $nStop AS n_stop,
+         |        CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct
+         |      FROM documents)""".stripMargin
+    },
+    "q23_fingerprints" ->
+      s"""SELECT doc_id, $fingerprintSql AS fp,
+         |  ${hash60Sql(fingerprintSql)} AS fp60
+         |FROM documents""".stripMargin
+  )
+}
