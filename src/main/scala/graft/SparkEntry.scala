@@ -20,11 +20,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Sessions.queries ++ Rules.queries ++ Sampling.queries ++
+      Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles
+    Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Sessions.oracles ++ Rules.oracles ++ Sampling.oracles ++
+      Similarity.oracles
 }

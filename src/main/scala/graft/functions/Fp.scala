@@ -55,14 +55,14 @@ object Fp {
   def centsSql(expr: String): String = fixedSql(expr, 100)
 
   /** Deterministic uniform in [0, 1): first 32 bits of md5(tag:key).
-    * Bit-identical in Spark and DuckDB ([[uniformSql]]).
+    * Bit-identical in Spark and DuckDB ([[detUniformSql]]).
     */
-  def uniform(tag: String, key: Column): Column =
+  def detUniform(tag: String, key: Column): Column =
     conv(substring(md5(concat_ws(":", lit(tag), key.cast("string"))), 1, 8),
       16, 10).cast("long").cast("double") / lit(4294967296.0)
 
-  /** DuckDB mirror of [[uniform]]. */
-  def uniformSql(tag: String, keyExpr: String): String =
+  /** DuckDB mirror of [[detUniform]]. */
+  def detUniformSql(tag: String, keyExpr: String): String =
     s"(CAST(('0x' || substr(md5('$tag' || ':' || CAST(($keyExpr) AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
 
   /** Deterministic 60-bit hash of a string (15 hex chars of md5): fits a

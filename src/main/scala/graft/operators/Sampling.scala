@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fp._
+
+/** Weighted sampling operators — the reference's signature domain
+  * (SURVEY.md §2.5, /root/reference/data_pipeline/utils/keyword_sampler.py
+  * and the easy/medium/hard samplers).
+  *
+  * Design departure from the reference: the reference draws from Python's
+  * global RNG, which is neither reproducible across processes nor testable.
+  * Here every draw is a pure function of (tag, row key) via md5-derived
+  * uniforms (graft.functions.Fp.uniform), so:
+  *   - a 1000-executor run draws the same values as a laptop run,
+  *   - task retries can't double-draw,
+  *   - a DuckDB oracle reproduces every draw bit-for-bit,
+  *   - changing the tag (seed) re-rolls everything deterministically.
+  *
+  * Both the Spark when-chain and the oracle CASE are generated from the
+  * same weight tables, so thresholds can't drift apart.
+  */
+object Sampling {
+
+  type Dict = Seq[(String, Double)]
+
+  /** Inverse-CDF weighted choice (reference W1, keyword_sampler.py:5-14):
+    * first item whose cumulative weight exceeds the uniform draw.
+    */
+  def weightedChoice(tag: String, key: Column, items: Dict): Column = {
+    val total = items.map(_._2).sum
+    val cums = items.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = detUniform(tag, key)
+    val chain = items.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        Some(acc.fold(when(u < cum, name))(_.when(u < cum, name)))
+    }
+    chain.fold(lit(items.last._1))(_.otherwise(items.last._1))
+  }
+
+  /** DuckDB mirror of [[weightedChoice]]; cumulative thresholds embedded
+    * with Scala's round-trip Double formatting so both engines compare
+    * against the identical double.
+    */
+  def weightedChoiceSql(tag: String, keyExpr: String, items: Dict): String = {
+    val total = items.map(_._2).sum
+    val cums = items.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = detUniformSql(tag, keyExpr)
+    val whens = items.init.zip(cums.init).map { case ((name, _), cum) =>
+      s"WHEN $u < CAST(${cum} AS DOUBLE) THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${items.last._1}' END"
+  }
+
+  // Weight tables (own data, shaped like the reference's keyword dicts).
+  val garments: Dict = Seq(
+    "tshirt" -> 0.25, "dress" -> 0.2, "jacket" -> 0.15, "jeans" -> 0.15,
+    "skirt" -> 0.1, "sweater" -> 0.1, "sari" -> 0.05)
+  val colors: Dict = Seq(
+    "black" -> 0.3, "white" -> 0.25, "red" -> 0.15, "blue" -> 0.15,
+    "green" -> 0.1, "yellow" -> 0.05)
+  val styles: Dict = Seq(
+    "casual" -> 0.5, "formal" -> 0.3, "sport" -> 0.2)
+
+  /** 2-level hierarchy (reference W8 recursive descent / W2 site dict). */
+  val hierarchy: Seq[(String, Double, Dict)] = Seq(
+    ("tops", 0.4, Seq("tshirt" -> 0.5, "shirt" -> 0.3, "sweater" -> 0.2)),
+    ("bottoms", 0.35, Seq("jeans" -> 0.5, "skirt" -> 0.3, "shorts" -> 0.2)),
+    ("outerwear", 0.25, Seq("jacket" -> 0.6, "coat" -> 0.4)))
+
+  /** Bernoulli-inclusion categories with weights (reference W5/W6
+    * easy/medium samplers).
+    */
+  val attributes: Dict = Seq(
+    "color" -> 0.9, "fabric" -> 0.7, "style" -> 0.5, "season" -> 0.3,
+    "brand" -> 0.2, "fit" -> 0.6)
+
+  /** W1/W9: assemble a multi-component sampled record per input row. */
+  def sampledRecord(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      $"doc_id",
+      weightedChoice("w1g", $"doc_id", garments).as("garment"),
+      weightedChoice("w1c", $"doc_id", colors).as("color"),
+      weightedChoice("w1s", $"doc_id", styles).as("style"))
+  }
+
+  /** W8/W2: hierarchical descent — category ∝ category prob, then item ∝
+    * item prob within the chosen category; independent uniforms per level.
+    */
+  def hierarchicalSample(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cat = weightedChoice("w8a", $"doc_id",
+      hierarchy.map { case (n, p, _) => n -> p })
+    val item = hierarchy.init.foldLeft(Option.empty[Column]) {
+        case (acc, (name, _, items)) =>
+          val pick = weightedChoice("w8b", $"doc_id", items)
+          Some(acc.fold(when(cat === name, pick))(_.when(cat === name, pick)))
+      }.map(_.otherwise(
+        weightedChoice("w8b", $"doc_id", hierarchy.last._3)))
+      .get
+    docs.select($"doc_id", cat.as("category"), item.as("item"))
+  }
+
+  /** W5+W6: independent Bernoulli inclusion per category, topped up to at
+    * least `minK` categories via Efraimidis–Spirakis weighted sampling
+    * without replacement (rank by u^(1/w) descending) over the excluded
+    * categories — one pass, no iteration, reproduces sequential
+    * weighted-draws-without-replacement exactly in distribution.
+    */
+  def bernoulliTopup(docs: DataFrame, minK: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val cats = spark.createDataFrame(attributes).toDF("category", "p")
+    val key = concat_ws(":", $"doc_id", $"category")
+    val crossed = docs.select($"doc_id").crossJoin(broadcast(cats))
+      .withColumn("included", detUniform("w5", key) < $"p")
+      .withColumn("es_key", pow(detUniform("w6", key), lit(1.0) / $"p"))
+    val wCnt = Window.partitionBy($"doc_id")
+    val wRank = Window.partitionBy($"doc_id", $"included")
+      .orderBy($"es_key".desc, $"category".asc)
+    crossed
+      .withColumn("n_inc", sum($"included".cast("long")).over(wCnt))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"included" || $"rk" <= lit(minK) - $"n_inc")
+      .select($"doc_id", $"category",
+        when($"included", "bernoulli").otherwise("topup").as("via"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q34_sampled_record" -> ((s, d) => sampledRecord(Tables.load(s, d).documents)),
+    "q35_hierarchical_sample" -> ((s, d) =>
+      hierarchicalSample(Tables.load(s, d).documents)),
+    "q36_bernoulli_topup" -> ((s, d) =>
+      bernoulliTopup(Tables.load(s, d).documents, 4))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q34_sampled_record" ->
+      s"""SELECT doc_id,
+         |  ${weightedChoiceSql("w1g", "doc_id", garments)} AS garment,
+         |  ${weightedChoiceSql("w1c", "doc_id", colors)} AS color,
+         |  ${weightedChoiceSql("w1s", "doc_id", styles)} AS style
+         |FROM documents""".stripMargin,
+    "q35_hierarchical_sample" -> {
+      val catSql = weightedChoiceSql("w8a", "doc_id",
+        hierarchy.map { case (n, p, _) => n -> p })
+      val itemWhens = hierarchy.init.map { case (name, _, items) =>
+        s"WHEN ($catSql) = '$name' THEN ${weightedChoiceSql("w8b", "doc_id", items)}"
+      }.mkString(" ")
+      val itemElse = weightedChoiceSql("w8b", "doc_id", hierarchy.last._3)
+      s"""SELECT doc_id, $catSql AS category,
+         |  CASE $itemWhens ELSE $itemElse END AS item
+         |FROM documents""".stripMargin
+    },
+    "q36_bernoulli_topup" -> {
+      val values = attributes.map { case (n, p) =>
+        s"('$n', CAST($p AS DOUBLE))"
+      }.mkString(", ")
+      val key = "CAST(doc_id AS VARCHAR) || ':' || category"
+      s"""WITH cats(category, p) AS (VALUES $values),
+         |crossed AS (
+         |  SELECT doc_id, category, p,
+         |    ${detUniformSql("w5", key)} < p AS included,
+         |    pow(${detUniformSql("w6", key)}, 1.0 / p) AS es_key
+         |  FROM (SELECT doc_id FROM documents) CROSS JOIN cats),
+         |ranked AS (
+         |  SELECT doc_id, category, included,
+         |    CAST(SUM(CASE WHEN included THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id) AS BIGINT) AS n_inc,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id, included
+         |      ORDER BY es_key DESC, category ASC) AS rk
+         |  FROM crossed)
+         |SELECT doc_id, category,
+         |  CASE WHEN included THEN 'bernoulli' ELSE 'topup' END AS via
+         |FROM ranked WHERE included OR rk <= 4 - n_inc""".stripMargin
+    }
+  )
+}

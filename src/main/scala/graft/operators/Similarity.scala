@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fp._
+
+/** Similarity search over embedding columns: exact (brute-force) cosine
+  * top-k as the correctness baseline, and a random-hyperplane-LSH bucketed
+  * variant as the 100 TB scale path.
+  *
+  * Determinism: embeddings are quantized to integer milliunits before any
+  * arithmetic (int8/int16 quantization is standard ANN practice). Dot
+  * products and norms are then exact integer sums — associative, so
+  * partial-aggregate merge order can't change results — and the final
+  * cosine is a single deterministic float expression both engines compute
+  * identically.
+  *
+  * Scale notes:
+  *  - brute force is O(Q·N·d) with a broadcast of the query set: no
+  *    shuffle of the corpus at all, embarrassingly parallel, the right
+  *    choice when |Q| is small;
+  *  - LSH bucketing shuffles once on the bucket id and only scores within
+  *    buckets — sublinear candidate sets at the cost of recall; hyperplanes
+  *    are md5-derived so bucketing is reproducible everywhere;
+  *  - for an IVF-style index, replace the hash bucketing with k-means
+  *    centroid assignment; the bucket-join skeleton is identical.
+  */
+object Similarity {
+
+  /** Quantize a float-array embedding to integer milliunits. */
+  def quantize(embedding: Column): Column =
+    transform(embedding, x => round(x * 1000.0, 0).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a quantized vector. */
+  def normSqQ(v: Column): Column =
+    aggregate(v, lit(0L), (acc, x) => acc + x * x)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), rank-deterministic.
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (dotQ($"qv", $"v").cast("double") /
+          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign of <v, r_p>, with
+    * hyperplane components r_p[i] = 2·u(p,i)−1 from md5-derived uniforms.
+    * Pure per-row expression.
+    */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), lit(dims - 1)), (x, i) =>
+          x.cast("double") *
+            (detUniform(s"plane$p", i) * 2.0 - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate cosine top-k: score only within the query's
+    * bucket. Approximate — recall depends on bucket collision probability —
+    * so this is the scale path, not the oracle-matched baseline.
+    */
+  def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int,
+      planes: Int = 4): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+      .withColumn("bucket", lshBucket($"v", planes, 64))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
+        $"bucket".as("qbucket"))
+    val scored = e.join(broadcast(q),
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (dotQ($"qv", $"v").cast("double") /
+          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q37_cosine_topk" -> ((s, d) => cosineTopK(Tables.load(s, d).embeddings, 5, 5)),
+    "q38_cosine_topk_lsh" -> ((s, d) =>
+      cosineTopKLsh(Tables.load(s, d).embeddings, 20, 3))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q37_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+        |n AS (
+        |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+        |  FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+        |SELECT qid, nid, cos, rk FROM (
+        |  SELECT qid, nid, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+        |  FROM c) WHERE rk <= 5""".stripMargin
+    // q38 is approximate (LSH recall < 1) — no SQL oracle; the driver
+    // records a rows-only check for it.
+  )
+}
