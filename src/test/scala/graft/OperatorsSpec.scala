@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  test("q01 groups by the 4 (returnflag, linestatus) combos present") {
+    val rows = run("q01_pricing_summary").collect()
+    assert(rows.length >= 3 && rows.length <= 6)
+    val qty = rows.map(r => r.getLong(r.fieldIndex("sum_qty"))).sum
+    val total = tables.lineitem.agg(sum(col("l_quantity"))).head.getDouble(0)
+    assert(qty.toDouble == total)
+  }
+
+  test("q03 returns k rows in strict revenue-desc order") {
+    val rows = run("q03_top_revenue_orders").collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q07 caps at 3 per customer") {
+    import spark.implicits._
+    val over = run("q07_top_orders_per_customer")
+      .groupBy($"o_custkey").count().filter($"count" > 3).count()
+    assert(over == 0)
+  }
+
+  test("semi + anti partition orders' customers") {
+    import spark.implicits._
+    val withO = tables.customer.join(tables.orders,
+      $"c_custkey" === $"o_custkey", "left_semi").count()
+    val withoutO = tables.customer.join(tables.orders,
+      $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(withO + withoutO == tables.customer.count())
+  }
+}
+
+class TextDedupSpec extends SparkSpec {
+  import operators.Dedup
+
+  test("fingerprints are 32-hex and unique per distinct content") {
+    val fps = run("q23_fingerprints").collect()
+    assert(fps.forall(_.getString(1).matches("[0-9a-f]{32}")))
+  }
+
+  test("quality score lies in [0,1] and accept matches threshold") {
+    val rows = run("q22_quality_score").collect()
+    assert(rows.forall { r =>
+      val q = r.getDouble(r.fieldIndex("quality"))
+      q >= 0.0 && q <= 1.0 &&
+        r.getBoolean(r.fieldIndex("accept")) == (q >= 0.75)
+    })
+  }
+
+  test("exact jaccard pairs are ordered, thresholded, and symmetric-free") {
+    val rows = run("q26_neardup_jaccard").collect()
+    assert(rows.nonEmpty, "testdata contains planted near-dups")
+    assert(rows.forall { r =>
+      r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0
+    })
+  }
+
+  test("LSH near-dup equals exact jaccard at the same threshold (j>=0.9)") {
+    val exact = Dedup.jaccardNearDups(tables.documents, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDups(tables.documents, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash signatures fit in 16 bits") {
+    assert(run("q28_simhash").collect()
+      .forall(r => { val s = r.getLong(1); s >= 0 && s < 65536 }))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import operators.Sampling
+
+  test("weighted choice is deterministic across runs") {
+    val a = run("q34_sampled_record").collect().toSeq
+    val b = run("q34_sampled_record").collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
+  }
+
+  test("weighted choice frequencies roughly track weights") {
+    import spark.implicits._
+    val n = tables.documents.count().toDouble
+    val freq = run("q34_sampled_record").groupBy($"garment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    Sampling.garments.foreach { case (item, w) =>
+      val f = freq.getOrElse(item, 0.0)
+      assert(math.abs(f - w) < 0.08, s"$item: got $f want ~$w")
+    }
+  }
+
+  test("bernoulli top-up guarantees at least 4 categories per doc") {
+    import spark.implicits._
+    val perDoc = run("q36_bernoulli_topup").groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" < 4).count() == 0)
+  }
+
+  test("hierarchical items belong to their sampled category") {
+    val valid = Sampling.hierarchy
+      .map { case (c, _, items) => c -> items.map(_._1).toSet }.toMap
+    assert(run("q35_hierarchical_sample").collect()
+      .forall(r => valid(r.getString(1)).contains(r.getString(2))))
+  }
+}
+
+class SessionsSimilaritySpec extends SparkSpec {
+  test("sessions have consistent bounds and positive event counts") {
+    val rows = run("q29_sessionize").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getLong(r.fieldIndex("n_events")) > 0 &&
+        r.getLong(r.fieldIndex("end_us")) >= r.getLong(r.fieldIndex("start_us"))
+    })
+  }
+
+  test("session count equals gap-boundary count per user") {
+    import spark.implicits._
+    val sessions = run("q29_sessionize")
+    val perUser = sessions.groupBy($"user_id")
+      .agg(max($"session_id").as("m"), count(lit(1)).as("c"))
+    assert(perUser.filter($"m" =!= $"c").count() == 0)
+  }
+
+  test("cosine top-k ranks are dense 1..k and cos within [-1,1]") {
+    import spark.implicits._
+    val rows = run("q37_cosine_topk").collect()
+    assert(rows.length == 25)
+    assert(rows.forall { r =>
+      val c = r.getDouble(r.fieldIndex("cos")); c >= -1.0001 && c <= 1.0001
+    })
+    val ranks = rows.groupBy(_.getLong(0)).values
+      .map(_.map(r => r.getLong(r.fieldIndex("rk"))).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("LSH top-k cos values match brute-force for the same (qid,nid)") {
+    import spark.implicits._
+    val brute = operators.Similarity.cosineTopK(tables.embeddings, 20, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = run("q38_cosine_topk_lsh").collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .forall(_ == r.getDouble(r.fieldIndex("cos")))
+    })
+  }
+}
