@@ -63,13 +63,19 @@ object Dedup {
       .filter($"jaccard" >= minJ)
   }
 
-  /** MinHash signature: perms × min over shingles of md5-derived 60-bit
-    * hashes. Pure per-row expression — no shuffle, codegen-friendly.
+  /** MinHash signature over an already-materialized shingle array: perms ×
+    * min of per-shingle hashes. Pure per-row expression — no shuffle,
+    * codegen-friendly. Uses Spark-native xxhash64: the signature only
+    * drives candidate generation (the exact-Jaccard verify defines the
+    * output), so cross-engine hash parity is not needed here — only
+    * determinism within Spark, which xxhash64 gives at ~100× the speed of
+    * an md5 expression chain. The shingle array MUST be a materialized
+    * column, not re-derived per permutation: re-evaluating array_distinct
+    * (quadratic) 64× per row dominated runtime before this split.
     */
-  def minhashSignature(text: Column, perms: Int): Column =
+  def minhashSignature(shingleCol: Column, perms: Int): Column =
     transform(sequence(lit(0), lit(perms - 1)), p =>
-      array_min(transform(shingles(text, 3), s =>
-        hash60(concat_ws(":", p, s)))))
+      array_min(transform(shingleCol, s => xxhash64(p, s))))
 
   /** LSH-bucketed near-dup join with exact-Jaccard verification of the
     * candidates. bands × rowsPerBand = signature length. Output schema and
@@ -80,12 +86,13 @@ object Dedup {
   def lshNearDups(docs: DataFrame, minJ: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    val sig = docs.select($"doc_id",
-      minhashSignature($"text", bands * rowsPerBand).as("sig"))
+    val sig = docs
+      .select($"doc_id", shingles($"text", 3).as("sh"))
+      .select($"doc_id", minhashSignature($"sh", bands * rowsPerBand).as("sig"))
     val banded = sig.select($"doc_id", explode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
-          md5(concat_ws(",", slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))
+          xxhash64(concat_ws(",", slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))
             .as("bh")))).as("bb"))
       .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("x").join(banded.as("y"),
