@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Sessions.queries ++ Rules.queries ++ Sampling.queries ++
-      Similarity.queries
+      Similarity.queries ++ UrlOps.queries ++ VectorStats.queries ++
+      Catalog.queries ++ Pairing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Sessions.oracles ++ Rules.oracles ++ Sampling.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ UrlOps.oracles ++ VectorStats.oracles ++
+      Catalog.oracles ++ Pairing.oracles
 }

@@ -63,19 +63,30 @@ object Dedup {
       .filter($"jaccard" >= minJ)
   }
 
-  /** MinHash signature over an already-materialized shingle array: perms ×
-    * min of per-shingle hashes. Pure per-row expression — no shuffle,
-    * codegen-friendly. Uses Spark-native xxhash64: the signature only
-    * drives candidate generation (the exact-Jaccard verify defines the
-    * output), so cross-engine hash parity is not needed here — only
-    * determinism within Spark, which xxhash64 gives at ~100× the speed of
-    * an md5 expression chain. The shingle array MUST be a materialized
-    * column, not re-derived per permutation: re-evaluating array_distinct
-    * (quadratic) 64× per row dominated runtime before this split.
+  /** MinHash signatures as an aggregation over exploded (doc, shingle)
+    * rows: one min(xxhash64(p, s)) aggregate per permutation, assembled
+    * into an array column.
+    *
+    * Why not a per-row nested-transform expression over a shingle-array
+    * column? Catalyst's project collapsing inlines the shingle-building
+    * expression (which contains a quadratic array_distinct) into every one
+    * of the 64 permutation lambdas, re-evaluating it 64× per row — that
+    * shape measured 520+ s at sf0.1 vs seconds for this aggregate. A
+    * hash-aggregate with 64 partial mins is also the right distributed
+    * shape: map-side combine keeps the shuffle at one row per doc.
+    *
+    * xxhash64 (not md5): signatures only drive candidate generation — the
+    * exact-Jaccard verify defines the output — so only within-Spark
+    * determinism is needed, and xxhash64 is codegen-native.
     */
-  def minhashSignature(shingleCol: Column, perms: Int): Column =
-    transform(sequence(lit(0), lit(perms - 1)), p =>
-      array_min(transform(shingleCol, s => xxhash64(p, s))))
+  def minhashSignatures(shingleRows: DataFrame, perms: Int): DataFrame = {
+    import shingleRows.sparkSession.implicits._
+    val mins = (0 until perms).map(p => min(xxhash64(lit(p), $"s")).as(s"m$p"))
+    shingleRows.groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"doc_id",
+        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+  }
 
   /** LSH-bucketed near-dup join with exact-Jaccard verification of the
     * candidates. bands × rowsPerBand = signature length. Output schema and
@@ -86,9 +97,8 @@ object Dedup {
   def lshNearDups(docs: DataFrame, minJ: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    val sig = docs
-      .select($"doc_id", shingles($"text", 3).as("sh"))
-      .select($"doc_id", minhashSignature($"sh", bands * rowsPerBand).as("sig"))
+    val sh = shingleRows(docs)
+    val sig = minhashSignatures(sh, bands * rowsPerBand)
     val banded = sig.select($"doc_id", explode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
@@ -100,8 +110,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Exact verify: recompute jaccard on candidate pairs only.
-    val sh = shingleRows(docs)
+    // Exact verify: jaccard on candidate pairs only, reusing the shingle
+    // rows already built for the signatures.
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -21,6 +21,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/array cells (e.g. collect_list results) aren't sortable/hashable
+    # in pandas — canonicalize to tuples.
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple))
+                     or hasattr(v, "tolist") and not pd.api.types.is_scalar(v)).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                if v is not None and not pd.api.types.is_scalar(v) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
