@@ -51,8 +51,14 @@ object Dedup {
     import docs.sparkSession.implicits._
     val sh = shingleRows(docs)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    // Size-ratio prefilter (semantics-preserving): j(A,B) ≤ min/max of the
+    // set sizes, so pairs failing min ≥ t·max can't reach the threshold —
+    // prune them inside the join, before the pair-count aggregate.
+    val shN = sh.join(sizes, "doc_id")
+    val inter = shN.as("x").join(shN.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")).cast("double") >=
+            lit(minJ) * greatest(col("x.n"), col("y.n")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
     inter

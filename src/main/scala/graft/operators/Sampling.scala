@@ -77,12 +77,17 @@ object Sampling {
     "color" -> 0.9, "fabric" -> 0.7, "style" -> 0.5, "season" -> 0.3,
     "brand" -> 0.2, "fit" -> 0.6)
 
-  /** W1/W9: assemble a multi-component sampled record per input row. */
+  /** W1/W9: assemble a multi-component sampled record per input row. The
+    * largest dict goes through the native O(log n) WeightedBucket
+    * expression (same semantics as the when-chain — equivalence is
+    * spec-tested, and the shared oracle CASE checks both).
+    */
   def sampledRecord(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(
       $"doc_id",
-      weightedChoice("w1g", $"doc_id", garments).as("garment"),
+      graft.functions.WeightedBucket(
+        detUniform("w1g", $"doc_id"), garments).as("garment"),
       weightedChoice("w1c", $"doc_id", colors).as("color"),
       weightedChoice("w1s", $"doc_id", styles).as("style"))
   }
@@ -129,6 +134,19 @@ object Sampling {
         when($"included", "bernoulli").otherwise("topup").as("via"))
   }
 
+  /** W6 at scale: weighted reservoir sample of k ids per group via the
+    * single-pass Aggregator (graft.functions.WeightedReservoir) — the
+    * oracle checks it against the full window formulation.
+    */
+  def weightedReservoirPerType(events: DataFrame, k: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val esKey = pow(detUniform("res", $"event_id"),
+      lit(1.0) / ($"value" + lit(1.0)))
+    events.groupBy($"event_type")
+      .agg(graft.functions.WeightedReservoir.sample(k)(esKey, $"event_id")
+        .as("sample_ids"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -136,7 +154,9 @@ object Sampling {
     "q35_hierarchical_sample" -> ((s, d) =>
       hierarchicalSample(Tables.load(s, d).documents)),
     "q36_bernoulli_topup" -> ((s, d) =>
-      bernoulliTopup(Tables.load(s, d).documents, 4))
+      bernoulliTopup(Tables.load(s, d).documents, 4)),
+    "q45_weighted_reservoir" -> ((s, d) =>
+      weightedReservoirPerType(Tables.load(s, d).events, 5))
   )
 
   def oracles: Map[String, String] = Map(
@@ -156,6 +176,13 @@ object Sampling {
       s"""SELECT doc_id, $catSql AS category,
          |  CASE $itemWhens ELSE $itemElse END AS item
          |FROM documents""".stripMargin
+    },
+    "q45_weighted_reservoir" -> {
+      val u = detUniformSql("res", "event_id")
+      s"""SELECT event_type,
+         |  (list(event_id ORDER BY pow($u, 1.0 / (value + 1.0)) DESC, event_id ASC))[1:5]
+         |    AS sample_ids
+         |FROM events GROUP BY event_type""".stripMargin
     },
     "q36_bernoulli_topup" -> {
       val values = attributes.map { case (n, p) =>
