@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.WeightedBucket
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions for the SQL surface, so
+  * `spark.sql("... weighted_bucket(u, array('a','b'), array(0.5,0.5))")`
+  * works next to the Column API. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("weighted_bucket"),
+      new ExpressionInfo(classOf[WeightedBucket].getName, "weighted_bucket"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildWeightedBucket(exprs)))
+  }
+}
+
+object GraftExtensions {
+
+  /** Register the engine's SQL functions on an already-built session
+    * (extensions classes only apply at session build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("weighted_bucket"),
+      new ExpressionInfo(classOf[WeightedBucket].getName, "weighted_bucket"),
+      (exprs: Seq[Expression]) => buildWeightedBucket(exprs))
+
+  /** SQL builder: weighted_bucket(u, items_array, weights_array) with
+    * foldable literal arrays (dictionaries are literals by design — they
+    * broadcast with the plan).
+    */
+  private[graft] def buildWeightedBucket(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "weighted_bucket(u DOUBLE, items ARRAY<STRING>, weights ARRAY<DOUBLE>)")
+    val Seq(u, itemsE, weightsE) = exprs
+    require(itemsE.foldable && weightsE.foldable,
+      "weighted_bucket items/weights must be literal arrays")
+    val items = itemsE.eval().asInstanceOf[ArrayData]
+      .toObjectArray(StringType).map(_.toString)
+    // SQL numeric literals arrive as DECIMAL; accept any numeric element
+    // type and normalize to double.
+    val weightElemType = weightsE.dataType.asInstanceOf[ArrayType].elementType
+    val weights = weightsE.eval().asInstanceOf[ArrayData]
+      .toObjectArray(weightElemType).map {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case other => throw new IllegalArgumentException(
+          s"weighted_bucket weights must be numeric, got $other")
+      }
+    require(items.length == weights.length && items.nonEmpty,
+      "items and weights must be same-length, non-empty")
+    val total = weights.sum
+    val cums = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    WeightedBucket(u, cums.init, items)
+  }
+}

@@ -291,6 +291,17 @@ object Relational {
     "q17_top_event_per_type" -> ((s, d) => topEventPerType(Tables.load(s, d).events)),
     "q18_capped_pairs" -> ((s, d) => {
       val t = Tables.load(s, d); cappedPairs(t.part, t.supplier)
+    }),
+    // SQL front-end surface: the same engine through spark.sql over temp
+    // views (what a reference user would type interactively).
+    "q46_sql_surface" -> ((s, d) => {
+      Tables.load(s, d).lineitem.createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS base_cents,
+          |  COUNT(*) AS n
+          |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
     })
   )
 
@@ -410,6 +421,12 @@ object Relational {
     "q18_capped_pairs" ->
       """SELECT p_partkey, p_name, s_suppkey, s_name
         |FROM part CROSS JOIN supplier
-        |WHERE p_partkey < 5 AND s_suppkey < 3""".stripMargin
+        |WHERE p_partkey < 5 AND s_suppkey < 3""".stripMargin,
+    "q46_sql_surface" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS base_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

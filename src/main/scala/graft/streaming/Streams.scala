@@ -52,6 +52,22 @@ object Streams {
         $"n", $"sum_value")
   }
 
+  /** Streaming gap sessionization via the native session_window aggregate
+    * (the streaming face of Sessions.sessionize): sessions close when no
+    * event arrives within the gap; the watermark lets the state store
+    * finalize and emit closed sessions.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window($"ts", s"$gapMinutes minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros($"ts")).as("start_us"),
+        max(unix_micros($"ts")).as("end_us"))
+      .select($"user_id", $"n_events", $"start_us", $"end_us")
+  }
+
   /** Streaming exact dedup on a key with state-store backing (reference
     * D2/D3 cross-run dedup): watermark bounds how long a key is
     * remembered.
