@@ -138,22 +138,61 @@ object Dedup {
       .filter($"jaccard" >= minJ)
   }
 
-  /** 16-bit SimHash over distinct tokens: bit j set iff more than half the
-    * tokens have bit j set in their 60-bit hash.
+  /** 16-bit SimHash over distinct 3-gram shingles: bit j of the signature
+    * is the sign of Σ_shingles ±1 on bit j of the shingle's 60-bit hash.
+    *
+    * Shingles, not tokens: with a small shared vocabulary every document
+    * contains nearly every token, so token-level signatures collapse to
+    * one cluster; shingle features keep the signature discriminative.
+    * Computed as an explode + 16 conditional sums (same aggregate shape as
+    * the minhash signatures — map-side combine, one row per doc out), with
+    * md5-derived hashes so the DuckDB oracle mirrors bit-for-bit.
     */
-  def simhash16(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
-    val n = size(toks).cast("long")
-    (0 until 16).map { j =>
-      val ones = size(filter(toks, t =>
-        shiftright(hash60(t), j).bitwiseAND(lit(1L)) === 1L)).cast("long")
-      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   def simhashes(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", simhash16($"text").as("simhash"))
+    val sh = shingleRows(docs)
+    val h = hash60($"s")
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    sh.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 16).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming-adjacent SimHash pairs (near-dup at the signature level):
+    * all doc pairs whose 16-bit simhashes differ in ≤ maxDist bits.
+    *
+    * Exact without an O(n²) self-join: split the signature into
+    * (maxDist+1) chunks — by pigeonhole, any pair within maxDist shares at
+    * least one chunk exactly — join on (chunk index, chunk value), then
+    * verify bit_count(xor) on the candidates. This is the standard
+    * multi-index hamming search; the only shuffle is on 4-bit chunk keys.
+    */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val chunks = maxDist + 1
+    val bitsPer = 16 / chunks
+    val sig = simhashes(docs)
+    val chunkArr = array((0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftright($"simhash", c * bitsPer)
+          .bitwiseAND(lit((1 << bitsPer) - 1)).as("v"))
+    }: _*)
+    val chunked = sig.select($"doc_id", $"simhash", explode(chunkArr).as("ch"))
+      .select($"doc_id", $"simhash", col("ch.c").as("c"), col("ch.v").as("v"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxDist)
   }
 
   /** Keep-first exact dedup on a compound key with deterministic survivor
@@ -188,7 +227,9 @@ object Dedup {
     "q25_dedup_first_event" -> ((s, d) => firstEventPerKey(Tables.load(s, d).events)),
     "q26_neardup_jaccard" -> ((s, d) => jaccardNearDups(Tables.load(s, d).documents, 0.6)),
     "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
-    "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents))
+    "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
+    "q47_simhash_pairs" -> ((s, d) =>
+      simhashNearPairs(Tables.load(s, d).documents, 1))
   )
 
   private val shingleCte =
@@ -216,13 +257,27 @@ object Dedup {
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= CAST($minJ AS DOUBLE)""".stripMargin
 
-  private val simhashSql: String = {
-    val terms = (0 until 16).map { j =>
-      s"""CASE WHEN 2 * len(list_filter(list_distinct(string_split(text,' ')),
-         |  t -> ((${hash60Sql("t")} >> $j) & 1) = 1))
-         |  > len(list_distinct(string_split(text,' '))) THEN ${1L << j} ELSE 0 END""".stripMargin
-    }.mkString(" + ")
-    s"SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM documents"
+  /** Shared CTE chain ending in sig(doc_id, simhash), mirroring
+    * [[simhashes]] (shingle features, md5-derived bit hashes).
+    */
+  private val simhashCte: String = {
+    val h = hash60Sql("s")
+    val bitSums = (0 until 16).map { j =>
+      s"SUM(CASE WHEN (($h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+       |         generate_subscripts(string_split(text,' '), 1) AS i
+       |  FROM documents),
+       |shx AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       |  FROM tok a
+       |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |bits AS (SELECT doc_id, $bitSums FROM shx GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -238,9 +293,17 @@ object Dedup {
         |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS rk
         |  FROM events) WHERE rk = 1""".stripMargin,
     "q26_neardup_jaccard" -> jaccardSql(0.6),
+    // Brute-force O(n^2) oracle; the Spark side is the pigeonhole-blocked
+    // exact search, so the result sets must be identical.
+    "q47_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
     // The LSH path is exact-verified; at 16×4 bands the candidate recall at
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),
-    "q28_simhash" -> simhashSql
+    "q28_simhash" -> s"WITH $simhashCte SELECT doc_id, simhash FROM sig"
   )
 }
