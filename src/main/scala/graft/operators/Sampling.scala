@@ -147,6 +147,68 @@ object Sampling {
         .as("sample_ids"))
   }
 
+  /** W10 polymorphic per-category rules (reference
+    * people_western_keyword_extractor.py:57-124): each category kind
+    * yields a differently-shaped draw — plain weighted; weighted primary +
+    * uniform secondary from a per-primary list. Flattened to
+    * (doc_id, category, value, extra) rows.
+    */
+  val bodyTypes: Dict = Seq("slim" -> 0.3, "athletic" -> 0.4, "curvy" -> 0.3)
+  val countries: Seq[(String, Double, Seq[String])] = Seq(
+    ("india", 0.5, Seq("hindi", "tamil", "bengali")),
+    ("usa", 0.3, Seq("caucasian", "hispanic", "african_american")),
+    ("japan", 0.2, Seq("japanese")))
+  val genders: Seq[(String, Double, Seq[String])] = Seq(
+    ("female", 0.6, Seq("dress", "saree", "top")),
+    ("male", 0.4, Seq("kurta", "shirt")))
+
+  /** Uniform pick from a literal list via a deterministic uniform. */
+  private def uniformPick(u: Column, items: Seq[String]): Column =
+    element_at(array(items.map(lit): _*),
+      (floor(u * items.size) + 1).cast("int"))
+
+  private def uniformPickSql(uExpr: String, items: Seq[String]): String = {
+    val lst = items.map(i => s"'$i'").mkString("[", ", ", "]")
+    s"($lst)[CAST(floor($uExpr * ${items.size}) + 1 AS BIGINT)]"
+  }
+
+  def polymorphicSample(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select($"doc_id")
+    val body = base.select($"doc_id", lit("body_type").as("category"),
+      weightedChoice("w10b", $"doc_id", bodyTypes).as("value"),
+      lit(null).cast("string").as("extra"))
+    def twoLevel(tag: String, cat: String,
+        table: Seq[(String, Double, Seq[String])]) = {
+      val primary = weightedChoice(tag, $"doc_id",
+        table.map { case (n, p, _) => n -> p })
+      val u2 = detUniform(tag + "x", $"doc_id")
+      val extra = table.init.foldLeft(Option.empty[Column]) {
+          case (acc, (name, _, subs)) =>
+            val pick = uniformPick(u2, subs)
+            Some(acc.fold(when(primary === name, pick))(
+              _.when(primary === name, pick)))
+        }.map(_.otherwise(uniformPick(u2, table.last._3))).get
+      base.select($"doc_id", lit(cat).as("category"), primary.as("value"),
+        extra.as("extra"))
+    }
+    body
+      .unionByName(twoLevel("w10c", "country", countries))
+      .unionByName(twoLevel("w10g", "gender", genders))
+  }
+
+  /** R6 deterministic shuffle: a stable pseudo-random permutation from
+    * hash-derived keys (reference uses DataLoader shuffle=True; ours is
+    * reproducible and partition-independent).
+    */
+  def deterministicShuffle(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id")
+      .withColumn("pos", row_number().over(
+        Window.orderBy(detUniform("shuf", $"doc_id").asc, $"doc_id".asc))
+        .cast("long"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -156,10 +218,39 @@ object Sampling {
     "q36_bernoulli_topup" -> ((s, d) =>
       bernoulliTopup(Tables.load(s, d).documents, 4)),
     "q45_weighted_reservoir" -> ((s, d) =>
-      weightedReservoirPerType(Tables.load(s, d).events, 5))
+      weightedReservoirPerType(Tables.load(s, d).events, 5)),
+    "q48_polymorphic_sample" -> ((s, d) =>
+      polymorphicSample(Tables.load(s, d).documents)),
+    "q49_deterministic_shuffle" -> ((s, d) =>
+      deterministicShuffle(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
+    "q48_polymorphic_sample" -> {
+      def two(tag: String, cat: String,
+          table: Seq[(String, Double, Seq[String])]): String = {
+        val primary = weightedChoiceSql(tag, "doc_id",
+          table.map { case (n, p, _) => n -> p })
+        val u2 = detUniformSql(tag + "x", "doc_id")
+        val whens = table.init.map { case (name, _, subs) =>
+          s"WHEN ($primary) = '$name' THEN ${uniformPickSql(u2, subs)}"
+        }.mkString(" ")
+        val els = uniformPickSql(u2, table.last._3)
+        s"""SELECT doc_id, '$cat' AS category, $primary AS value,
+           |  CASE $whens ELSE $els END AS extra FROM documents""".stripMargin
+      }
+      s"""SELECT doc_id, 'body_type' AS category,
+         |  ${weightedChoiceSql("w10b", "doc_id", bodyTypes)} AS value,
+         |  CAST(NULL AS VARCHAR) AS extra FROM documents
+         |UNION ALL
+         |${two("w10c", "country", countries)}
+         |UNION ALL
+         |${two("w10g", "gender", genders)}""".stripMargin
+    },
+    "q49_deterministic_shuffle" ->
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY ${detUniformSql("shuf", "doc_id")} ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM documents""".stripMargin,
     "q34_sampled_record" ->
       s"""SELECT doc_id,
          |  ${weightedChoiceSql("w1g", "doc_id", garments)} AS garment,

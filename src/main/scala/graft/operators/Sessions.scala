@@ -87,9 +87,38 @@ object Sessions {
       .select($"user_id", $"event_type", $"event_id")
   }
 
+  /** Gap-fill + consecutive-empty-run detection (batch analog of the
+    * reference's stop-after-3-empty-pages D6,
+    * /root/reference/data_pipeline/scrapers/any_scraper.py:686-698):
+    * per event_type, build the dense hour spine between its first and last
+    * event, left-join actual counts, and report maximal runs of ≥ minRun
+    * consecutive empty hours (classic gaps-and-islands via the
+    * h − row_number grouping trick).
+    */
+  def emptyHourRuns(events: DataFrame, minRun: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val hours = events.select($"event_type",
+      expr("unix_micros(ts) div 3600000000").as("h"))
+    val counts = hours.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+    val spine = hours.groupBy($"event_type")
+      .agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"event_type", explode(sequence($"h0", $"h1")).as("h"))
+    val empties = spine.join(counts, Seq("event_type", "h"), "left_anti")
+    val grp = $"h" - row_number().over(
+      Window.partitionBy($"event_type").orderBy($"h".asc))
+    empties
+      .withColumn("grp", grp)
+      .groupBy($"event_type", $"grp")
+      .agg(min($"h").as("run_start_h"), count(lit(1)).as("run_len"))
+      .filter($"run_len" >= minRun)
+      .select($"event_type", $"run_start_h", $"run_len")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    "q50_empty_hour_runs" -> ((s, d) =>
+      emptyHourRuns(Tables.load(s, d).events, 2)),
     "q29_sessionize" -> ((s, d) => sessionize(Tables.load(s, d).events, 30)),
     "q30_hourly_rollup" -> ((s, d) => hourlyRollup(Tables.load(s, d).events)),
     "q31_first_k_per_user" -> ((s, d) => firstKPerUser(Tables.load(s, d).events, 3)),
@@ -98,6 +127,25 @@ object Sessions {
   )
 
   def oracles: Map[String, String] = Map(
+    "q50_empty_hour_runs" ->
+      """WITH hrs AS (
+        |  SELECT event_type, CAST((epoch_ns(ts) // 1000) // 3600000000 AS BIGINT) AS h
+        |  FROM events),
+        |counts AS (SELECT event_type, h, COUNT(*) AS n FROM hrs GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+        |  FROM hrs GROUP BY event_type),
+        |empties AS (
+        |  SELECT s.event_type, s.h FROM spine s
+        |  WHERE NOT EXISTS (SELECT 1 FROM counts c
+        |    WHERE c.event_type = s.event_type AND c.h = s.h)),
+        |runs AS (
+        |  SELECT event_type, h,
+        |    h - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS grp
+        |  FROM empties)
+        |SELECT event_type, MIN(h) AS run_start_h, COUNT(*) AS run_len
+        |FROM runs GROUP BY event_type, grp
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "q29_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
