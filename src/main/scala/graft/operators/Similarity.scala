@@ -98,12 +98,59 @@ object Similarity {
       .filter($"rk" <= k)
   }
 
+  /** IVF-style approximate cosine top-k: k-means coarse quantizer (MLlib,
+    * fixed seed) assigns every vector to a centroid list; queries probe
+    * their `nprobe` nearest centroids and score only those lists. The
+    * standard FAISS-IVF shape: one clustering pass (cached model at scale),
+    * then candidate scoring shuffles only on list id. Approximate — recall
+    * depends on nprobe/nlist — so no SQL oracle (driver rows-only check);
+    * the spec checks scored values against brute force.
+    */
+  def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings.withColumn("features", toVec($"embedding"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(feat)
+    val assigned = model.transform(feat)
+      .select($"vec_id", quantize($"embedding").as("v"), $"list_id")
+      .withColumn("nsq", normSqQ($"v"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq.toDF("list_id", "centroid")
+    // Each query probes its nprobe nearest centroid lists.
+    val q = assigned.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", aggregate(
+        zip_with($"qv", $"centroid", (x, c) => (x.cast("double") / 1000.0 - c) *
+          (x.cast("double") / 1000.0 - c)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dist".asc, $"list_id".asc)))
+      .filter($"pr" <= nprobe)
+      .select($"qid", $"qv", $"qnsq", $"list_id")
+    val scored = assigned.join(broadcast(qProbes),
+        Seq("list_id")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (dotQ($"qv", $"v").cast("double") /
+          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
     "q37_cosine_topk" -> ((s, d) => cosineTopK(Tables.load(s, d).embeddings, 5, 5)),
     "q38_cosine_topk_lsh" -> ((s, d) =>
-      cosineTopKLsh(Tables.load(s, d).embeddings, 20, 3))
+      cosineTopKLsh(Tables.load(s, d).embeddings, 20, 3)),
+    "q51_cosine_topk_ivf" -> ((s, d) =>
+      cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3))
   )
 
   def oracles: Map[String, String] = Map(

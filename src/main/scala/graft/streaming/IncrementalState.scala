@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-incremental resume state: the reference's checkpointed
+  * processed-keys workflow (D2-D4: scraped_urls / seen_image_hashes sets
+  * persisted every N items, /root/reference/data_pipeline/scrapers/
+  * any_scraper.py:103-116, 585-597, resume check at
+  * zalando_gallery_scraper_s3.py:430-432) as a reusable component.
+  *
+  * State is a parquet table of processed keys. A processing run is:
+  *   1. [[newKeys]] — anti-join the incoming batch against the state
+  *      (exactly the reference's "skip if already scraped");
+  *   2. process only those rows;
+  *   3. [[commit]] — append the newly-processed keys.
+  *
+  * Scale: the state table holds only key columns (compact); the anti-join
+  * broadcasts when small and shuffles on the key otherwise — Catalyst
+  * decides. Appends are new parquet files (no rewrite). For event-stream
+  * dedup with TTL semantics use Streams.dedupStream instead; this helper
+  * is the restartable-batch face.
+  */
+final class IncrementalState(spark: SparkSession, path: String,
+    keyCols: Seq[String]) {
+
+  /** Current processed-key set (empty frame if no state yet). */
+  def processed(): DataFrame =
+    try spark.read.parquet(path).select(keyCols.map(col): _*).distinct()
+    catch {
+      case _: Exception =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(keyCols.map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType, nullable = true))))
+    }
+
+  /** Rows of `batch` whose key has not been processed yet. */
+  def newKeys(batch: DataFrame): DataFrame =
+    batch.join(processed(), keyCols, "left_anti")
+
+  /** Record keys as processed (append-only, idempotent per re-commit of
+    * the same keys thanks to the distinct() in [[processed]]).
+    */
+  def commit(processedBatch: DataFrame): Unit =
+    processedBatch.select(keyCols.map(col): _*).distinct()
+      .write.mode(SaveMode.Append).parquet(path)
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class IvfSpec extends SparkSpec {
+
+  test("IVF top-k: well-formed, deterministic, cos values match brute force") {
+    import spark.implicits._
+    val ivf = Similarity.cosineTopKIvf(tables.embeddings, 10, 3).collect()
+    assert(ivf.nonEmpty)
+    // Dense 1..k ranks per query among returned queries.
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rks = rows.map(r => r.getLong(r.fieldIndex("rk"))).sorted.toSeq
+      assert(rks == (1L to rks.size).toSeq)
+    }
+    // Scored cosines agree exactly with the brute-force scorer for the
+    // same (qid, nid) pairs — IVF changes the candidate set, not the math.
+    val brute = Similarity.cosineTopK(tables.embeddings, 10, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.forall { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .forall(_ == r.getDouble(r.fieldIndex("cos")))
+    })
+    // Deterministic across runs (fixed kmeans seed, hash tie-breaks).
+    val again = Similarity.cosineTopKIvf(tables.embeddings, 10, 3).collect()
+    assert(again.map(_.toSeq).toSet == ivf.map(_.toSeq).toSet)
+  }
+}
