@@ -113,7 +113,10 @@ object Similarity {
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feat = embeddings.withColumn("features", toVec($"embedding"))
+    // Random init (not kmeans||): the parallel init runs several extra
+    // distributed rounds, and a coarse quantizer doesn't need it.
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("list_id").fit(feat)
     val assigned = model.transform(feat)
       .select($"vec_id", quantize($"embedding").as("v"), $"list_id")
