@@ -27,7 +27,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String): Tables = {
+  // Memoized per (session, dir): spark.read.parquet runs a schema-inference
+  // job per call, so re-loading for every query in a batch run costs 10
+  // footer reads each time. The cached value holds only lazy plans — no
+  // data is pinned. This is the engine's (minimal) catalog.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Tables]
+
+  def load(spark: SparkSession, sfDir: String): Tables =
+    cache.getOrElseUpdate((spark, sfDir), doLoad(spark, sfDir))
+
+  private def doLoad(spark: SparkSession, sfDir: String): Tables = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
     // read it as raw nanos and truncate to microseconds (integer div — a
     // double division would lose precision above 2^53 ns). DuckDB reads the
