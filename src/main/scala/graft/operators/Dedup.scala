@@ -228,10 +228,14 @@ object Dedup {
     val chunks = maxDist + 1
     val bitsPer = 16 / chunks
     val sig = simhashes(docs)
+    // The last chunk absorbs the remainder bits when chunks doesn't divide
+    // 16 — otherwise the top bits would belong to no chunk and pairs
+    // differing only there would be silently missed.
     val chunkArr = array((0 until chunks).map { c =>
+      val width = if (c == chunks - 1) 16 - bitsPer * (chunks - 1) else bitsPer
       struct(lit(c).as("c"),
         shiftright($"simhash", c * bitsPer)
-          .bitwiseAND(lit((1 << bitsPer) - 1)).as("v"))
+          .bitwiseAND(lit((1 << width) - 1)).as("v"))
     }: _*)
     val chunked = sig.select($"doc_id", $"simhash", explode(chunkArr).as("ch"))
       .select($"doc_id", $"simhash", col("ch.c").as("c"), col("ch.v").as("v"))

@@ -24,21 +24,22 @@ import org.apache.spark.sql.functions._
 final class IncrementalState(spark: SparkSession, path: String,
     keyCols: Seq[String]) {
 
-  /** Current processed-key set (empty frame if no state yet). */
-  def processed(): DataFrame =
-    try spark.read.parquet(path).select(keyCols.map(col): _*).distinct()
-    catch {
-      case _: Exception =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(keyCols.map(
-            org.apache.spark.sql.types.StructField(_,
-              org.apache.spark.sql.types.LongType, nullable = true))))
-    }
+  private def stateExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Current processed-key set; None before the first commit (key types
+    * are whatever was committed — no schema is assumed).
+    */
+  def processed(): Option[DataFrame] =
+    if (stateExists)
+      Some(spark.read.parquet(path).select(keyCols.map(col): _*).distinct())
+    else None
 
   /** Rows of `batch` whose key has not been processed yet. */
   def newKeys(batch: DataFrame): DataFrame =
-    batch.join(processed(), keyCols, "left_anti")
+    processed().fold(batch)(st => batch.join(st, keyCols, "left_anti"))
 
   /** Record keys as processed (append-only, idempotent per re-commit of
     * the same keys thanks to the distinct() in [[processed]]).
