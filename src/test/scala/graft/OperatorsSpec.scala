@@ -3,6 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
+  test("driver contract: entry() returns rows and every query has a binding") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q01 groups by the 4 (returnflag, linestatus) combos present") {
     val rows = run("q01_pricing_summary").collect()
     assert(rows.length >= 3 && rows.length <= 6)
