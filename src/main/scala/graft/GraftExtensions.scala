@@ -64,6 +64,11 @@ object GraftExtensions {
       "items and weights must be same-length, non-empty")
     val total = weights.sum
     val cums = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
-    WeightedBucket(u, cums.init, items)
+    // SQL callers pass DECIMAL literals (e.g. 0.5); cast at analysis time
+    // instead of a runtime ClassCastException inside eval/codegen.
+    val uDouble =
+      if (u.dataType == DoubleType) u
+      else org.apache.spark.sql.catalyst.expressions.Cast(u, DoubleType)
+    WeightedBucket(uDouble, cums.init, items)
   }
 }

@@ -72,7 +72,10 @@ object WeightedBucket {
     import org.apache.spark.sql.GraftSqlBridge
     val total = items.map(_._2).sum
     val cums = items.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
-    GraftSqlBridge.column(WeightedBucket(GraftSqlBridge.expression(u),
+    // Cast here (not declared inputTypes — AbstractDataType is private in
+    // Spark 4) so non-double inputs resolve instead of failing in codegen.
+    GraftSqlBridge.column(WeightedBucket(
+      GraftSqlBridge.expression(u.cast("double")),
       cums.init.toArray, items.map(_._1).toArray))
   }
 }

@@ -29,11 +29,16 @@ import graft.functions.Fp._
   */
 object Dedup {
 
-  /** Sliding n-gram shingles over whitespace tokens, distinct. */
+  /** Sliding n-gram shingles over whitespace tokens, distinct. Documents
+    * with fewer than n tokens yield an empty array (a descending sequence()
+    * would otherwise index out of range).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
-      concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exploded (doc_id, shingle-hash) inverted-index rows. Shingles are
@@ -72,8 +77,24 @@ object Dedup {
     // (sizes, document frequencies, prefix, verify) — materialize it once.
     // CacheManager keys on the canonical plan, so repeated calls (and
     // sibling operators over the same corpus) share one copy, and at scale
-    // this is the deliberate "build the index once" step.
-    sh.distinct().persist()
+    // this is the deliberate "build the index once" step. Cached copies are
+    // tracked so long-lived sessions can release them via
+    // [[releaseIndexes]] once a corpus is processed.
+    val cached = sh.distinct().persist()
+    persisted.add(cached)
+    cached
+  }
+
+  private val persisted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist every shingle index cached by the near-dup operators.
+    * Call between corpora in a long-lived session; in-flight jobs still
+    * holding the data recompute lazily, so this is always safe.
+    */
+  def releaseIndexes(): Unit = {
+    val it = persisted.iterator()
+    while (it.hasNext) { it.next().unpersist(); it.remove() }
   }
 
   /** Exact 3-gram Jaccard similarity join via prefix filtering (AllPairs /

@@ -48,7 +48,11 @@ object Pairing {
           .otherwise("large"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),
-        slice(sort_array(collect_list($"o_orderkey")), 1, 5).as("example_ids"))
+        // Stringified: the driver's oracle comparator can't hash array
+        // cells, so the bounded example list ships as a CSV string.
+        array_join(transform(
+          slice(sort_array(collect_list($"o_orderkey")), 1, 5),
+          _.cast("string")), ",").as("example_ids"))
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -74,7 +78,7 @@ object Pairing {
         |LEFT OUTER JOIN supplier ON pairs.l_suppkey = s_suppkey""".stripMargin,
     "q44_bucket_report" ->
       """SELECT bucket, COUNT(*) AS n,
-        |  list_sort(list(o_orderkey))[1:5] AS example_ids
+        |  array_to_string(list_sort(list(o_orderkey))[1:5], ',') AS example_ids
         |FROM (SELECT o_orderkey,
         |        CASE WHEN o_totalprice < CAST(50000 AS DOUBLE) THEN 'small'
         |             WHEN o_totalprice < CAST(150000 AS DOUBLE) THEN 'medium'

@@ -143,8 +143,9 @@ object Sampling {
     val esKey = pow(detUniform("res", $"event_id"),
       lit(1.0) / ($"value" + lit(1.0)))
     events.groupBy($"event_type")
-      .agg(graft.functions.WeightedReservoir.sample(k)(esKey, $"event_id")
-        .as("sample_ids"))
+      .agg(array_join(transform(
+        graft.functions.WeightedReservoir.sample(k)(esKey, $"event_id"),
+        _.cast("string")), ",").as("sample_ids"))
   }
 
   /** W10 polymorphic per-category rules (reference
@@ -271,8 +272,9 @@ object Sampling {
     "q45_weighted_reservoir" -> {
       val u = detUniformSql("res", "event_id")
       s"""SELECT event_type,
-         |  (list(event_id ORDER BY pow($u, 1.0 / (value + 1.0)) DESC, event_id ASC))[1:5]
-         |    AS sample_ids
+         |  array_to_string(
+         |    (list(event_id ORDER BY pow($u, 1.0 / (value + 1.0)) DESC, event_id ASC))[1:5],
+         |    ',') AS sample_ids
          |FROM events GROUP BY event_type""".stripMargin
     },
     "q36_bernoulli_topup" -> {

@@ -51,7 +51,9 @@ object Fid {
     require(n > 1, "need at least 2 rows for a covariance")
     val mean = new DenseVector(s.map(_ / n))
     val gram = new DenseMatrix(d, d, g) // row-major fill of symmetric matrix
-    val cov = (gram / n.toDouble) - (mean * mean.t)
+    // Sample covariance (ddof=1) — np.cov's default, which the reference's
+    // FID uses (metrics.py calculate_fid).
+    val cov = (gram - (mean * mean.t) * n.toDouble) / (n - 1).toDouble
     Moments(n, mean, cov)
   }
 

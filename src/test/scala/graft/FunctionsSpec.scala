@@ -28,7 +28,9 @@ class FunctionsSpec extends SparkSpec {
   test("WeightedReservoir equals the window formulation (same ES keys)") {
     import spark.implicits._
     val viaAgg = Sampling.weightedReservoirPerType(tables.events, 5)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1).split(",").map(_.toLong).toSeq)
+      .toMap
     val esKey = pow(Fp.detUniform("res", $"event_id"),
       lit(1.0) / ($"value" + lit(1.0)))
     val w = org.apache.spark.sql.expressions.Window
@@ -41,7 +43,7 @@ class FunctionsSpec extends SparkSpec {
       .agg(collect_list(struct($"rk", $"event_id")).as("xs"))
       .collect().map { r =>
         r.getString(0) ->
-          r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getInt(0)).map(_.getLong(1))
+          r.getSeq[org.apache.spark.sql.Row](1).sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
       }.toMap
     assert(viaAgg == viaWindow)
   }
@@ -49,9 +51,9 @@ class FunctionsSpec extends SparkSpec {
   test("WeightedReservoir is partitioning-invariant") {
     import spark.implicits._
     val a = Sampling.weightedReservoirPerType(tables.events.repartition(1), 5)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val b = Sampling.weightedReservoirPerType(tables.events.repartition(13), 5)
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(a == b)
   }
 }
