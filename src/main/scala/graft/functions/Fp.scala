@@ -65,6 +65,18 @@ object Fp {
   def detUniformSql(tag: String, keyExpr: String): String =
     s"(CAST(('0x' || substr(md5('$tag' || ':' || CAST(($keyExpr) AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0)"
 
+  /** Raw 32-bit hash as a long in [0, 2^32): the integer numerator behind
+    * [[detUniform]]. Use when the consumer needs exact integer arithmetic
+    * (e.g. signed hyperplane components) instead of a float uniform.
+    */
+  def detHash32(tag: String, key: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(tag), key.cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  /** DuckDB mirror of [[detHash32]]. */
+  def detHash32Sql(tag: String, keyExpr: String): String =
+    s"CAST(('0x' || substr(md5('$tag' || ':' || CAST(($keyExpr) AS VARCHAR)), 1, 8)) AS BIGINT)"
+
   /** Deterministic 60-bit hash of a string (15 hex chars of md5): fits a
     * signed 64-bit int in both engines, no sign-bit surprises.
     */

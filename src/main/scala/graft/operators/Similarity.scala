@@ -62,15 +62,20 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit p = sign of <v, r_p>, with
     * hyperplane components r_p[i] = 2·u(p,i)−1 from md5-derived uniforms.
     * Pure per-row expression.
+    *
+    * Exact integer arithmetic throughout: r_p[i] = (2·h32 − 2³²)/2³² with
+    * integer numerator, so the dot's sign is the sign of an exact integer
+    * sum (|v[i]| ≤ ~10⁴ × 2³² × 64 dims < 2⁵³) — associative, so the
+    * signature is bit-identical across engines and evaluation orders,
+    * which is what lets q38 carry a DuckDB oracle despite being "LSH".
     */
   def lshBucket(v: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val dot = aggregate(
+      val dotNum = aggregate(
         zip_with(v, sequence(lit(0), lit(dims - 1)), (x, i) =>
-          x.cast("double") *
-            (detUniform(s"plane$p", i) * 2.0 - 1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+          x * (detHash32(s"plane$p", i) * 2L - 4294967296L)),
+        lit(0L), (acc, x) => acc + x)
+      when(dotNum >= 0L, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -179,8 +184,46 @@ object Similarity {
         |  SELECT qid, nid, cos,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
-        |  FROM c) WHERE rk <= 5""".stripMargin
-    // q38 is approximate (LSH recall < 1) — no SQL oracle; the driver
-    // records a rows-only check for it.
+        |  FROM c) WHERE rk <= 5""".stripMargin,
+    // q38 IS oracle-able despite being LSH: buckets come from md5-derived
+    // hyperplanes with exact integer dot signs, so DuckDB reproduces the
+    // candidate sets bit-for-bit (same answer as the Spark plan, not an
+    // independent ground truth — recall itself is checked in the spec
+    // against brute force).
+    "q38_cosine_topk_lsh" -> {
+      val planeSum = (0 until 4).map { p =>
+        val h = detHash32Sql(s"plane$p", "i - 1")
+        s"CASE WHEN SUM(val * ($h * 2 - 4294967296)) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+         |n AS (
+         |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+         |b AS (
+         |  SELECT vec_id, CAST($planeSum AS BIGINT) AS bucket FROM u GROUP BY vec_id),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, x.vec_id AS nid
+         |  FROM b q JOIN b x ON q.bucket = x.bucket AND x.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20),
+         |d AS (
+         |  SELECT c.qid, c.nid, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN u a ON a.vec_id = c.qid
+         |  JOIN u bb ON bb.vec_id = c.nid AND bb.i = a.i
+         |  GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT qid, nid,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+         |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+         |SELECT qid, nid, cos, rk FROM (
+         |  SELECT qid, nid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+         |  FROM c2) WHERE rk <= 3""".stripMargin
+    }
   )
 }
