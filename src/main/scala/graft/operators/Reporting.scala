@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fp._
+
+/** Report-shaped relational surface: grouping-set rollups, pivoted
+  * histograms, consecutive-event deltas, range (non-equi) joins, and exact
+  * grouped medians. These extend the reference's statistics/report family
+  * (A1-A4 run reports at /root/reference/test_kimono.py:712-782 and
+  * test_website_accessibility.py:391-505) with the multi-level and pivoted
+  * shapes any dataset-report consumer expects.
+  *
+  * Scale notes:
+  *  - rollup is one shuffle on the finest grouping (Spark expands grouping
+  *    sets map-side; partials merge per set) — same cost class as a plain
+  *    groupBy;
+  *  - pivot with an explicit value list is a single hash aggregate (no
+  *    second pass to discover values, which would be a full extra scan);
+  *  - the range join broadcasts the literal bucket table — the fact side
+  *    never shuffles;
+  *  - the grouped median here is exact (window rank) — at 100 TB switch to
+  *    approx_percentile or a partition-parallel selection; the window
+  *    partitions by group key so parallelism tracks group cardinality.
+  */
+object Reporting {
+
+  /** Revenue rollup over region → nation grouping sets (subtotals + grand
+    * total), names coalesced to a sentinel so every output cell is
+    * non-null (array/NULL cells break downstream report consumers).
+    */
+  def revenueRollup(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents($"o_totalprice")).cast("double") / 100.0).as("revenue"))
+      .select(coalesce($"r_name", lit("<all>")).as("region_name"),
+        coalesce($"n_name", lit("<all>")).as("nation_name"),
+        $"n_orders", $"revenue")
+  }
+
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Hour-of-day × event-type pivoted counts via the real pivot API with
+    * an explicit value list (one aggregate pass; no value-discovery scan).
+    */
+  def hourlyTypePivot(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("hod", (unix_micros($"ts") / 3600000000L % 24).cast("long"))
+      .groupBy($"hod")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+  }
+
+  /** Per-user consecutive-event gaps: exact integer microsecond deltas via
+    * lag(), aggregated to count/total/mean (mean is one deterministic
+    * division of exact integers).
+    */
+  def userEventGaps(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    events
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .filter($"gap_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum($"gap_us").as("total_gap_us"),
+        (sum($"gap_us").cast("double") / count(lit(1))).as("avg_gap_us"))
+  }
+
+  /** Literal quantity bands for the range join: [lo, hi) per bucket. */
+  val quantityBands: Seq[(String, Int, Int)] =
+    Seq(("tiny", 0, 10), ("small", 10, 25), ("mid", 25, 40), ("big", 40, 100))
+
+  /** Non-equi range join of lineitem against a broadcast literal band
+    * table (reference C5-style bucket classification expressed as a JOIN,
+    * the plan shape interval/range lookups take at scale: fact side never
+    * shuffles, band table broadcasts).
+    */
+  def quantityBandJoin(li: DataFrame): DataFrame = {
+    import li.sparkSession.implicits._
+    val bands = li.sparkSession.createDataFrame(quantityBands)
+      .toDF("band", "lo", "hi")
+    li.join(broadcast(bands),
+        $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(cents($"l_extendedprice")).cast("double") / 100.0).as("revenue"))
+  }
+
+  /** Exact lower-median order price per priority: the row at rank
+    * ⌈n/2⌉ in (price, orderkey) order — rank ties are impossible under the
+    * compound key, so the result is total and partitioning-independent.
+    */
+  def medianPricePerPriority(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents".asc, $"o_orderkey".asc)
+    val wAll = Window.partitionBy($"o_orderpriority")
+    orders
+      .select($"o_orderpriority", cents($"o_totalprice").as("cents"), $"o_orderkey")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      // Column `/` is double division — truncate to get ⌈n/2⌉ = (n+1)÷2.
+      .filter($"rn" === (($"cnt" + 1) / 2).cast("long"))
+      .select($"o_orderpriority", ($"cents".cast("double") / 100.0).as("median_price"),
+        $"cnt".as("n_orders"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q53_revenue_rollup" -> ((s, d) => {
+      val t = Tables.load(s, d)
+      revenueRollup(t.region, t.nation, t.customer, t.orders)
+    }),
+    "q54_hourly_pivot" -> ((s, d) => hourlyTypePivot(Tables.load(s, d).events)),
+    "q55_user_event_gaps" -> ((s, d) => userEventGaps(Tables.load(s, d).events)),
+    "q56_quantity_bands" -> ((s, d) => quantityBandJoin(Tables.load(s, d).lineitem)),
+    "q57_median_price" -> ((s, d) =>
+      medianPricePerPriority(Tables.load(s, d).orders))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q53_revenue_rollup" ->
+      s"""SELECT COALESCE(r_name, '<all>') AS region_name,
+         |  COALESCE(n_name, '<all>') AS nation_name,
+         |  n_orders, revenue
+         |FROM (
+         |  SELECT r_name, n_name, COUNT(*) AS n_orders,
+         |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) / 100.0 AS revenue
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  GROUP BY ROLLUP (r_name, n_name))""".stripMargin,
+    "q54_hourly_pivot" -> {
+      val cols = eventTypes.map(t =>
+        s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS $t").mkString(",\n  ")
+      s"""SELECT CAST((epoch_ns(ts) // 1000) // 3600000000 % 24 AS BIGINT) AS hod,
+         |  $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
+    "q55_user_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) // 1000
+        |      - LAG(epoch_ns(ts) // 1000, 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q56_quantity_bands" -> {
+      val values = quantityBands.map { case (b, lo, hi) =>
+        s"('$b', $lo, $hi)"
+      }.mkString(", ")
+      s"""SELECT band, COUNT(*) AS n_lines,
+         |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) / 100.0 AS revenue
+         |FROM lineitem
+         |JOIN (VALUES $values) bands(band, lo, hi)
+         |  ON l_quantity >= lo AND l_quantity < hi
+         |GROUP BY band""".stripMargin
+    },
+    "q57_median_price" ->
+      s"""SELECT o_orderpriority,
+         |  c / 100.0 AS median_price, cnt AS n_orders
+         |FROM (
+         |  SELECT o_orderpriority, ${centsSql("o_totalprice")} AS c,
+         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY ${centsSql("o_totalprice")} ASC, o_orderkey ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS cnt
+         |  FROM orders)
+         |WHERE rn = (cnt + 1) // 2""".stripMargin
+  )
+}

@@ -151,6 +151,30 @@ object Similarity {
       .filter($"rk" <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all same-bucket pairs with
+    * cosine ≥ minCos, LSH-blocked (the standard dedup-by-embedding shape:
+    * block, then exact-verify within blocks). The bucket join is the only
+    * shuffle; within-bucket pairing is quadratic only in bucket occupancy.
+    * Same-bucket blocking is the approximation — a high-cosine pair split
+    * by a hyperplane is not emitted — but both engines see identical
+    * buckets (exact integer signs), so the oracle matches bit-for-bit.
+    */
+  def cosineNearDups(embeddings: DataFrame, minCos: Double,
+      planes: Int = 4): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+      .withColumn("bucket", lshBucket($"v", planes, 64))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (dotQ(col("x.v"), col("y.v")).cast("double") /
+          sqrt(col("x.nsq").cast("double")) /
+          sqrt(col("y.nsq").cast("double"))).as("cos"))
+      .filter($"cos" >= minCos)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -158,7 +182,9 @@ object Similarity {
     "q38_cosine_topk_lsh" -> ((s, d) =>
       cosineTopKLsh(Tables.load(s, d).embeddings, 20, 3)),
     "q51_cosine_topk_ivf" -> ((s, d) =>
-      cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3))
+      cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3)),
+    "q59_cosine_neardups" -> ((s, d) =>
+      cosineNearDups(Tables.load(s, d).embeddings, 0.35))
   )
 
   def oracles: Map[String, String] = Map(
@@ -224,6 +250,36 @@ object Similarity {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
          |  FROM c2) WHERE rk <= 3""".stripMargin
+    },
+    "q59_cosine_neardups" -> {
+      val planeSum = (0 until 4).map { p =>
+        val h = detHash32Sql(s"plane$p", "i - 1")
+        s"CASE WHEN SUM(val * ($h * 2 - 4294967296)) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+         |n AS (
+         |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+         |b AS (
+         |  SELECT vec_id, CAST($planeSum AS BIGINT) AS bucket FROM u GROUP BY vec_id),
+         |cand AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |d AS (
+         |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN u a ON a.vec_id = c.vec_a
+         |  JOIN u bb ON bb.vec_id = c.vec_b AND bb.i = a.i
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT vec_a, vec_b,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+         |  FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+         |WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin
     }
   )
 }

@@ -91,6 +91,46 @@ object TextAnalysis {
       .withColumn("accept", $"quality" >= 0.75)
   }
 
+  /** Character-bigram profiles for the n-gram language-ID heuristic. The
+    * real-world version scores a document against per-language n-gram
+    * frequency profiles (the classic Cavnar–Trenkle shape); profiles here
+    * are small marker sets so the scorer stays a pure column expression.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he"),
+    "es" -> Seq("ta", "os"),
+    "fr" -> Seq("le", "re"),
+    "de" -> Seq("ch", "er"),
+    "zh" -> Seq("sh", "ng"))
+
+  /** Occurrence count of a literal substring (overlaps counted
+    * left-to-right, as both engines' replace() removes them).
+    */
+  private def substrCount(text: Column, m: String): Column =
+    (length(text) - length(regexp_replace(text, m, ""))) / m.length
+
+  private def substrCountSql(textExpr: String, m: String): String =
+    s"(length($textExpr) - length(replace($textExpr, '$m', ''))) // ${m.length}"
+
+  /** N-gram-heuristic language ID: per-language bigram-profile scores and
+    * a fixed-priority argmax (first profile wins ties, so the prediction
+    * is total and deterministic).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = docs.select(($"doc_id" +: $"lang" +:
+      langProfiles.map { case (l, ms) =>
+        ms.map(substrCount($"text", _)).reduce(_ + _).cast("long").as(s"s_$l")
+      }): _*)
+    // Argmax with first-profile-wins ties: greatest() picks the max score,
+    // then the first profile matching it wins.
+    val maxS = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val choose = langProfiles.map(_._1).foldRight(lit("??")) { (l, els) =>
+      when(col(s"s_$l") === maxS, lit(l)).otherwise(els)
+    }
+    scored.withColumn("pred_lang", choose)
+  }
+
   /** Canonical content fingerprint: lowercase, strip non-alphanumerics,
     * collapse whitespace, md5. Used as the exact-dedup key.
     */
@@ -112,7 +152,8 @@ object TextAnalysis {
     "q20_token_stats" -> ((s, d) => tokenStats(Tables.load(s, d).documents)),
     "q21_doc_topics" -> ((s, d) => topicClassify(Tables.load(s, d).documents)),
     "q22_quality_score" -> ((s, d) => qualityScore(Tables.load(s, d).documents)),
-    "q23_fingerprints" -> ((s, d) => fingerprints(Tables.load(s, d).documents))
+    "q23_fingerprints" -> ((s, d) => fingerprints(Tables.load(s, d).documents)),
+    "q58_language_id" -> ((s, d) => languageId(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
@@ -155,6 +196,22 @@ object TextAnalysis {
     "q23_fingerprints" ->
       s"""SELECT doc_id, $fingerprintSql AS fp,
          |  ${hash60Sql(fingerprintSql)} AS fp60
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "q58_language_id" -> {
+      val scores = langProfiles.map { case (l, ms) =>
+        val cnt = ms.map(substrCountSql("text", _)).mkString(" + ")
+        s"CAST($cnt AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val maxS = langProfiles.map { case (l, _) => s"s_$l" }
+        .mkString("greatest(", ", ", ")")
+      val choose = langProfiles.map(_._1).foldRight("'??'") { (l, els) =>
+        s"CASE WHEN s_$l = $maxS THEN '$l' ELSE $els END"
+      }
+      s"""SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+         |  $choose AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  $scores
+         |FROM documents)""".stripMargin
+    }
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Internal-consistency checks for the report-shaped operators (the
+  * DuckDB oracle is the cross-engine gate; these pin the invariants that
+  * survive any data).
+  */
+class ReportingSpec extends SparkSpec {
+
+  test("rollup grand total equals the sum of the leaf rows") {
+    import spark.implicits._
+    val r = run("q53_revenue_rollup").collect()
+    val grand = r.filter(x => x.getString(0) == "<all>").head
+    val leaves = r.filter(x =>
+      x.getString(0) != "<all>" && x.getString(1) != "<all>")
+    assert(leaves.map(_.getLong(2)).sum == grand.getLong(2))
+    assert(math.abs(leaves.map(_.getDouble(3)).sum - grand.getDouble(3)) < 1e-6)
+    // region subtotal rows: one per region, nation = <all>
+    val subs = r.filter(x => x.getString(0) != "<all>" && x.getString(1) == "<all>")
+    assert(subs.map(_.getLong(2)).sum == grand.getLong(2))
+  }
+
+  test("pivot cells sum to the event count; every declared type is a column") {
+    import spark.implicits._
+    val p = run("q54_hourly_pivot")
+    assert(operators.Reporting.eventTypes.forall(p.columns.contains))
+    val cellSum = p.select(
+      operators.Reporting.eventTypes.map(c => sum(col(c))).reduce(_ + _))
+      .first().getLong(0)
+    assert(cellSum == tables.events.count())
+  }
+
+  test("event gaps: per-user gap count is n_events - 1") {
+    import spark.implicits._
+    val gaps = run("q55_user_event_gaps")
+      .select($"user_id", $"n_gaps").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = tables.events.groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.filter(_._2 >= 2).forall { case (u, n) => gaps(u) == n - 1 })
+    assert(counts.filter(_._2 == 1).forall { case (u, _) => !gaps.contains(u) })
+  }
+
+  test("quantity bands partition all lineitems exactly once") {
+    import spark.implicits._
+    val bands = run("q56_quantity_bands").collect()
+    assert(bands.map(_.getLong(1)).sum == tables.lineitem.count())
+  }
+
+  test("median is partitioning-invariant and within group min/max") {
+    import spark.implicits._
+    val a = operators.Reporting
+      .medianPricePerPriority(tables.orders.repartition(1))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = operators.Reporting
+      .medianPricePerPriority(tables.orders.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    val bounds = tables.orders.groupBy($"o_orderpriority")
+      .agg(min($"o_totalprice"), max($"o_totalprice")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a.forall { case (p, m) =>
+      m >= bounds(p)._1 - 0.01 && m <= bounds(p)._2 + 0.01
+    })
+  }
+
+  test("language id covers every doc with a prediction from the profile set") {
+    import spark.implicits._
+    val langs = operators.TextAnalysis.langProfiles.map(_._1).toSet
+    val r = run("q58_language_id").select($"pred_lang").collect()
+    assert(r.length == tables.documents.count())
+    assert(r.forall(x => langs.contains(x.getString(0))))
+  }
+
+  test("cosine near-dup pairs carry exact cosines and respect the threshold") {
+    import spark.implicits._
+    val pairs = run("q59_cosine_neardups").collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.35))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // Every emitted pair's cosine must match the brute-force computation.
+    val brute = operators.Similarity
+      .cosineTopK(tables.embeddings, Int.MaxValue, Int.MaxValue)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.forall { r =>
+      brute((r.getLong(0), r.getLong(1))) == r.getDouble(2)
+    })
+  }
+}
