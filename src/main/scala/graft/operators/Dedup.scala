@@ -53,22 +53,24 @@ object Dedup {
   private def shingleRows(docs: DataFrame): DataFrame =
     shingleRowsWith(docs, xx = true).select(col("doc_id"), col("s64"))
 
-  /** Shared shingle-row builder. posexplode the tokens ONCE, then assemble
-    * each 3-gram with lead() windows — NOT a transform() lambda over a
-    * tokens array: a lambda body that references the outer split(text)
-    * expression re-evaluates the split per element (measured ~50× per row
-    * on this corpus). One token explode + one window sort per doc is flat
-    * per-row work and scales with input splits.
+  /** Shared shingle-row builder. Materialize the token array once per doc
+    * (a named column — NOT a transform() lambda over it: a lambda body
+    * that references the outer split(text) expression re-evaluates the
+    * split per element, measured ~50× per row on this corpus), posexplode
+    * it, and read the two following tokens with element_at on the array
+    * that Generate carries along. Pure map-side work — the first shuffle
+    * in the index build is the final distinct. (A previous lead()-window
+    * formulation paid an extra full shuffle+sort of the token stream just
+    * to see the next two tokens.)
     */
   private def shingleRowsWith(docs: DataFrame, xx: Boolean): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"i".asc)
-    val toks = docs.select($"doc_id",
-      posexplode(split($"text", " ")).as(Seq("i", "w")))
-    val withNext = toks
-      .withColumn("w1", lead($"w", 1).over(w))
-      .withColumn("w2", lead($"w", 2).over(w))
-      .filter($"w2".isNotNull)
+    val withNext = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
+      .filter($"i" <= size($"toks") - 3)
+      .withColumn("w1", element_at($"toks", $"i" + 2))
+      .withColumn("w2", element_at($"toks", $"i" + 3))
     val sh =
       if (xx) withNext.select($"doc_id", xxhash64($"w", $"w1", $"w2").as("s64"))
       else withNext.select($"doc_id",
@@ -132,15 +134,30 @@ object Dedup {
             lit(minJ) * greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    verifyJaccard(cand, sh, minJ)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against compact
+    * per-doc shingle-set arrays: two joins on doc_id (each moving one
+    * ~|shingles| array row per doc — broadcastable for small corpora,
+    * a single array shuffle at scale) and a codegen array_intersect per
+    * pair. The previous formulation re-exploded the inverted index per
+    * candidate side and hash-aggregated the matches — a candidate×shingle
+    * intermediate that dominated q26/q27 runtime.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      minJ: Double): DataFrame = {
+    import cand.sparkSession.implicits._
+    val sets = sh.groupBy($"doc_id").agg(collect_list($"s64").as("ss"))
     cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.s64") === col("sb.s64"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select($"doc_a", $"doc_b",
-        ($"c".cast("double") / (col("na.n") + col("nb.n") - $"c")).as("jaccard"))
+        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long").as("c"),
+        size(col("sa.ss")).cast("long").as("na"),
+        size(col("sb.ss")).cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= minJ)
   }
 
@@ -193,17 +210,7 @@ object Dedup {
       .distinct()
     // Exact verify: jaccard on candidate pairs only, reusing the shingle
     // rows already built for the signatures.
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-        col("sa.s64") === col("sb.s64"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select($"doc_a", $"doc_b",
-        ($"c".cast("double") / (col("na.n") + col("nb.n") - $"c")).as("jaccard"))
-      .filter($"jaccard" >= minJ)
+    verifyJaccard(cand, sh, minJ)
   }
 
   /** 16-bit SimHash over distinct 3-gram shingles: bit j of the signature

@@ -33,13 +33,13 @@ object Similarity {
   def quantize(embedding: Column): Column =
     transform(embedding, x => round(x * 1000.0, 0).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors (native codegen
+    * expression — see graft.functions.DotQ for why not a HOF).
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.VecExprs.dotQ(a, b)
 
   /** Squared L2 norm of a quantized vector. */
-  def normSqQ(v: Column): Column =
-    aggregate(v, lit(0L), (acc, x) => acc + x * x)
+  def normSqQ(v: Column): Column = dotQ(v, v)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), rank-deterministic.
