@@ -121,11 +121,16 @@ object Dedup {
   def jaccardNearDups(docs: DataFrame, minJ: Double): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = shingleRows(docs)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy($"s64").agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy($"doc_id").orderBy($"df".asc, $"s64".asc)
-    val prefix = sh.join(dfreq, "s64").join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(wRank))
+    // All three per-row statistics as window functions: df needs one
+    // exchange on s64, then n and rn share the doc_id exchange (adjacent
+    // Window operators over the same partitioning reuse it). Two shuffles
+    // total, vs two aggregates plus two joins in the naive formulation —
+    // at 100 TB the joins would move the whole index twice more.
+    val prefix = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s64".asc)))
       .filter($"rn" <= $"n" - ceil(lit(minJ) * $"n") + 1)
       .select($"doc_id", $"s64", $"n")
     val cand = prefix.as("x").join(prefix.as("y"),
