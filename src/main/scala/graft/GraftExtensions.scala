@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import graft.functions.WeightedBucket
+import graft.functions.{DotQ, WeightedBucket}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for the SQL surface, so
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("weighted_bucket"),
       new ExpressionInfo(classOf[WeightedBucket].getName, "weighted_bucket"),
       (exprs: Seq[Expression]) => GraftExtensions.buildWeightedBucket(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildDotQ(exprs)))
   }
 }
 
@@ -29,11 +33,24 @@ object GraftExtensions {
   /** Register the engine's SQL functions on an already-built session
     * (extensions classes only apply at session build time).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       new FunctionIdentifier("weighted_bucket"),
       new ExpressionInfo(classOf[WeightedBucket].getName, "weighted_bucket"),
       (exprs: Seq[Expression]) => buildWeightedBucket(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("dot_q"),
+      new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
+      (exprs: Seq[Expression]) => buildDotQ(exprs))
+  }
+
+  /** SQL builder: dot_q(array<long>, array<long>) — exact integer dot
+    * product (see graft.functions.DotQ).
+    */
+  private[graft] def buildDotQ(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "dot_q(a ARRAY<BIGINT>, b ARRAY<BIGINT>)")
+    DotQ(exprs.head, exprs.last)
+  }
 
   /** SQL builder: weighted_bucket(u, items_array, weights_array) with
     * foldable literal arrays (dictionaries are literals by design — they

@@ -39,6 +39,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sql.toSeq == viaCol.toSeq)
   }
 
+  test("dot_q is callable from SQL and computes exact integer dot products") {
+    val r = spark.sql(
+      "SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").first().getLong(0)
+    assert(r == 4 + 10 + 18)
+    // Mismatched lengths: dot over the common prefix.
+    val p = spark.sql(
+      "SELECT dot_q(array(2L, 3L), array(10L)) AS d").first().getLong(0)
+    assert(p == 20)
+  }
+
   test("weighted_bucket rejects non-literal dictionaries") {
     val e = intercept[Exception] {
       spark.sql("SELECT weighted_bucket(0.5, array(CAST(id AS STRING)), array(1.0)) FROM range(2)").collect()

@@ -50,6 +50,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q56 broadcasts the literal band table (fact side never shuffles)") {
+    val p = plan("q56_quantity_bands")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q53 rollup broadcasts its dimensions and aggregates in two phases") {
+    val p = plan("q53_revenue_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q59 scores pairs with the native dot_q expression inside codegen") {
+    val p = executedPlan("q59_cosine_neardups")
+    assert(p.contains("dot_q"), p)
+  }
+
   test("hot paths run inside WholeStageCodegen") {
     Seq("q01_pricing_summary", "q13_part_name_features", "q22_quality_score")
       .foreach { q =>
