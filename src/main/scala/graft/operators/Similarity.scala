@@ -103,44 +103,70 @@ object Similarity {
       .filter($"rk" <= k)
   }
 
-  /** IVF-style approximate cosine top-k: k-means coarse quantizer (MLlib,
-    * fixed seed) assigns every vector to a centroid list; queries probe
-    * their `nprobe` nearest centroids and score only those lists. The
-    * standard FAISS-IVF shape: one clustering pass (cached model at scale),
-    * then candidate scoring shuffles only on list id. Approximate — recall
-    * depends on nprobe/nlist — so no SQL oracle (driver rows-only check);
-    * the spec checks scored values against brute force.
+  /** IVF-style approximate cosine top-k: a coarse k-means quantizer
+    * assigns every vector to a centroid list; queries probe their `nprobe`
+    * nearest centroids and score only those lists — the standard FAISS-IVF
+    * shape (candidate scoring shuffles only on list id).
+    *
+    * The quantizer is Lloyd iteration in exact integer arithmetic:
+    * hash-seeded init (the nlist vectors ranked first by md5), squared-L2
+    * assignment via nsq + cnsq − 2·dot over quantized components, and
+    * centroid updates floor(Σ/ n) on integer sums. Every step is
+    * associative-integer or a single deterministic float op, so the whole
+    * index — and therefore the approximate result set — is bit-identical
+    * across engines, partitionings and retries, which is what lets an
+    * "approximate" ANN query carry a DuckDB oracle. (MLlib KMeans would be
+    * the off-the-shelf alternative, but its float accumulation order is
+    * partition-dependent — unreproducible outside Spark.)
+    *
+    * Scale notes: centroids are always ≤ nlist rows (broadcast); the
+    * per-iteration cost is one broadcast nested-loop over the corpus plus
+    * one (cid, i) aggregation. The seed ranking's global window is rank-K
+    * selection — at 100 TB replace with a TakeOrdered on the hash key
+    * (same result, no global sort); iteration count is fixed and small.
     */
   def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import embeddings.sparkSession.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = embeddings.withColumn("features", toVec($"embedding"))
-    // Random init (not kmeans||): the parallel init runs several extra
-    // distributed rounds, and a coarse quantizer doesn't need it.
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("list_id").fit(feat)
-    val assigned = model.transform(feat)
-      .select($"vec_id", quantize($"embedding").as("v"), $"list_id")
+    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
       .withColumn("nsq", normSqQ($"v"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq.toDF("list_id", "centroid")
-    // Each query probes its nprobe nearest centroid lists.
-    val q = assigned.filter($"vec_id" < nQueries)
+    val seedRank = Window.orderBy(
+      detUniform("ivfseed", $"vec_id").asc, $"vec_id".asc)
+    var centroids: DataFrame = e
+      .withColumn("rn", row_number().over(seedRank))
+      .filter($"rn" <= nlist)
+      .select(($"rn" - 1).cast("long").as("cid"), $"v".as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val c = broadcast(cents.withColumn("cnsq", normSqQ($"cv")))
+      e.crossJoin(c)
+        .withColumn("dist", $"nsq" + $"cnsq" - lit(2L) * dotQ($"v", $"cv"))
+        .withColumn("arn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)))
+        .filter($"arn" === 1)
+    }
+    for (_ <- 1 to iters) {
+      centroids = assign(centroids)
+        .select($"cid", posexplode($"v").as(Seq("i", "val")))
+        .groupBy($"cid", $"i")
+        .agg(sum($"val").as("s"), count(lit(1)).as("cnt"))
+        .withColumn("ci", floor($"s".cast("double") / $"cnt"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"i", $"ci"))),
+          x => x.getField("ci")).as("cv"))
+    }
+    val assigned = assign(centroids)
+      .select($"vec_id", $"v", $"nsq", $"cid".as("list_id"))
+    // Each query probes its nprobe nearest centroid lists (same integer
+    // squared-L2 metric as assignment).
+    val cents = broadcast(centroids.withColumn("cnsq", normSqQ($"cv")))
+    val qProbes = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
-    val qProbes = q.crossJoin(broadcast(centroids))
-      .withColumn("dist", aggregate(
-        zip_with($"qv", $"centroid", (x, c) => (x.cast("double") / 1000.0 - c) *
-          (x.cast("double") / 1000.0 - c)),
-        lit(0.0), (acc, x) => acc + x))
+      .crossJoin(cents)
+      .withColumn("dist", $"qnsq" + $"cnsq" - lit(2L) * dotQ($"qv", $"cv"))
       .withColumn("pr", row_number().over(
-        Window.partitionBy($"qid").orderBy($"dist".asc, $"list_id".asc)))
+        Window.partitionBy($"qid").orderBy($"dist".asc, $"cid".asc)))
       .filter($"pr" <= nprobe)
-      .select($"qid", $"qv", $"qnsq", $"list_id")
+      .select($"qid", $"qv", $"qnsq", $"cid".as("list_id"))
     val scored = assigned.join(broadcast(qProbes),
         Seq("list_id")).filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
@@ -173,6 +199,88 @@ object Similarity {
           sqrt(col("x.nsq").cast("double")) /
           sqrt(col("y.nsq").cast("double"))).as("cos"))
       .filter($"cos" >= minCos)
+  }
+
+  /** DuckDB replay of [[cosineTopKIvf]]: the Lloyd iterations unrolled as
+    * CTE chains over the unnested (vec_id, i, val) relation.
+    */
+  private def ivfOracleSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+      iters: Int): String = {
+    val seedU = detUniformSql("ivfseed", "vec_id")
+    def cn(t: Int) =
+      s"cn$t AS (SELECT cid, CAST(SUM(cval * cval) AS BIGINT) AS cnsq FROM c$t GROUP BY cid)"
+    def dt(t: Int) =
+      s"""dt$t AS (
+         |  SELECT u.vec_id, c.cid, CAST(SUM(u.val * c.cval) AS BIGINT) AS dot
+         |  FROM u JOIN c$t c ON c.i = u.i GROUP BY 1, 2)""".stripMargin
+    def asg(t: Int, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT d.vec_id, d.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+         |        ORDER BY (n.nsq + cn.cnsq - 2 * d.dot) ASC, d.cid ASC) AS arn
+         |    FROM dt$t d
+         |    JOIN n ON n.vec_id = d.vec_id
+         |    JOIN cn$t cn ON cn.cid = d.cid)
+         |  WHERE arn = 1)""".stripMargin
+    def cNext(t: Int) =
+      s"""c${t + 1} AS (
+         |  SELECT a.cid, u.i,
+         |    CAST(FLOOR(CAST(SUM(u.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+         |  FROM asg${t + 1} a JOIN u ON u.vec_id = a.vec_id
+         |  GROUP BY a.cid, u.i)""".stripMargin
+    val iterCtes = (0 until iters).flatMap { t =>
+      Seq(cn(t), dt(t), asg(t, s"asg${t + 1}"), cNext(t))
+    }
+    val f = iters // final centroid table index
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+       |n AS (
+       |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+       |seed AS (
+       |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+       |    SELECT vec_id,
+       |      ROW_NUMBER() OVER (ORDER BY $seedU ASC, vec_id ASC) AS rn
+       |    FROM e) WHERE rn <= $nlist),
+       |c0 AS (
+       |  SELECT s.cid, u.i, u.val AS cval
+       |  FROM seed s JOIN u ON u.vec_id = s.vec_id),
+       |${iterCtes.mkString(",\n")},
+       |${cn(f)},
+       |${dt(f)},
+       |${asg(f, "asgF")},
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY (n.nsq + cn.cnsq - 2 * d.dot) ASC, d.cid ASC) AS pr
+       |    FROM dt$f d
+       |    JOIN n ON n.vec_id = d.vec_id
+       |    JOIN cn$f cn ON cn.cid = d.cid
+       |    WHERE d.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN asgF a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |pd AS (
+       |  SELECT c.qid, c.nid, CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN u a ON a.vec_id = c.qid
+       |  JOIN u b ON b.vec_id = c.nid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |cosv AS (
+       |  SELECT qid, nid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+       |  FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+       |SELECT qid, nid, cos, rk FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+       |  FROM cosv) WHERE rk <= $k""".stripMargin
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -251,6 +359,11 @@ object Similarity {
          |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
          |  FROM c2) WHERE rk <= 3""".stripMargin
     },
+    // The IVF index is exact-integer Lloyd iteration (hash-seeded), so the
+    // oracle replays the same clustering in SQL — same answer as the Spark
+    // plan by construction; recall vs brute force is checked in IvfSpec.
+    "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
+      nlist = 16, nprobe = 4, iters = 2),
     "q59_cosine_neardups" -> {
       val planeSum = (0 until 4).map { p =>
         val h = detHash32Sql(s"plane$p", "i - 1")
