@@ -292,7 +292,31 @@ object Similarity {
     "q51_cosine_topk_ivf" -> ((s, d) =>
       cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3)),
     "q59_cosine_neardups" -> ((s, d) =>
-      cosineNearDups(Tables.load(s, d).embeddings, 0.35))
+      cosineNearDups(Tables.load(s, d).embeddings, 0.35)),
+    // Nearest neighbor per query, written entirely in SQL against the
+    // registered custom expression (dot_q) — the engine's SQL surface is
+    // part of the driver-checked contract, not just the Column API.
+    "q60_sql_ann" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      Tables.load(s, d).embeddings.createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+          |  FROM embeddings_v)
+          |SELECT qid, nid, cos FROM (
+          |  SELECT qid, nid, cos,
+          |    ROW_NUMBER() OVER (PARTITION BY qid
+          |      ORDER BY cos DESC, nid ASC) AS rk
+          |  FROM (
+          |    SELECT q.vec_id AS qid, x.vec_id AS nid,
+          |      CAST(dot_q(q.v, x.v) AS DOUBLE)
+          |        / sqrt(CAST(dot_q(q.v, q.v) AS DOUBLE))
+          |        / sqrt(CAST(dot_q(x.v, x.v) AS DOUBLE)) AS cos
+          |    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+          |    WHERE q.vec_id < 8))
+          |WHERE rk = 1""".stripMargin)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -359,6 +383,28 @@ object Similarity {
          |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
          |  FROM c2) WHERE rk <= 3""".stripMargin
     },
+    "q60_sql_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+        |n AS (
+        |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+        |d AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+        |  FROM u a JOIN u b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 8 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT qid, nid,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+        |  FROM d JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+        |SELECT qid, nid, cos FROM (
+        |  SELECT qid, nid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rk
+        |  FROM c) WHERE rk = 1""".stripMargin,
     // The IVF index is exact-integer Lloyd iteration (hash-seeded), so the
     // oracle replays the same clustering in SQL — same answer as the Spark
     // plan by construction; recall vs brute force is checked in IvfSpec.
