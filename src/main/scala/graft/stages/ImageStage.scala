@@ -64,6 +64,73 @@ object ImageStage {
         }
     }
 
+  final case class ImagePair(pairId: String, a: Array[Byte], b: Array[Byte])
+  final case class PairMetrics(pairId: String, ok: Boolean, mse: Double,
+      mae: Double, psnr: Double, ssim: Double)
+
+  /** Pairwise image metrics (reference M8,
+    * /root/reference/experiments/standard_vton/metrics.py:13-120): MSE,
+    * MAE, PSNR over RGB channels, and global SSIM (whole-image moment
+    * formula — the sliding-window variant changes the kernel, not the
+    * stage shape). Dimension mismatch or decode failure yields ok=false
+    * rather than an exception, matching the stage family's
+    * failures-as-rows convention.
+    */
+  def pairMetricsStage: InferenceStage[ImagePair, PairMetrics] =
+    new InferenceStage[ImagePair, PairMetrics] {
+      def setup(): ModelHandle[ImagePair, PairMetrics] =
+        new ModelHandle[ImagePair, PairMetrics] {
+          def infer(in: ImagePair): PairMetrics =
+            (decode(in.a), decode(in.b)) match {
+              case (Some(x), Some(y))
+                  if x.getWidth == y.getWidth && x.getHeight == y.getHeight =>
+                val (w, h) = (x.getWidth, x.getHeight)
+                val n = w.toLong * h * 3
+                var se = 0.0; var ae = 0.0
+                var sa = 0.0; var sb = 0.0; var saa = 0.0; var sbb = 0.0
+                var sab = 0.0
+                var j = 0
+                while (j < h) {
+                  var i = 0
+                  while (i < w) {
+                    val pa = x.getRGB(i, j); val pb = y.getRGB(i, j)
+                    var c = 0
+                    var la = 0.0; var lb = 0.0
+                    while (c < 3) {
+                      val va = (pa >> (8 * c)) & 0xff
+                      val vb = (pb >> (8 * c)) & 0xff
+                      val d = (va - vb).toDouble
+                      se += d * d; ae += math.abs(d)
+                      la += va; lb += vb
+                      c += 1
+                    }
+                    // Global SSIM over mean-channel luminance.
+                    la /= 3.0; lb /= 3.0
+                    sa += la; sb += lb
+                    saa += la * la; sbb += lb * lb; sab += la * lb
+                    i += 1
+                  }
+                  j += 1
+                }
+                val np = w.toLong * h
+                val mse = se / n
+                val mae = ae / n
+                val psnr =
+                  if (mse == 0.0) Double.PositiveInfinity
+                  else 10.0 * math.log10(255.0 * 255.0 / mse)
+                val ma = sa / np; val mb = sb / np
+                val va = saa / np - ma * ma; val vb = sbb / np - mb * mb
+                val cab = sab / np - ma * mb
+                val c1 = math.pow(0.01 * 255, 2); val c2 = math.pow(0.03 * 255, 2)
+                val ssim = ((2 * ma * mb + c1) * (2 * cab + c2)) /
+                  ((ma * ma + mb * mb + c1) * (va + vb + c2))
+                PairMetrics(in.pairId, ok = true, mse, mae, psnr, ssim)
+              case _ =>
+                PairMetrics(in.pairId, ok = false, -1, -1, -1, -1)
+            }
+        }
+    }
+
   /** Channel-mean brightness in [0,1] — the scalar face of the reference's
     * normalize-to-[-1,1] tensor step, usable as a quality predicate.
     */

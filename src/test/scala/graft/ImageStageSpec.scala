@@ -38,6 +38,29 @@ class ImageStageSpec extends SparkSpec {
     assert(back.getWidth == 64 && back.getHeight == 64)
   }
 
+  test("pair metrics: identical, constant-shifted, and mismatched pairs") {
+    import spark.implicits._
+    import graft.stages.ImageStage.ImagePair
+    val base = png(32, 32, 0x646464)          // every channel 0x64 = 100
+    val shifted = png(32, 32, 0x6e6e6e)       // every channel 0x6e = 110
+    val ds = Seq(
+      ImagePair("same", base, png(32, 32, 0x646464)),
+      ImagePair("shift", base, shifted),
+      ImagePair("badsize", base, png(16, 16, 0x646464)),
+      ImagePair("junk", base, Array[Byte](9, 9))).toDS().repartition(2)
+    val m = ImageStage.pairMetricsStage.run(ds).collect()
+      .map(x => x.pairId -> x).toMap
+    assert(m("same").ok && m("same").mse == 0.0 && m("same").mae == 0.0)
+    assert(m("same").psnr.isPosInfinity)
+    assert(math.abs(m("same").ssim - 1.0) < 1e-9)
+    // Constant +10 shift: mse = 100, mae = 10, psnr = 10*log10(255^2/100).
+    assert(math.abs(m("shift").mse - 100.0) < 1e-9)
+    assert(math.abs(m("shift").mae - 10.0) < 1e-9)
+    assert(math.abs(m("shift").psnr - 10.0 * math.log10(255.0 * 255.0 / 100.0)) < 1e-9)
+    assert(m("shift").ssim < 1.0 && m("shift").ssim > 0.9)
+    assert(!m("badsize").ok && !m("junk").ok)
+  }
+
   test("brightness stage: white ~1.0, dark ~0.0") {
     import spark.implicits._
     val ds = Seq(
