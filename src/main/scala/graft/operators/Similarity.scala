@@ -235,7 +235,7 @@ object Similarity {
     val f = iters // final centroid table index
     s"""WITH e AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
        |  FROM embeddings),
        |u AS (
        |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
@@ -323,7 +323,7 @@ object Similarity {
     "q37_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
         |  FROM embeddings),
         |u AS (
         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
@@ -355,7 +355,7 @@ object Similarity {
       }.mkString(" + ")
       s"""WITH e AS (
          |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
          |  FROM embeddings),
          |u AS (
          |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
@@ -386,7 +386,7 @@ object Similarity {
     "q60_sql_ann" ->
       """WITH e AS (
         |  SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
         |  FROM embeddings),
         |u AS (
         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
@@ -417,7 +417,7 @@ object Similarity {
       }.mkString(" + ")
       s"""WITH e AS (
          |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT)) AS v
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
          |  FROM embeddings),
          |u AS (
          |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),

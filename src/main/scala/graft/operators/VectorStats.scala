@@ -61,7 +61,7 @@ object VectorStats {
     "q41_label_moments" ->
       """WITH q AS (
         |  SELECT label,
-        |    unnest(list_transform(embedding, x -> CAST(round(x * 1000.0, 0) AS BIGINT))) AS qv,
+        |    unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))) AS qv,
         |    generate_subscripts(embedding, 1) - 1 AS dim
         |  FROM embeddings),
         |m AS (
