@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Fp._
@@ -146,6 +147,26 @@ object TextAnalysis {
       hash60(fingerprint($"text")).as("fp60"))
   }
 
+  /** Top-k distinguishing terms per document — the TF-IDF shape with a
+    * purely integer ordering (tf desc, global df asc, token asc) instead
+    * of tf·log(N/df): the ranking log() induces is exactly the (tf, df)
+    * lexicographic order per document, and integer keys can't drift
+    * across engines. One explode + two shared-key windows (tok, then
+    * doc_id) — same exchange-reuse shape as the Jaccard prefix build.
+    */
+  def topTerms(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"tok")))
+      .withColumn("rk", row_number().over(Window.partitionBy($"doc_id")
+        .orderBy($"tf".desc, $"df".asc, $"tok".asc)).cast("long"))
+      .filter($"rk" <= k)
+      .select($"doc_id", $"tok", $"tf", $"df", $"rk")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -153,7 +174,8 @@ object TextAnalysis {
     "q21_doc_topics" -> ((s, d) => topicClassify(Tables.load(s, d).documents)),
     "q22_quality_score" -> ((s, d) => qualityScore(Tables.load(s, d).documents)),
     "q23_fingerprints" -> ((s, d) => fingerprints(Tables.load(s, d).documents)),
-    "q58_language_id" -> ((s, d) => languageId(Tables.load(s, d).documents))
+    "q58_language_id" -> ((s, d) => languageId(Tables.load(s, d).documents)),
+    "q61_top_terms" -> ((s, d) => topTerms(Tables.load(s, d).documents, 3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -197,6 +219,21 @@ object TextAnalysis {
       s"""SELECT doc_id, $fingerprintSql AS fp,
          |  ${hash60Sql(fingerprintSql)} AS fp60
          |FROM documents""".stripMargin,
+    "q61_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok),
+        |wd AS (
+        |  SELECT doc_id, tok, tf,
+        |    CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+        |  FROM tfc)
+        |SELECT doc_id, tok, tf, df, rk FROM (
+        |  SELECT doc_id, tok, tf, df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, tok ASC) AS BIGINT) AS rk
+        |  FROM wd) WHERE rk <= 3""".stripMargin,
     "q58_language_id" -> {
       val scores = langProfiles.map { case (l, ms) =>
         val cnt = ms.map(substrCountSql("text", _)).mkString(" + ")
