@@ -210,6 +210,22 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Stable train/val/test split: membership is a pure function of the
+    * row key (hash threshold), so it survives reruns, repartitioning, and
+    * corpus growth — new rows join a split without moving old ones. The
+    * canonical training-data split operator; output is the per-(split,
+    * lang) census a pipeline reports.
+    */
+  def splitCensus(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val u = detUniform("split", $"doc_id")
+    docs
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -223,10 +239,19 @@ object Sampling {
     "q48_polymorphic_sample" -> ((s, d) =>
       polymorphicSample(Tables.load(s, d).documents)),
     "q49_deterministic_shuffle" -> ((s, d) =>
-      deterministicShuffle(Tables.load(s, d).documents))
+      deterministicShuffle(Tables.load(s, d).documents)),
+    "q62_split_census" -> ((s, d) => splitCensus(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
+    "q62_split_census" -> {
+      val u = detUniformSql("split", "doc_id")
+      s"""SELECT CASE WHEN $u < CAST(0.8 AS DOUBLE) THEN 'train'
+         |            WHEN $u < CAST(0.9 AS DOUBLE) THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    },
     "q48_polymorphic_sample" -> {
       def two(tag: String, cat: String,
           table: Seq[(String, Double, Seq[String])]): String = {
