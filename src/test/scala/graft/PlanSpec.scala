@@ -67,6 +67,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_q"), p)
   }
 
+  test("q61 reuses the doc_id exchange across its two windows (3 shuffles max)") {
+    val p = plan("q61_top_terms")
+    // explode -> groupBy(doc,tok) -> window(tok) -> window(doc) should
+    // plan at most 3 exchanges; a 4th would mean the adjacent windows
+    // stopped sharing partitioning.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
   test("hot paths run inside WholeStageCodegen") {
     Seq("q01_pricing_summary", "q13_part_name_features", "q22_quality_score")
       .foreach { q =>
