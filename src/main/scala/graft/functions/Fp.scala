@@ -55,11 +55,13 @@ object Fp {
   def centsSql(expr: String): String = fixedSql(expr, 100)
 
   /** Deterministic uniform in [0, 1): first 32 bits of md5(tag:key).
-    * Bit-identical in Spark and DuckDB ([[detUniformSql]]).
+    * Bit-identical in Spark and DuckDB ([[detUniformSql]]). Hex parsing
+    * goes through the native HexLong expression — conv()'s BigInteger
+    * path was the measurable hot spot of every hash-derived draw.
     */
   def detUniform(tag: String, key: Column): Column =
-    conv(substring(md5(concat_ws(":", lit(tag), key.cast("string"))), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    HexLong(md5(concat_ws(":", lit(tag), key.cast("string"))), 8)
+      .cast("double") / lit(4294967296.0)
 
   /** DuckDB mirror of [[detUniform]]. */
   def detUniformSql(tag: String, keyExpr: String): String =
@@ -70,8 +72,7 @@ object Fp {
     * (e.g. signed hyperplane components) instead of a float uniform.
     */
   def detHash32(tag: String, key: Column): Column =
-    conv(substring(md5(concat_ws(":", lit(tag), key.cast("string"))), 1, 8),
-      16, 10).cast("long")
+    HexLong(md5(concat_ws(":", lit(tag), key.cast("string"))), 8)
 
   /** DuckDB mirror of [[detHash32]]. */
   def detHash32Sql(tag: String, keyExpr: String): String =
@@ -80,8 +81,7 @@ object Fp {
   /** Deterministic 60-bit hash of a string (15 hex chars of md5): fits a
     * signed 64-bit int in both engines, no sign-bit surprises.
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = HexLong(md5(c), 15)
 
   /** DuckDB mirror of [[hash60]]. */
   def hash60Sql(expr: String): String =

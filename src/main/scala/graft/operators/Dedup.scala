@@ -41,47 +41,35 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exploded (doc_id, shingle-hash) inverted-index rows. Shingles are
-    * represented ONLY as 64-bit hashes, built directly from the token
-    * triple (`xxhash64(t1, t2, t3)` — no string concatenation at all), and
-    * dedup'd as longs. Compared to materializing ~30-char shingle strings
-    * this halved the cost of every downstream evaluation: fixed-width
-    * join/dedup keys, no per-shingle allocation. Collision odds at
-    * realistic shingle cardinalities are ~2⁻⁴⁰; the DuckDB oracle joins on
-    * the actual strings, so a collision would surface as a mismatch.
+  /** The ONE shingle inverted index every near-dup operator shares:
+    * distinct (doc_id, s64) rows with s64 = hash60(md5) of the 3-gram
+    * string. One representation serves all four consumers — Jaccard
+    * join/dedup keys (any injective key works; candidates are verified
+    * exactly), MinHash permutation input, and the SimHash bit source
+    * (whose oracle-visible bits are defined as hash60 of the shingle
+    * text) — so the corpus is tokenized, exploded, and deduplicated
+    * exactly once per session, not once per hash flavor. Collision odds
+    * at 2⁶⁰ over ~10⁶ shingles are ~10⁻⁶; a collision would surface as
+    * an oracle mismatch, not silent corruption.
+    *
+    * Build shape: materialize the token array once per doc (a named
+    * column — NOT a transform() lambda over it: a lambda body that
+    * references the outer split(text) expression re-evaluates the split
+    * per element, measured ~50× per row on this corpus), posexplode it,
+    * and read the two following tokens with element_at on the array that
+    * Generate carries along. Pure map-side work — the first shuffle in
+    * the index build is the final distinct. The result is persisted;
+    * CacheManager keys on the canonical plan, so sibling operators over
+    * the same corpus share one copy ([[releaseIndexes]] frees them).
     */
-  private def shingleRows(docs: DataFrame): DataFrame =
-    shingleRowsWith(docs, xx = true).select(col("doc_id"), col("s64"))
-
-  /** Shared shingle-row builder. Materialize the token array once per doc
-    * (a named column — NOT a transform() lambda over it: a lambda body
-    * that references the outer split(text) expression re-evaluates the
-    * split per element, measured ~50× per row on this corpus), posexplode
-    * it, and read the two following tokens with element_at on the array
-    * that Generate carries along. Pure map-side work — the first shuffle
-    * in the index build is the final distinct. (A previous lead()-window
-    * formulation paid an extra full shuffle+sort of the token stream just
-    * to see the next two tokens.)
-    */
-  private def shingleRowsWith(docs: DataFrame, xx: Boolean): DataFrame = {
+  private def shingleRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val withNext = docs
+    val sh = docs
       .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
       .filter($"i" <= size($"toks") - 3)
-      .withColumn("w1", element_at($"toks", $"i" + 2))
-      .withColumn("w2", element_at($"toks", $"i" + 3))
-    val sh =
-      if (xx) withNext.select($"doc_id", xxhash64($"w", $"w1", $"w2").as("s64"))
-      else withNext.select($"doc_id",
-        concat_ws(" ", $"w", $"w1", $"w2").as("s"))
-    // The inverted index is consumed by several join branches per operator
-    // (sizes, document frequencies, prefix, verify) — materialize it once.
-    // CacheManager keys on the canonical plan, so repeated calls (and
-    // sibling operators over the same corpus) share one copy, and at scale
-    // this is the deliberate "build the index once" step. Cached copies are
-    // tracked so long-lived sessions can release them via
-    // [[releaseIndexes]] once a corpus is processed.
+      .select($"doc_id", hash60(concat_ws(" ", $"w",
+        element_at($"toks", $"i" + 2), element_at($"toks", $"i" + 3))).as("s64"))
     val cached = sh.distinct().persist()
     persisted.add(cached)
     cached
@@ -230,11 +218,10 @@ object Dedup {
     */
   def simhashes(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    // String shingles here (not shingleRows' hashes): the signature itself
-    // is the oracle-compared output, so its bit hashes must be md5-derived
-    // from the shingle text on both engines.
-    val sh = shingleRowsWith(docs, xx = false)
-    val h = hash60($"s")
+    // The shared index IS the bit source: its keys are hash60 of the
+    // shingle text, exactly what the oracle computes from the strings.
+    val sh = shingleRows(docs)
+    val h = $"s64"
     val bitSums = (0 until 16).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$j")
@@ -280,6 +267,22 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter($"hamming" <= maxDist)
+  }
+
+  /** Diagnostic: banded-candidate count for the default LSH config. */
+  def lshCandidateCount(docs: DataFrame): Long = {
+    import docs.sparkSession.implicits._
+    val sh = shingleRows(docs)
+    val sig = minhashSignatures(sh, 64)
+    val banded = sig.select($"doc_id", explode(
+      transform(sequence(lit(0), lit(15)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws(",", slice($"sig", b * 4 + 1, lit(4)))).as("bh")))).as("bb"))
+      .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
   }
 
   /** Keep-first exact dedup on a compound key with deterministic survivor
