@@ -75,6 +75,19 @@ object Dedup {
     cached
   }
 
+  /** Persist-and-register a derived index (prefix table, band table,
+    * per-doc shingle sets). Self-joins over these would otherwise compute
+    * the build subtree once per join side — the dominant cost at any
+    * scale, since the build involves window sorts or wide aggregates.
+    * CacheManager keys on the canonical plan, so repeated calls (and
+    * sibling operators over the same corpus) share one copy.
+    */
+  private def cacheIndex(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    persisted.add(cached)
+    cached
+  }
+
   private val persisted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
@@ -114,20 +127,23 @@ object Dedup {
     // Window operators over the same partitioning reuse it). Two shuffles
     // total, vs two aggregates plus two joins in the naive formulation —
     // at 100 TB the joins would move the whole index twice more.
-    val prefix = sh
+    val prefix = cacheIndex(sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df".asc, $"s64".asc)))
       .filter($"rn" <= $"n" - ceil(lit(minJ) * $"n") + 1)
-      .select($"doc_id", $"s64", $"n")
+      .select($"doc_id", $"s64", $"n"))
+    // Candidates keep their multiplicity (one row per shared prefix
+    // shingle): deduplicating 200k candidate rows costs a full shuffle,
+    // while re-verifying a duplicate costs one broadcast-join probe — the
+    // distinct moves to the verified output (~few hundred rows, free).
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s64") === col("y.s64") && col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")).cast("double") >=
             lit(minJ) * greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cand, sh, minJ)
+    verifyJaccard(cand, sh, minJ).distinct()
   }
 
   /** Exact-Jaccard verification of candidate pairs against compact
@@ -141,7 +157,7 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       minJ: Double): DataFrame = {
     import cand.sparkSession.implicits._
-    val sets = sh.groupBy($"doc_id").agg(collect_list($"s64").as("ss"))
+    val sets = cacheIndex(sh.groupBy($"doc_id").agg(collect_list($"s64").as("ss")))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -179,6 +195,29 @@ object Dedup {
         array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
   }
 
+  /** (doc_id, band, bandHash) rows straight off the minhash aggregate.
+    *
+    * Band hashes are computed as plain `xxhash64(m_i..m_j)` columns over
+    * the aggregate's per-permutation min columns — whole-stage-codegen
+    * multi-argument long hashing. The previous shape (slice() an array
+    * column, concat_ws the longs into a string, hash the string, inside a
+    * transform() lambda) ran interpreted per element and converted every
+    * signature long to text: 8.6 s at sf0.1 vs sub-second for this form.
+    */
+  private def bandedSignatures(shingleRows: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    import shingleRows.sparkSession.implicits._
+    val perms = bands * rowsPerBand
+    val mins = (0 until perms).map(p => min(xxhash64(lit(p), $"s64")).as(s"m$p"))
+    val agg = shingleRows.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    agg.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** LSH-bucketed near-dup join with exact-Jaccard verification of the
     * candidates. bands × rowsPerBand = signature length. Output schema and
     * (w.h.p.) contents equal [[jaccardNearDups]] at the same threshold —
@@ -189,21 +228,17 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = shingleRows(docs)
-    val sig = minhashSignatures(sh, bands * rowsPerBand)
-    val banded = sig.select($"doc_id", explode(
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(concat_ws(",", slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))))
-            .as("bh")))).as("bb"))
-      .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = cacheIndex(bandedSignatures(sh, bands, rowsPerBand))
+    // Same multiplicity reasoning as the Jaccard join: a pair colliding in
+    // k bands is verified k times (broadcast probes) instead of paying a
+    // candidate-dedup shuffle; the distinct runs on the verified output.
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     // Exact verify: jaccard on candidate pairs only, reusing the shingle
     // rows already built for the signatures.
-    verifyJaccard(cand, sh, minJ)
+    verifyJaccard(cand, sh, minJ).distinct()
   }
 
   /** 16-bit SimHash over distinct 3-gram shingles: bit j of the signature
@@ -257,8 +292,9 @@ object Dedup {
         shiftright($"simhash", c * bitsPer)
           .bitwiseAND(lit((1 << width) - 1)).as("v"))
     }: _*)
-    val chunked = sig.select($"doc_id", $"simhash", explode(chunkArr).as("ch"))
-      .select($"doc_id", $"simhash", col("ch.c").as("c"), col("ch.v").as("v"))
+    val chunked = cacheIndex(
+      sig.select($"doc_id", $"simhash", explode(chunkArr).as("ch"))
+        .select($"doc_id", $"simhash", col("ch.c").as("c"), col("ch.v").as("v")))
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -272,13 +308,7 @@ object Dedup {
   /** Diagnostic: banded-candidate count for the default LSH config. */
   def lshCandidateCount(docs: DataFrame): Long = {
     import docs.sparkSession.implicits._
-    val sh = shingleRows(docs)
-    val sig = minhashSignatures(sh, 64)
-    val banded = sig.select($"doc_id", explode(
-      transform(sequence(lit(0), lit(15)), b =>
-        struct(b.as("band"),
-          xxhash64(concat_ws(",", slice($"sig", b * 4 + 1, lit(4)))).as("bh")))).as("bb"))
-      .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = cacheIndex(bandedSignatures(shingleRows(docs), 16, 4))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -167,6 +167,33 @@ object TextAnalysis {
       .select($"doc_id", $"tok", $"tf", $"df", $"rk")
   }
 
+  /** GPT-2-style pre-tokenizer pattern (the "BPE-ish regex"): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. Both Java regex and DuckDB's RE2 resolve the
+    * alternation leftmost-first, so piece boundaries are engine-identical.
+    * (The real GPT-2 pattern ends `\s+(?!\S)|\s+`; RE2 has no lookahead,
+    * and on space-joined text the simplified tail is equivalent.)
+    */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer piece statistics — the token count an LLM-data pipeline
+    * budgets context length with, alongside the whitespace word count.
+    * fertility = pieces/word, the standard tokenizer-efficiency measure.
+    * Pure per-row map work: scales linearly, no shuffle at any corpus size.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = size(tokens($"text"))
+    val pieces = regexp_extract_all($"text", lit(bpePattern), lit(0))
+    docs.select(
+      $"doc_id",
+      words.cast("long").as("n_words"),
+      size(pieces).cast("long").as("n_pieces"),
+      size(filter(pieces, p => p.rlike("^ ?[0-9]"))).cast("long").as("n_numeric"),
+      (size(pieces).cast("double") / words).as("fertility"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -175,7 +202,8 @@ object TextAnalysis {
     "q22_quality_score" -> ((s, d) => qualityScore(Tables.load(s, d).documents)),
     "q23_fingerprints" -> ((s, d) => fingerprints(Tables.load(s, d).documents)),
     "q58_language_id" -> ((s, d) => languageId(Tables.load(s, d).documents)),
-    "q61_top_terms" -> ((s, d) => topTerms(Tables.load(s, d).documents, 3))
+    "q61_top_terms" -> ((s, d) => topTerms(Tables.load(s, d).documents, 3)),
+    "q63_bpe_tokens" -> ((s, d) => bpeTokenStats(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
@@ -234,6 +262,17 @@ object TextAnalysis {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |      ORDER BY tf DESC, df ASC, tok ASC) AS BIGINT) AS rk
         |  FROM wd) WHERE rk <= 3""".stripMargin,
+    "q63_bpe_tokens" -> {
+      val pat = bpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_pieces,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$pat'),
+         |    x -> regexp_matches(x, '^ ?[0-9]'))) AS BIGINT) AS n_numeric,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS DOUBLE)
+         |    / len(string_split(text,' ')) AS fertility
+         |FROM documents""".stripMargin
+    },
     "q58_language_id" -> {
       val scores = langProfiles.map { case (l, ms) =>
         val cnt = ms.map(substrCountSql("text", _)).mkString(" + ")
