@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Throughput collector: measurably less jitter than G1 for this
+  // many-small-tasks local[32] profile (bench A/B: ~40 s vs ~45 s).
+  "-XX:+UseParallelGC",
 )

@@ -78,6 +78,18 @@ object Fp {
   def detHash32Sql(tag: String, keyExpr: String): String =
     s"CAST(('0x' || substr(md5('$tag' || ':' || CAST(($keyExpr) AS VARCHAR)), 1, 8)) AS BIGINT)"
 
+  /** Driver-side evaluation of [[detHash32]] for keys known at plan-build
+    * time (e.g. hyperplane components indexed by (plane, dim)): the same
+    * md5("tag:key") first-8-hex-chars value, precomputed into a literal
+    * so the executor never runs the hash.
+    */
+  def detHash32Local(tag: String, key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$tag:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   /** Deterministic 60-bit hash of a string (15 hex chars of md5): fits a
     * signed 64-bit int in both engines, no sign-bit surprises.
     */

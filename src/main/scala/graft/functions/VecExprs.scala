@@ -51,12 +51,82 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Native intersection count of two SORTED array<long> columns: a
+  * two-pointer merge — O(n+m), zero allocation, whole-stage codegen.
+  *
+  * Why not `size(array_intersect(a, b))`: ArrayIntersect builds a hash
+  * set per evaluation; in the near-dup verify join it runs once per
+  * candidate pair and measured ~0.5 ms/pair (≈100 CPU-s over 193k
+  * candidates at sf0.1) vs microseconds for the merge. Inputs must be
+  * sorted ascending and distinct — exactly what
+  * `sort_array(collect_list(...))` over distinct shingle rows produces.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var c = 0L
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |long $c = 0L;
+         |int $i = 0;
+         |int $j = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
 
   /** Exact integer dot product of two array<long> columns. */
   def dotQ(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(DotQ(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b)))
+  }
+
+  /** Intersection count of two sorted-distinct array<long> columns. */
+  def intersectCountSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(IntersectCountSorted(GraftSqlBridge.expression(a),
       GraftSqlBridge.expression(b)))
   }
 }

@@ -157,12 +157,17 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
       minJ: Double): DataFrame = {
     import cand.sparkSession.implicits._
-    val sets = cacheIndex(sh.groupBy($"doc_id").agg(collect_list($"s64").as("ss")))
+    // Sorted sets + native two-pointer merge (graft.functions
+    // .IntersectCountSorted): array_intersect's per-pair hash set build
+    // was ~100 CPU-s over the sf0.1 candidates.
+    val sets = cacheIndex(sh.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s64")).as("ss")))
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select($"doc_a", $"doc_b",
-        size(array_intersect(col("sa.ss"), col("sb.ss"))).cast("long").as("c"),
+        graft.functions.VecExprs.intersectCountSorted(
+          col("sa.ss"), col("sb.ss")).as("c"),
         size(col("sa.ss")).cast("long").as("na"),
         size(col("sb.ss")).cast("long").as("nb"))
       .select($"doc_a", $"doc_b",

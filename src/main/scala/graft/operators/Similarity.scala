@@ -33,6 +33,36 @@ object Similarity {
   def quantize(embedding: Column): Column =
     transform(embedding, x => round(x * 1000.0, 0).cast("long"))
 
+  private val persisted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist the shared quantized corpus (between corpora in a
+    * long-lived session; in-flight jobs recompute lazily, always safe).
+    */
+  def releaseIndexes(): Unit = {
+    val it = persisted.iterator()
+    while (it.hasNext) { it.next().unpersist(); it.remove() }
+  }
+
+  /** The ONE quantized-corpus projection every similarity operator shares:
+    * (vec_id, v, nsq) with v in integer milliunits. quantize() is an
+    * interpreted higher-order transform — computing it once per session
+    * instead of once per operator (and once per Lloyd iteration in the
+    * IVF path) is the difference between scanning floats repeatedly and
+    * reading a compact cached long-array column. CacheManager keys on the
+    * canonical plan, so sibling operators over the same corpus share one
+    * copy; [[releaseIndexes]] frees it.
+    */
+  private def quantized(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val cached = embeddings
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+      .persist()
+    persisted.add(cached)
+    cached
+  }
+
   /** Exact integer dot product of two quantized vectors (native codegen
     * expression — see graft.functions.DotQ for why not a HOF).
     */
@@ -46,8 +76,7 @@ object Similarity {
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     import embeddings.sparkSession.implicits._
-    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
-      .withColumn("nsq", normSqQ($"v"))
+    val e = quantized(embeddings)
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
@@ -70,11 +99,16 @@ object Similarity {
     * which is what lets q38 carry a DuckDB oracle despite being "LSH".
     */
   def lshBucket(v: Column, planes: Int, dims: Int): Column = {
+    import org.apache.spark.sql.functions.typedlit
     val bits = (0 until planes).map { p =>
-      val dotNum = aggregate(
-        zip_with(v, sequence(lit(0), lit(dims - 1)), (x, i) =>
-          x * (detHash32(s"plane$p", i) * 2L - 4294967296L)),
-        lit(0L), (acc, x) => acc + x)
+      // The component values depend only on (plane, dim) — evaluate the
+      // md5 draws at plan-build time and ship a 64-long literal array.
+      // The executor-side work is then ONE native codegen dot product per
+      // row, vs the previous interpreted zip_with/aggregate lambda that
+      // re-hashed every (row, plane, dim) triple.
+      val comps = (0 until dims).map(i =>
+        detHash32Local(s"plane$p", i.toString) * 2L - 4294967296L)
+      val dotNum = dotQ(v, typedlit(comps))
       when(dotNum >= 0L, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -87,8 +121,7 @@ object Similarity {
   def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int,
       planes: Int = 4): DataFrame = {
     import embeddings.sparkSession.implicits._
-    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
-      .withColumn("nsq", normSqQ($"v"))
+    val e = quantized(embeddings)
       .withColumn("bucket", lshBucket($"v", planes, 64))
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
@@ -128,8 +161,7 @@ object Similarity {
   def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import embeddings.sparkSession.implicits._
-    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
-      .withColumn("nsq", normSqQ($"v"))
+    val e = quantized(embeddings)
     val seedRank = Window.orderBy(
       detUniform("ivfseed", $"vec_id").asc, $"vec_id".asc)
     var centroids: DataFrame = e
@@ -188,8 +220,7 @@ object Similarity {
   def cosineNearDups(embeddings: DataFrame, minCos: Double,
       planes: Int = 4): DataFrame = {
     import embeddings.sparkSession.implicits._
-    val e = embeddings.select($"vec_id", quantize($"embedding").as("v"))
-      .withColumn("nsq", normSqQ($"v"))
+    val e = quantized(embeddings)
       .withColumn("bucket", lshBucket($"v", planes, 64))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") &&

@@ -8,6 +8,6 @@ java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
 java.base/sun.util.calendar"
 FLAGS=""
 for p in $OPENS; do FLAGS="$FLAGS --add-opens $p=ALL-UNNAMED"; done
-exec java $FLAGS $EXTRA_JVM -Xmx"${SPARK_DRIVER_MEM:-32g}" \
+exec java $FLAGS $EXTRA_JVM -XX:+UseParallelGC -Xmx"${SPARK_DRIVER_MEM:-32g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
