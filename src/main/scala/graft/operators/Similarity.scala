@@ -152,53 +152,67 @@ object Similarity {
     * the off-the-shelf alternative, but its float accumulation order is
     * partition-dependent — unreproducible outside Spark.)
     *
-    * Scale notes: centroids are always ≤ nlist rows (broadcast); the
-    * per-iteration cost is one broadcast nested-loop over the corpus plus
-    * one (cid, i) aggregation. The seed ranking's global window is rank-K
-    * selection — at 100 TB replace with a TakeOrdered on the hash key
-    * (same result, no global sort); iteration count is fixed and small.
+    * Scale notes: centroids are always ≤ nlist×d longs — they live on the
+    * driver and ship to executors as literals (the standard broadcast
+    * k-means iteration). Per iteration: map-side assignment (zero
+    * shuffle), one aggregate whose shuffle is nlist×(d+1) partials per
+    * partition, one ≤nlist-row collect. Seed selection is TakeOrdered on
+    * the hash key (rank-K, no global sort); iteration count fixed.
     */
   def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val seedRank = Window.orderBy(
-      detUniform("ivfseed", $"vec_id").asc, $"vec_id".asc)
-    var centroids: DataFrame = e
-      .withColumn("rn", row_number().over(seedRank))
-      .filter($"rn" <= nlist)
-      .select(($"rn" - 1).cast("long").as("cid"), $"v".as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val c = broadcast(cents.withColumn("cnsq", normSqQ($"cv")))
-      e.crossJoin(c)
-        .withColumn("dist", $"nsq" + $"cnsq" - lit(2L) * dotQ($"v", $"cv"))
-        .withColumn("arn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cid".asc)))
-        .filter($"arn" === 1)
-    }
+    // Centroids live on the driver as literal arrays (nlist × d longs —
+    // trivially small; FAISS coarse quantizers are the same shape). Each
+    // Lloyd iteration is then map-side assignment (an expression, not a
+    // crossJoin+window: zero shuffle) plus ONE aggregate shuffle of
+    // nlist×(d+1) partial sums per partition, and a ≤nlist-row collect.
+    // All arithmetic is the same exact-integer math as before, so the
+    // index — and the DuckDB oracle replay — is unchanged bit-for-bit.
+    var cents: Seq[(Long, Array[Long])] = e
+      .select($"vec_id", $"v", detUniform("ivfseed", $"vec_id").as("u"))
+      .orderBy($"u".asc, $"vec_id".asc).limit(nlist)
+      .select($"v").collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }
+      .toSeq
+    val dims = cents.head._2.length
+    // argmin over (squared-L2 dist, cid): array_min on (dist, cid) structs
+    // gives the lexicographic minimum — identical tiebreak to the window
+    // formulation it replaces.
+    def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
+      array_min(array(cs.map { case (cid, cv) =>
+        val cnsq = cv.map(x => x * x).sum
+        struct(($"nsq" + lit(cnsq) - lit(2L) * dotQ($"v", typedlit(cv.toSeq)))
+          .as("dist"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
     for (_ <- 1 to iters) {
-      centroids = assign(centroids)
-        .select($"cid", posexplode($"v").as(Seq("i", "val")))
-        .groupBy($"cid", $"i")
-        .agg(sum($"val").as("s"), count(lit(1)).as("cnt"))
-        .withColumn("ci", floor($"s".cast("double") / $"cnt"))
+      val sums = (0 until dims).map(i =>
+        sum(element_at($"v", i + 1)).as(s"s$i"))
+      val rows = e.withColumn("cid", assignExpr(cents))
         .groupBy($"cid")
-        .agg(transform(array_sort(collect_list(struct($"i", $"ci"))),
-          x => x.getField("ci")).as("cv"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .collect()
+      cents = rows.map { r =>
+        val cnt = r.getAs[Long]("cnt")
+        val cv = Array.tabulate(dims)(i =>
+          math.floor(r.getAs[Long](s"s$i").toDouble / cnt).toLong)
+        (r.getAs[Long]("cid"), cv)
+      }.sortBy(_._1).toSeq
     }
-    val assigned = assign(centroids)
-      .select($"vec_id", $"v", $"nsq", $"cid".as("list_id"))
+    val assigned = e.withColumn("list_id", assignExpr(cents))
     // Each query probes its nprobe nearest centroid lists (same integer
-    // squared-L2 metric as assignment).
-    val cents = broadcast(centroids.withColumn("cnsq", normSqQ($"cv")))
+    // squared-L2 metric as assignment): sort the per-row (dist, cid)
+    // array and slice — map-side, no window.
+    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
+      val cnsq = cv.map(x => x * x).sum
+      struct(($"nsq" + lit(cnsq) - lit(2L) * dotQ($"v", typedlit(cv.toSeq)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*))
     val qProbes = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
-      .crossJoin(cents)
-      .withColumn("dist", $"qnsq" + $"cnsq" - lit(2L) * dotQ($"qv", $"cv"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy($"qid").orderBy($"dist".asc, $"cid".asc)))
-      .filter($"pr" <= nprobe)
-      .select($"qid", $"qv", $"qnsq", $"cid".as("list_id"))
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
+        explode(slice(probeArr, 1, nprobe)).as("pp"))
+      .select($"qid", $"qv", $"qnsq", col("pp.cid").as("list_id"))
     val scored = assigned.join(broadcast(qProbes),
         Seq("list_id")).filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
