@@ -320,6 +320,33 @@ object Dedup {
       .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
   }
 
+  /** Benchmark decontamination — the standard training-data hygiene pass:
+    * for every training document, the number of 3-gram shingles it shares
+    * with ANY document of the held-out source, and a contamination flag at
+    * `minShared`.
+    *
+    * Scale shape: eval benchmark sets are small by construction, so the
+    * eval shingle set broadcasts; the training side is a map-side
+    * semi-join + one groupBy(doc_id) count — the corpus never shuffles on
+    * shingle keys. Reuses the session's shared shingle index.
+    */
+  def decontaminate(docs: DataFrame, evalSource: String,
+      minShared: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = shingleRows(docs)
+    val evalIds = docs.filter($"source" === evalSource).select($"doc_id")
+    val evalShingles = sh.join(broadcast(evalIds), "doc_id")
+      .select($"s64").distinct()
+    val trainDocs = docs.filter($"source" =!= evalSource).select($"doc_id")
+    val shared = sh.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(evalShingles), "s64")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    trainDocs.join(shared, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n", lit(0L)).as("n_shared"))
+      .withColumn("contaminated", $"n_shared" >= minShared)
+  }
+
   /** Keep-first exact dedup on a compound key with deterministic survivor
     * choice (reference D1/D5 keep-first-seen semantics,
     * /root/reference/test_kimono.py:316-356): unlike dropDuplicates, the
@@ -354,7 +381,9 @@ object Dedup {
     "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
     "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
     "q47_simhash_pairs" -> ((s, d) =>
-      simhashNearPairs(Tables.load(s, d).documents, 1))
+      simhashNearPairs(Tables.load(s, d).documents, 1)),
+    "q64_decontaminate" -> ((s, d) =>
+      decontaminate(Tables.load(s, d).documents, "src0", 5))
   )
 
   private val shingleCte =
@@ -429,6 +458,24 @@ object Dedup {
     // The LSH path is exact-verified; at 16×4 bands the candidate recall at
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),
-    "q28_simhash" -> s"WITH $simhashCte SELECT doc_id, simhash FROM sig"
+    "q28_simhash" -> s"WITH $simhashCte SELECT doc_id, simhash FROM sig",
+    // Shingles compare as strings here vs 60-bit hashes in Spark — the
+    // shared-count equality relies on hash injectivity over the corpus,
+    // the same assumption as the Jaccard oracles.
+    "q64_decontaminate" ->
+      s"""$shingleCte,
+         |ev AS (
+         |  SELECT DISTINCT s FROM sh
+         |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+         |tr AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+         |shared AS (
+         |  SELECT sh.doc_id, COUNT(*) AS n FROM sh
+         |  JOIN ev USING (s)
+         |  JOIN tr USING (doc_id)
+         |  GROUP BY sh.doc_id)
+         |SELECT tr.doc_id,
+         |  CAST(COALESCE(n, 0) AS BIGINT) AS n_shared,
+         |  COALESCE(n, 0) >= 5 AS contaminated
+         |FROM tr LEFT JOIN shared USING (doc_id)""".stripMargin
   )
 }

@@ -226,6 +226,29 @@ object Sampling {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Data-mixture construction under a per-source budget: take documents
+    * per source in deterministic hash order until the source's cumulative
+    * character count reaches `budget` (a document is taken while the
+    * running total BEFORE it is under budget, so every non-empty source
+    * contributes at least one document).
+    *
+    * This is how pre-training mixtures are actually cut: a stable
+    * pseudo-random order (reruns pick the same docs; corpus growth only
+    * appends candidates after the cut line) and a running-sum window
+    * partitioned by source — parallelism scales with source count, no
+    * global ordering anywhere.
+    */
+  def tokenBudgetMixture(docs: DataFrame, budget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(detUniform("mix", $"doc_id").asc, $"doc_id".asc)
+    docs.select($"doc_id", $"source", $"n_chars")
+      .withColumn("cum_before",
+        coalesce(sum($"n_chars").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"cum_before" < budget)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -240,10 +263,23 @@ object Sampling {
       polymorphicSample(Tables.load(s, d).documents)),
     "q49_deterministic_shuffle" -> ((s, d) =>
       deterministicShuffle(Tables.load(s, d).documents)),
-    "q62_split_census" -> ((s, d) => splitCensus(Tables.load(s, d).documents))
+    "q62_split_census" -> ((s, d) => splitCensus(Tables.load(s, d).documents)),
+    "q66_token_budget_mixture" -> ((s, d) =>
+      tokenBudgetMixture(Tables.load(s, d).documents, 3000))
   )
 
   def oracles: Map[String, String] = Map(
+    "q66_token_budget_mixture" -> {
+      val u = detUniformSql("mix", "doc_id")
+      s"""SELECT doc_id, source, n_chars, cum_before FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source
+         |      ORDER BY $u ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM documents)
+         |WHERE cum_before < 3000""".stripMargin
+    },
     "q62_split_census" -> {
       val u = detUniformSql("split", "doc_id")
       s"""SELECT CASE WHEN $u < CAST(0.8 AS DOUBLE) THEN 'train'

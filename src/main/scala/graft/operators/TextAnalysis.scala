@@ -194,6 +194,30 @@ object TextAnalysis {
       (size(pieces).cast("double") / words).as("fertility"))
   }
 
+  /** Gopher-style repetition statistics: the fraction of a document's
+    * 2-grams taken by its single most frequent 2-gram. High values mark
+    * boilerplate/looped text — a standard pre-training quality filter.
+    * Explode + two hash aggregates (map-side combine both times); ratio is
+    * an exact integer division, so the float is engine-deterministic.
+    */
+  def repetitionStats(docs: DataFrame, maxRatio: Double = 0.1): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
+      .filter($"i" <= size($"toks") - 2)
+      .select($"doc_id",
+        concat_ws(" ", $"w", element_at($"toks", $"i" + 2)).as("g"))
+    grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max($"tf").as("max_tf"))
+      .select($"doc_id", $"n_grams", $"n_distinct_grams", $"max_tf",
+        ($"max_tf".cast("double") / $"n_grams").as("rep_ratio"))
+      .withColumn("repetitive", $"rep_ratio" > maxRatio)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -203,7 +227,8 @@ object TextAnalysis {
     "q23_fingerprints" -> ((s, d) => fingerprints(Tables.load(s, d).documents)),
     "q58_language_id" -> ((s, d) => languageId(Tables.load(s, d).documents)),
     "q61_top_terms" -> ((s, d) => topTerms(Tables.load(s, d).documents, 3)),
-    "q63_bpe_tokens" -> ((s, d) => bpeTokenStats(Tables.load(s, d).documents))
+    "q63_bpe_tokens" -> ((s, d) => bpeTokenStats(Tables.load(s, d).documents)),
+    "q65_repetition" -> ((s, d) => repetitionStats(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
@@ -273,6 +298,22 @@ object TextAnalysis {
          |    / len(string_split(text,' ')) AS fertility
          |FROM documents""".stripMargin
     },
+    "q65_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         generate_subscripts(string_split(text,' '), 1) AS i
+        |  FROM documents),
+        |g AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM g GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(MAX(tf) AS BIGINT) AS max_tf,
+        |  CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS rep_ratio,
+        |  (CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT)) > CAST(0.1 AS DOUBLE) AS repetitive
+        |FROM tf GROUP BY doc_id""".stripMargin,
     "q58_language_id" -> {
       val scores = langProfiles.map { case (l, ms) =>
         val cnt = ms.map(substrCountSql("text", _)).mkString(" + ")
