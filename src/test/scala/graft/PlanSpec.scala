@@ -84,6 +84,27 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q63 is pure map work: no exchange at all") {
+    val p = plan("q63_bpe_tokens")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q64 joins the eval set broadcast-only (train side never shuffles pre-agg)") {
+    // AQE-final plan: the eval-id and eval-shingle joins are declared
+    // broadcasts; the tiny shared-count outer join converts at runtime.
+    // Strip AQE's appended "== Initial Plan ==" section — only the final
+    // (executed) operators matter.
+    val p = executedPlan("q64_decontaminate").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q66 plans exactly one exchange (the per-source window)") {
+    val p = plan("q66_token_budget_mixture")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
+  }
+
   test("no cartesian products anywhere except the declared capped cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q18_capped_pairs").foreach { q =>
       val p = plan(q)
