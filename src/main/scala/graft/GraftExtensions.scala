@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import graft.functions.{DotQ, WeightedBucket}
+import graft.functions.{DotQ, IntersectCountSorted, WeightedBucket}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions for the SQL surface, so
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
       (exprs: Seq[Expression]) => GraftExtensions.buildDotQ(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName,
+        "intersect_count_sorted"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildIntersect(exprs)))
   }
 }
 
@@ -42,6 +47,20 @@ object GraftExtensions {
       new FunctionIdentifier("dot_q"),
       new ExpressionInfo(classOf[DotQ].getName, "dot_q"),
       (exprs: Seq[Expression]) => buildDotQ(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName,
+        "intersect_count_sorted"),
+      (exprs: Seq[Expression]) => buildIntersect(exprs))
+  }
+
+  /** SQL builder: intersect_count_sorted(a, b) over sorted-distinct
+    * ARRAY<BIGINT> (see graft.functions.IntersectCountSorted).
+    */
+  private[graft] def buildIntersect(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "intersect_count_sorted(a ARRAY<BIGINT>, b ARRAY<BIGINT>)")
+    IntersectCountSorted(exprs.head, exprs.last)
   }
 
   /** SQL builder: dot_q(array<long>, array<long>) — exact integer dot

@@ -49,6 +49,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(p == 20)
   }
 
+  test("intersect_count_sorted is callable from SQL and matches array_intersect") {
+    val r = spark.sql(
+      """SELECT intersect_count_sorted(array(1L, 3L, 5L, 9L),
+        |  array(2L, 3L, 9L, 11L)) AS c""".stripMargin).first().getLong(0)
+    assert(r == 2)
+    val none = spark.sql(
+      "SELECT intersect_count_sorted(array(1L), array(2L)) AS c")
+      .first().getLong(0)
+    assert(none == 0)
+  }
+
   test("weighted_bucket rejects non-literal dictionaries") {
     val e = intercept[Exception] {
       spark.sql("SELECT weighted_bucket(0.5, array(CAST(id AS STRING)), array(1.0)) FROM range(2)").collect()
