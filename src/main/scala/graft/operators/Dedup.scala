@@ -320,6 +320,52 @@ object Dedup {
       .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
   }
 
+  /** Near-duplicate clusters: connected components over the exact-Jaccard
+    * pair graph, labeled by the component's minimum doc_id, plus cluster
+    * size and the keep-one-survivor flag — the step that turns near-dup
+    * PAIRS into an actual deduplicated corpus.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint (each round
+    * is one join + one aggregate; rounds = max in-cluster distance to the
+    * minimum node). Near-dup clusters are overwhelmingly tiny — the giant
+    * components of web dedup come from exact dups, removed earlier — so
+    * convergence is a handful of rounds; at extreme scale swap the loop
+    * body for the large-star/small-star steps (same join/agg primitives,
+    * O(log n) rounds). Deterministic: min over a set, no tie ambiguity.
+    */
+  def nearDupClusters(docs: DataFrame, minJ: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = jaccardNearDups(docs, minJ).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").persist()
+    edges.count() // materialize once; every round joins it
+    var labels = docs.select($"doc_id", $"doc_id".as("label"))
+    var prevCached: DataFrame = null
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select($"dst".as("doc_id"), $"label")
+      val next = labels.union(prop)
+        .groupBy($"doc_id").agg(min($"label").as("label")).persist()
+      next.count()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter($"label" =!= $"old").count()
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = next
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    // The converged label table backs the query's two consumers below;
+    // free it with the other session indexes.
+    if (prevCached != null) persisted.add(prevCached)
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
+        ($"doc_id" === $"label").as("keep"))
+  }
+
   /** Benchmark decontamination — the standard training-data hygiene pass:
     * for every training document, the number of 3-gram shingles it shares
     * with ANY document of the held-out source, and a contamination flag at
@@ -383,7 +429,9 @@ object Dedup {
     "q47_simhash_pairs" -> ((s, d) =>
       simhashNearPairs(Tables.load(s, d).documents, 1)),
     "q64_decontaminate" -> ((s, d) =>
-      decontaminate(Tables.load(s, d).documents, "src0", 5))
+      decontaminate(Tables.load(s, d).documents, "src0", 5)),
+    "q67_neardup_clusters" -> ((s, d) =>
+      nearDupClusters(Tables.load(s, d).documents, 0.6))
   )
 
   private val shingleCte =
@@ -462,6 +510,31 @@ object Dedup {
     // Shingles compare as strings here vs 60-bit hashes in Spark — the
     // shared-count equality relies on hash injectivity over the corpus,
     // the same assumption as the Jaccard oracles.
+    // Transitive closure by recursive CTE (the graph is the near-dup pair
+    // set — tiny at oracle scale), then min-reachable label per node.
+    "q67_neardup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+         |pairs AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS j
+         |  FROM inter
+         |  JOIN sizes na ON doc_a = na.doc_id
+         |  JOIN sizes nb ON doc_b = nb.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE j >= CAST(0.6 AS DOUBLE)
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs WHERE j >= CAST(0.6 AS DOUBLE)),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS peer FROM documents
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+         |lbl AS (SELECT node AS doc_id, MIN(peer) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM lbl GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+         |  l.doc_id = l.cluster_id AS keep
+         |FROM lbl l JOIN sz USING (cluster_id)""".stripMargin,
     "q64_decontaminate" ->
       s"""$shingleCte,
          |ev AS (

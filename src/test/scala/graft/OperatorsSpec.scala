@@ -143,6 +143,29 @@ class SessionsSimilaritySpec extends SparkSpec {
     assert(ranks.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("near-dup clusters are consistent with the pair graph") {
+    import spark.implicits._
+    val docs = tables.documents
+    val pairs = operators.Dedup.jaccardNearDups(docs, 0.6)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = operators.Dedup.nearDupClusters(docs, 0.6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // Every doc labeled; paired docs share a cluster; label is the min id
+    // of its members; exactly one keeper per cluster; sizes consistent.
+    assert(clusters.size == docs.count())
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    val byCluster = clusters.groupBy(_._2._1)
+    byCluster.foreach { case (label, members) =>
+      assert(label == members.keys.min)
+      assert(members.values.count(_._3) == 1)
+      assert(members.values.forall(_._2 == members.size))
+    }
+  }
+
   test("LSH top-k cos values match brute-force for the same (qid,nid)") {
     import spark.implicits._
     val brute = operators.Similarity.cosineTopK(tables.embeddings, 20, 500)
