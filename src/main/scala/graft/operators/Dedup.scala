@@ -342,19 +342,23 @@ object Dedup {
     edges.count() // materialize once; every round joins it
     var labels = docs.select($"doc_id", $"doc_id".as("label"))
     var prevCached: DataFrame = null
+    // Labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint — one cheap aggregate per round detects convergence
+    // instead of a join against the previous labels. Decimal sum: a long
+    // sum would overflow past ~10^12 rows of 10^12-sized ids.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
         .select($"dst".as("doc_id"), $"label")
       val next = labels.union(prop)
         .groupBy($"doc_id").agg(min($"label").as("label")).persist()
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter($"label" =!= $"old").count()
+      val s = next.agg(sum($"label".cast("decimal(38,0)"))).first().getDecimal(0)
       if (prevCached != null) prevCached.unpersist()
       prevCached = next
       labels = next
-      converged = changed == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
     }
     edges.unpersist()
     // The converged label table backs the query's two consumers below;
