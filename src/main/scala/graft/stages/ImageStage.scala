@@ -131,6 +131,62 @@ object ImageStage {
         }
     }
 
+  final case class ImageHash(assetId: String, ok: Boolean, ahash: Long)
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint: downsample to
+    * 8×8 mean-channel luminance (area average — every source pixel
+    * contributes, so the hash is resolution-stable), then bit i = 1 iff
+    * cell i is above the global mean. Near-identical images (recompress,
+    * mild resize/brightness shifts) land within a few hamming bits, which
+    * plugs image dedup straight into the same pigeonhole-chunk hamming
+    * join used for SimHash text pairs (Dedup.simhashNearPairs shape) —
+    * the multimodal face of near-dup at 100 TB: per-row hash, shuffle
+    * only on chunk keys.
+    */
+  def aHashStage: InferenceStage[ImageIn, ImageHash] =
+    new InferenceStage[ImageIn, ImageHash] {
+      def setup(): ModelHandle[ImageIn, ImageHash] =
+        new ModelHandle[ImageIn, ImageHash] {
+          def infer(in: ImageIn): ImageHash = decode(in.content) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val cells = new Array[Double](64)
+              val counts = new Array[Long](64)
+              var y = 0
+              while (y < h) {
+                val cy = math.min(y * 8 / h, 7)
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(x * 8 / w, 7)
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                    (rgb & 0xff)) / 3.0
+                  val c = cy * 8 + cx
+                  cells(c) += lum; counts(c) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              var mean = 0.0
+              var i = 0
+              while (i < 64) {
+                cells(i) = if (counts(i) > 0) cells(i) / counts(i) else 0.0
+                mean += cells(i)
+                i += 1
+              }
+              mean /= 64
+              var bits = 0L
+              i = 0
+              while (i < 64) {
+                if (cells(i) > mean) bits |= 1L << i
+                i += 1
+              }
+              ImageHash(in.assetId, ok = true, bits)
+            case None => ImageHash(in.assetId, ok = false, 0L)
+          }
+        }
+    }
+
   /** Channel-mean brightness in [0,1] — the scalar face of the reference's
     * normalize-to-[-1,1] tensor step, usable as a quality predicate.
     */

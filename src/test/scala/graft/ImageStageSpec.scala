@@ -61,6 +61,39 @@ class ImageStageSpec extends SparkSpec {
     assert(!m("badsize").ok && !m("junk").ok)
   }
 
+  /** Gradient pattern: left half dark, right half bright — a stable
+    * structure for perceptual hashing across resolutions.
+    */
+  private def halfPng(w: Int, h: Int, dark: Int, bright: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) dark else bright)
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("aHash: resolution-stable, near-identical images within few bits, inverse far") {
+    import spark.implicits._
+    val ds = Seq(
+      ImageIn("base", halfPng(64, 64, 0x202020, 0xd0d0d0)),
+      ImageIn("big", halfPng(128, 128, 0x202020, 0xd0d0d0)),
+      ImageIn("shift", halfPng(64, 64, 0x282828, 0xd8d8d8)),
+      ImageIn("inverse", halfPng(64, 64, 0xd0d0d0, 0x202020)),
+      ImageIn("junk", Array[Byte](7, 7, 7))).toDS().repartition(2)
+    val h = ImageStage.aHashStage.run(ds).collect()
+      .map(x => x.assetId -> x).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h("base").ok && !h("junk").ok)
+    // Same structure at 2x resolution: identical hash (area averages equal).
+    assert(ham(h("base").ahash, h("big").ahash) == 0)
+    // Uniform brightness shift: thresholding vs the global mean is
+    // shift-invariant, so the hash is unchanged.
+    assert(ham(h("base").ahash, h("shift").ahash) == 0)
+    // Inverted structure: every bit flips.
+    assert(ham(h("base").ahash, h("inverse").ahash) == 64)
+  }
+
   test("brightness stage: white ~1.0, dark ~0.0") {
     import spark.implicits._
     val ds = Seq(
