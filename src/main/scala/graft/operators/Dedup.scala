@@ -143,7 +143,10 @@ object Dedup {
           least(col("x.n"), col("y.n")).cast("double") >=
             lit(minJ) * greatest(col("x.n"), col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    verifyJaccard(cand, sh, minJ).distinct()
+    // The verified pair set is tiny (true near-dups) and is consumed
+    // again by downstream operators (clustering) — cache the output, not
+    // just the build inputs.
+    cacheIndex(verifyJaccard(cand, sh, minJ).distinct())
   }
 
   /** Exact-Jaccard verification of candidate pairs against compact
