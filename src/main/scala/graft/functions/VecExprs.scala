@@ -1,10 +1,28 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Both expressions read ArrayData elements as primitive longs — anything
+  * except ARRAY<BIGINT> would be reinterpreted garbage (or a cast error)
+  * at runtime, so reject it at analysis time.
+  */
+private[functions] trait LongArrayArgs { self: BinaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+}
 
 /** Native Catalyst expression for the exact integer dot product of two
   * quantized (array<long>) vectors.
@@ -17,7 +35,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * whole-stage codegen. Semantics are identical (element-wise product
   * summed over the common prefix length).
   */
-case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
+case class DotQ(left: Expression, right: Expression)
+    extends BinaryExpression with LongArrayArgs {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_q"
@@ -62,7 +81,7 @@ case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
   * `sort_array(collect_list(...))` over distinct shingle rows produces.
   */
 case class IntersectCountSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with LongArrayArgs {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "intersect_count_sorted"

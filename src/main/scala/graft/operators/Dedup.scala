@@ -178,39 +178,27 @@ object Dedup {
       .filter($"jaccard" >= minJ)
   }
 
-  /** MinHash signatures as an aggregation over exploded (doc, shingle)
-    * rows: one min(xxhash64(p, s)) aggregate per permutation, assembled
-    * into an array column.
+  /** (doc_id, band, bandHash) rows straight off the MinHash aggregate:
+    * one min(xxhash64(p, s)) aggregate per permutation, band hashes as
+    * plain `xxhash64(m_i..m_j)` columns over those aggregate columns.
     *
-    * Why not a per-row nested-transform expression over a shingle-array
-    * column? Catalyst's project collapsing inlines the shingle-building
-    * expression (which contains a quadratic array_distinct) into every one
-    * of the 64 permutation lambdas, re-evaluating it 64× per row — that
-    * shape measured 520+ s at sf0.1 vs seconds for this aggregate. A
-    * hash-aggregate with 64 partial mins is also the right distributed
-    * shape: map-side combine keeps the shuffle at one row per doc.
+    * Why an aggregate over exploded (doc, shingle) rows and not a per-row
+    * nested-transform over a shingle-array column? Catalyst's project
+    * collapsing inlines the shingle-building expression (which contains a
+    * quadratic array_distinct) into every one of the 64 permutation
+    * lambdas, re-evaluating it 64× per row — that shape measured 520+ s
+    * at sf0.1 vs seconds for this aggregate. A hash-aggregate with 64
+    * partial mins is also the right distributed shape: map-side combine
+    * keeps the shuffle at one row per doc.
+    *
+    * Why plain multi-arg xxhash64 for the band hash (and not slicing an
+    * assembled array column)? The slice/concat_ws/transform form ran
+    * interpreted per element and converted every signature long to text:
+    * 8.6 s at sf0.1 vs sub-second for whole-stage-codegen'd long hashing.
     *
     * xxhash64 (not md5): signatures only drive candidate generation — the
     * exact-Jaccard verify defines the output — so only within-Spark
     * determinism is needed, and xxhash64 is codegen-native.
-    */
-  def minhashSignatures(shingleRows: DataFrame, perms: Int): DataFrame = {
-    import shingleRows.sparkSession.implicits._
-    val mins = (0 until perms).map(p => min(xxhash64(lit(p), $"s64")).as(s"m$p"))
-    shingleRows.groupBy($"doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select($"doc_id",
-        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-  }
-
-  /** (doc_id, band, bandHash) rows straight off the minhash aggregate.
-    *
-    * Band hashes are computed as plain `xxhash64(m_i..m_j)` columns over
-    * the aggregate's per-permutation min columns — whole-stage-codegen
-    * multi-argument long hashing. The previous shape (slice() an array
-    * column, concat_ws the longs into a string, hash the string, inside a
-    * transform() lambda) ran interpreted per element and converted every
-    * signature long to text: 8.6 s at sf0.1 vs sub-second for this form.
     */
   private def bandedSignatures(shingleRows: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
@@ -360,7 +348,9 @@ object Dedup {
       if (prevCached != null) prevCached.unpersist()
       prevCached = next
       labels = next
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // s is null exactly when the corpus is empty — converged trivially
+      // (otherwise the null-vs-null comparison would loop forever).
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
     }
     edges.unpersist()

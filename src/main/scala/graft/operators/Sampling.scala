@@ -233,10 +233,11 @@ object Sampling {
     * contributes at least one document).
     *
     * This is how pre-training mixtures are actually cut: a stable
-    * pseudo-random order (reruns pick the same docs; corpus growth only
-    * appends candidates after the cut line) and a running-sum window
-    * partitioned by source — parallelism scales with source count, no
-    * global ordering anywhere.
+    * pseudo-random order (reruns over the same corpus pick the same
+    * docs; growth inserts new candidates uniformly into the order, so
+    * the cut line itself only moves where new docs land before it) and
+    * a running-sum window partitioned by source — parallelism scales
+    * with source count, no global ordering anywhere.
     */
   def tokenBudgetMixture(docs: DataFrame, budget: Long): DataFrame = {
     import docs.sparkSession.implicits._

@@ -176,6 +176,12 @@ object Similarity {
       .select($"v").collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }
       .toSeq
+    if (cents.isEmpty) {
+      // Empty corpus: no centroids to train — return the empty result with
+      // the operator's schema instead of failing at construction time.
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    }
     val dims = cents.head._2.length
     // argmin over (squared-L2 dist, cid): array_min on (dist, cid) structs
     // gives the lexicographic minimum — identical tiebreak to the window

@@ -148,7 +148,11 @@ object ImageStage {
       def setup(): ModelHandle[ImageIn, ImageHash] =
         new ModelHandle[ImageIn, ImageHash] {
           def infer(in: ImageIn): ImageHash = decode(in.content) match {
-            case Some(img) =>
+            // Sub-8px images leave 8x8 cells empty, which would skew the
+            // global mean (empty cells read as 0) and break the
+            // resolution-stability property — treat them like decode
+            // failures rather than emit a misleading hash.
+            case Some(img) if img.getWidth >= 8 && img.getHeight >= 8 =>
               val (w, h) = (img.getWidth, img.getHeight)
               val cells = new Array[Double](64)
               val counts = new Array[Long](64)
@@ -182,7 +186,7 @@ object ImageStage {
                 i += 1
               }
               ImageHash(in.assetId, ok = true, bits)
-            case None => ImageHash(in.assetId, ok = false, 0L)
+            case _ => ImageHash(in.assetId, ok = false, 0L)
           }
         }
     }

@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object InceptionScore {
 
-  /** Per-split scores: (split, n, kl_mean, score = exp(kl_mean)). */
+  /** Per-split scores: (split, n, kl_mean, score = exp(kl_mean)).
+    * Eager (the result has ≤ splits rows): the interpreted per-row
+    * softmax projection is persisted for its two consumers (marginal
+    * aggregate + KL fold) and released before returning — the same
+    * build-once pattern as the Dedup/Similarity index caches.
+    */
   def perSplitScores(df: DataFrame, col: String = "embedding",
       idCol: String = "vec_id", splits: Int = 10): DataFrame = {
     val spark = df.sparkSession
@@ -36,21 +41,36 @@ object InceptionScore {
         least(floor(org.apache.spark.sql.functions.col(idCol) * splits / n),
           lit(splits - 1)).cast("int").as("split"),
         softmaxCol(org.apache.spark.sql.functions.col(col)).as("p"))
-    // Marginal p(y) per split: explode + aggregate (splits×d cells out).
-    val marginal = probs
-      .select($"split", posexplode($"p").as(Seq("i", "pi")))
-      .groupBy($"split", $"i").agg(avg($"pi").as("mi"))
-      .groupBy($"split")
-      .agg(transform(array_sort(collect_list(struct($"i", $"mi"))),
-        x => x.getField("mi")).as("m"))
-    probs.join(broadcast(marginal), "split")
-      .select($"split",
-        aggregate(zip_with($"p", $"m", (p, m) =>
-          when(p > 0d, p * (log(p) - log(m))).otherwise(lit(0d))),
-          lit(0d), (acc, x) => acc + x).as("kl"))
-      .groupBy($"split")
-      .agg(count(lit(1)).as("n"), avg($"kl").as("kl_mean"))
-      .withColumn("score", exp($"kl_mean"))
+      .persist()
+    try {
+      // Marginal p(y) per split: explode + aggregate (splits×d cells out).
+      val marginal = probs
+        .select($"split", posexplode($"p").as(Seq("i", "pi")))
+        .groupBy($"split", $"i").agg(avg($"pi").as("mi"))
+        .groupBy($"split")
+        .agg(transform(array_sort(collect_list(struct($"i", $"mi"))),
+          x => x.getField("mi")).as("m"))
+      val rows = probs.join(broadcast(marginal), "split")
+        .select($"split",
+          aggregate(zip_with($"p", $"m", (p, m) =>
+            when(p > 0d, p * (log(p) - log(m))).otherwise(lit(0d))),
+            lit(0d), (acc, x) => acc + x).as("kl"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), avg($"kl").as("kl_mean"))
+        .withColumn("score", exp($"kl_mean"))
+        .collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("split",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("kl_mean",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType))))
+    } finally probs.unpersist()
   }
 
   /** (mean, std) of the per-split scores — the reference's headline pair.
