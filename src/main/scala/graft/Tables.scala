@@ -37,6 +37,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String): Tables =
     cache.getOrElseUpdate((spark, sfDir), doLoad(spark, sfDir))
 
+  /** Drop a session's cached loaders. Call after stopping a session in a
+    * long-lived multi-session process — the memo map otherwise keeps the
+    * stopped session (and its plans) strongly reachable forever.
+    */
+  def invalidate(spark: SparkSession): Unit =
+    cache.keys.filter(_._1 eq spark).foreach(cache.remove)
+
   private def doLoad(spark: SparkSession, sfDir: String): Tables = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
     // read it as raw nanos and truncate to microseconds (integer div — a

@@ -23,6 +23,10 @@ case class HexLong(child: Expression, nChars: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
+    // Bounds check before the unsafe byte reads: a short input must fail
+    // loudly, not read past the buffer into JVM-memory-dependent garbage.
+    if (s.numBytes < nChars) throw new IllegalArgumentException(
+      s"hex_long needs >= $nChars chars, got '${s.toString}'")
     var acc = 0L
     var i = 0
     while (i < nChars) {
@@ -40,6 +44,10 @@ case class HexLong(child: Expression, nChars: Int) extends UnaryExpression {
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
       s"""
+         |if ($s.numBytes() < $nChars) {
+         |  throw new IllegalArgumentException(
+         |    "hex_long needs >= $nChars chars, got '" + $s.toString() + "'");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $nChars; $i++) {
          |  byte $b = $s.getByte($i);

@@ -34,12 +34,17 @@ case class WeightedBucket(child: Expression, cums: Array[Double],
   @transient private lazy val utf8Items: Array[UTF8String] =
     items.map(UTF8String.fromString)
 
-  /** First index whose threshold exceeds u (strict), else the last item. */
+  /** First index whose threshold exceeds u (strict), else the last item.
+    * Zero-weight items create duplicate thresholds, and binarySearch
+    * returns an arbitrary index among equals — advance past every
+    * threshold <= u so an exact-equality hit can never select a
+    * probability-zero bucket (the when-chain/oracle CASE semantics).
+    */
   private def pick(u: Double): Int = {
     val r = java.util.Arrays.binarySearch(cums, u)
-    // Found exactly: u == cums(i) fails u < cums(i), so the bucket is i+1.
-    // Not found: insertion point is the first threshold > u.
-    if (r >= 0) r + 1 else -r - 1
+    var i = if (r >= 0) r else -r - 1
+    while (i < cums.length && cums(i) <= u) i += 1
+    i
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -53,7 +58,8 @@ case class WeightedBucket(child: Expression, cums: Array[Double],
       val r = ctx.freshName("r")
       s"""
          |int $r = java.util.Arrays.binarySearch($cumsRef, $u);
-         |$r = ($r >= 0) ? $r + 1 : -$r - 1;
+         |$r = ($r >= 0) ? $r : -$r - 1;
+         |while ($r < $cumsRef.length && $cumsRef[$r] <= $u) { $r++; }
          |${ev.value} = $itemsRef[$r];
        """.stripMargin
     })

@@ -29,18 +29,6 @@ import graft.functions.Fp._
   */
 object Dedup {
 
-  /** Sliding n-gram shingles over whitespace tokens, distinct. Documents
-    * with fewer than n tokens yield an empty array (a descending sequence()
-    * would otherwise index out of range).
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** The ONE shingle inverted index every near-dup operator shares:
     * distinct (doc_id, s64) rows with s64 = hash60(md5) of the 3-gram
     * string. One representation serves all four consumers — Jaccard
@@ -70,35 +58,20 @@ object Dedup {
       .filter($"i" <= size($"toks") - 3)
       .select($"doc_id", hash60(concat_ws(" ", $"w",
         element_at($"toks", $"i" + 2), element_at($"toks", $"i" + 3))).as("s64"))
-    val cached = sh.distinct().persist()
-    persisted.add(cached)
-    cached
+    cacheIndex(sh.distinct())
   }
 
-  /** Persist-and-register a derived index (prefix table, band table,
-    * per-doc shingle sets). Self-joins over these would otherwise compute
-    * the build subtree once per join side — the dominant cost at any
-    * scale, since the build involves window sorts or wide aggregates.
-    * CacheManager keys on the canonical plan, so repeated calls (and
-    * sibling operators over the same corpus) share one copy.
+  /** Registry for every derived index this family persists (shingle
+    * rows, prefix table, band table, per-doc shingle sets, verified pair
+    * sets, converged cluster labels) — see [[graft.CacheRegistry]].
     */
-  private def cacheIndex(df: DataFrame): DataFrame = {
-    val cached = df.persist()
-    persisted.add(cached)
-    cached
-  }
+  private val registry = new graft.CacheRegistry
+  private def cacheIndex(df: DataFrame): DataFrame = registry.cache(df)
 
-  private val persisted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
-
-  /** Unpersist every shingle index cached by the near-dup operators.
-    * Call between corpora in a long-lived session; in-flight jobs still
-    * holding the data recompute lazily, so this is always safe.
+  /** Unpersist every index cached by the near-dup operators. Call
+    * between corpora in a long-lived session.
     */
-  def releaseIndexes(): Unit = {
-    val it = persisted.iterator()
-    while (it.hasNext) { it.next().unpersist(); it.remove() }
-  }
+  def releaseIndexes(): Unit = registry.release()
 
   /** Exact 3-gram Jaccard similarity join via prefix filtering (AllPairs /
     * PPJoin family): all pairs with j >= minJ, no approximation.
@@ -356,7 +329,7 @@ object Dedup {
     edges.unpersist()
     // The converged label table backs the query's two consumers below;
     // free it with the other session indexes.
-    if (prevCached != null) persisted.add(prevCached)
+    if (prevCached != null) registry.add(prevCached)
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",

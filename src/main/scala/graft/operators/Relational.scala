@@ -215,8 +215,14 @@ object Relational {
     events
       .select($"event_type", cents($"value").as("c"))
       .groupBy($"event_type")
+      // Decimal (not double) sum of squares: at 100 TB the partial sums
+      // pass 2^53 and double addition stops being exact/order-independent;
+      // the exact decimal sum rounds to double exactly once at the end.
       .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"),
-        sum(($"c" * $"c").cast("double")).as("sumsq"))
+        sum(($"c" * $"c").cast("decimal(38,0)")).as("sumsq_d"))
+      .select(
+        $"event_type", $"n", $"sum_c",
+        $"sumsq_d".cast("double").as("sumsq"))
       .select(
         $"event_type", $"n",
         ($"sum_c".cast("double") / 100.0).as("sum_value"),
@@ -407,7 +413,7 @@ object Relational {
          |FROM (
          |  SELECT event_type, COUNT(*) AS n,
          |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_c,
-         |    SUM(CAST(${centsSql("value")} * ${centsSql("value")} AS DOUBLE)) AS sumsq
+         |    CAST(SUM(${centsSql("value")} * ${centsSql("value")}) AS DOUBLE) AS sumsq
          |  FROM events GROUP BY event_type)""".stripMargin,
     "q16_event_histogram" ->
       """SELECT event_type, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share

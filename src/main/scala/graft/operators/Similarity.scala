@@ -33,16 +33,12 @@ object Similarity {
   def quantize(embedding: Column): Column =
     transform(embedding, x => round(x * 1000.0, 0).cast("long"))
 
-  private val persisted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  private val registry = new graft.CacheRegistry
 
   /** Unpersist the shared quantized corpus (between corpora in a
-    * long-lived session; in-flight jobs recompute lazily, always safe).
+    * long-lived session) — see [[graft.CacheRegistry]].
     */
-  def releaseIndexes(): Unit = {
-    val it = persisted.iterator()
-    while (it.hasNext) { it.next().unpersist(); it.remove() }
-  }
+  def releaseIndexes(): Unit = registry.release()
 
   /** The ONE quantized-corpus projection every similarity operator shares:
     * (vec_id, v, nsq) with v in integer milliunits. quantize() is an
@@ -55,12 +51,9 @@ object Similarity {
     */
   private def quantized(embeddings: DataFrame): DataFrame = {
     import embeddings.sparkSession.implicits._
-    val cached = embeddings
+    registry.cache(embeddings
       .select($"vec_id", quantize($"embedding").as("v"))
-      .withColumn("nsq", normSqQ($"v"))
-      .persist()
-    persisted.add(cached)
-    cached
+      .withColumn("nsq", normSqQ($"v")))
   }
 
   /** Exact integer dot product of two quantized vectors (native codegen
@@ -71,6 +64,21 @@ object Similarity {
   /** Squared L2 norm of a quantized vector. */
   def normSqQ(v: Column): Column = dotQ(v, v)
 
+  /** Shared epilogue of every top-k variant: exact-integer cosine of the
+    * joined (qv,qnsq)×(v,nsq) rows, then the rank-deterministic per-query
+    * top-k window.
+    */
+  private def scoreTopK(joined: DataFrame, k: Int): DataFrame = {
+    import joined.sparkSession.implicits._
+    val scored = joined
+      .select($"qid", $"vec_id".as("nid"),
+        (dotQ($"qv", $"v").cast("double") /
+          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), rank-deterministic.
     */
@@ -79,13 +87,7 @@ object Similarity {
     val e = quantized(embeddings)
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
-    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("nid"),
-        (dotQ($"qv", $"v").cast("double") /
-          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= k)
+    scoreTopK(e.join(broadcast(q), $"vec_id" =!= $"qid"), k)
   }
 
   /** Random-hyperplane LSH signature: bit p = sign of <v, r_p>, with
@@ -111,7 +113,12 @@ object Similarity {
       val dotNum = dotQ(v, typedlit(comps))
       when(dotNum >= 0L, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // The literal plane arrays have exactly `dims` components and the dot
+    // truncates to the common prefix — a vector of any other length would
+    // silently bucket on partial data, so fail loudly instead.
+    when(size(v) === dims, bits.reduce(_ + _)).otherwise(raise_error(
+      concat(lit(s"lshBucket: expected $dims dims, got "),
+        size(v).cast("string"))))
   }
 
   /** LSH-bucketed approximate cosine top-k: score only within the query's
@@ -119,21 +126,15 @@ object Similarity {
     * so this is the scale path, not the oracle-matched baseline.
     */
   def cosineTopKLsh(embeddings: DataFrame, nQueries: Int, k: Int,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4, dims: Int = 64): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-      .withColumn("bucket", lshBucket($"v", planes, 64))
+      .withColumn("bucket", lshBucket($"v", planes, dims))
     val q = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
         $"bucket".as("qbucket"))
-    val scored = e.join(broadcast(q),
-        $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("nid"),
-        (dotQ($"qv", $"v").cast("double") /
-          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= k)
+    scoreTopK(e.join(broadcast(q),
+      $"bucket" === $"qbucket" && $"vec_id" =!= $"qid"), k)
   }
 
   /** IVF-style approximate cosine top-k: a coarse k-means quantizer
@@ -183,15 +184,18 @@ object Similarity {
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
     }
     val dims = cents.head._2.length
-    // argmin over (squared-L2 dist, cid): array_min on (dist, cid) structs
-    // gives the lexicographic minimum — identical tiebreak to the window
-    // formulation it replaces.
-    def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
-      array_min(array(cs.map { case (cid, cv) =>
+    // Per-row (squared-L2 dist, cid) struct per centroid — the single
+    // source for both assignment (array_min = lexicographic minimum,
+    // identical tiebreak to the window formulation it replaced) and
+    // query probing (array_sort + slice).
+    def centStructs(cs: Seq[(Long, Array[Long])]): Column =
+      array(cs.map { case (cid, cv) =>
         val cnsq = cv.map(x => x * x).sum
         struct(($"nsq" + lit(cnsq) - lit(2L) * dotQ($"v", typedlit(cv.toSeq)))
           .as("dist"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+      }: _*)
+    def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
+      array_min(centStructs(cs)).getField("cid")
     for (_ <- 1 to iters) {
       val sums = (0 until dims).map(i =>
         sum(element_at($"v", i + 1)).as(s"s$i"))
@@ -210,23 +214,13 @@ object Similarity {
     // Each query probes its nprobe nearest centroid lists (same integer
     // squared-L2 metric as assignment): sort the per-row (dist, cid)
     // array and slice — map-side, no window.
-    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
-      val cnsq = cv.map(x => x * x).sum
-      struct(($"nsq" + lit(cnsq) - lit(2L) * dotQ($"v", typedlit(cv.toSeq)))
-        .as("dist"), lit(cid).as("cid"))
-    }: _*))
+    val probeArr = array_sort(centStructs(cents))
     val qProbes = e.filter($"vec_id" < nQueries)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
         explode(slice(probeArr, 1, nprobe)).as("pp"))
       .select($"qid", $"qv", $"qnsq", col("pp.cid").as("list_id"))
-    val scored = assigned.join(broadcast(qProbes),
-        Seq("list_id")).filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("nid"),
-        (dotQ($"qv", $"v").cast("double") /
-          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double"))).as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= k)
+    scoreTopK(assigned.join(broadcast(qProbes), Seq("list_id"))
+      .filter($"vec_id" =!= $"qid"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all same-bucket pairs with
@@ -238,10 +232,10 @@ object Similarity {
     * buckets (exact integer signs), so the oracle matches bit-for-bit.
     */
   def cosineNearDups(embeddings: DataFrame, minCos: Double,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4, dims: Int = 64): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-      .withColumn("bucket", lshBucket($"v", planes, 64))
+      .withColumn("bucket", lshBucket($"v", planes, dims))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

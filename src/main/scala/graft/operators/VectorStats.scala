@@ -29,9 +29,13 @@ object VectorStats {
     embeddings
       .select($"label", posexplode(quantize($"embedding")).as(Seq("dim", "q")))
       .groupBy($"label", $"dim")
+      // Decimal sum of squares: exact at any scale, one double rounding at
+      // the end (a double sum stops being order-independent past 2^53).
       .agg(count(lit(1)).as("n"), sum($"q").as("s"),
-        sum(($"q" * $"q").cast("double")).as("ssq"))
-      .select($"label", $"dim".cast("long").as("dim"), $"n",
+        sum(($"q" * $"q").cast("decimal(38,0)")).as("ssq_d"))
+      .select($"label", $"dim".cast("long").as("dim"), $"n", $"s",
+        $"ssq_d".cast("double").as("ssq"))
+      .select($"label", $"dim", $"n",
         ($"s".cast("double") / $"n" / 1000.0).as("mean"),
         (($"ssq" / $"n" -
           ($"s".cast("double") / $"n") * ($"s".cast("double") / $"n"))
@@ -66,7 +70,7 @@ object VectorStats {
         |  FROM embeddings),
         |m AS (
         |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(qv) AS BIGINT) AS s,
-        |    SUM(CAST(qv * qv AS DOUBLE)) AS ssq
+        |    CAST(SUM(qv * qv) AS DOUBLE) AS ssq
         |  FROM q GROUP BY label, dim)
         |SELECT label, CAST(dim AS BIGINT) AS dim, n,
         |  CAST(s AS DOUBLE) / n / 1000.0 AS mean,

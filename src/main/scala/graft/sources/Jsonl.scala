@@ -37,10 +37,17 @@ object Jsonl {
     df.filter(col(CorruptCol).isNull && col(requiredField).isNotNull)
       .drop(CorruptCol)
 
-  /** Rejected lines, for a quarantine sink (reference logs-and-skips). */
-  def rejects(df: DataFrame, requiredField: String): DataFrame =
+  /** Rejected lines, for a quarantine sink (reference logs-and-skips).
+    * Corrupt lines carry the original text; rows that parsed but lack the
+    * required key have a NULL corrupt column, so their content is
+    * round-tripped through to_json — recoverable either way, never NULL.
+    */
+  def rejects(df: DataFrame, requiredField: String): DataFrame = {
+    val parsedFields = df.columns.filterNot(_ == CorruptCol).map(col)
     df.filter(col(CorruptCol).isNotNull || col(requiredField).isNull)
-      .select(col(CorruptCol).as("raw"))
+      .select(coalesce(col(CorruptCol), to_json(struct(parsedFields: _*)))
+        .as("raw"))
+  }
 
   /** Streaming variant of [[read]] — same tolerance, file-arrival source
     * (reference's incremental prompt stream).
