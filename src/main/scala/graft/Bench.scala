@@ -30,13 +30,15 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => failed += name; false }
+      // -1 marks a failure in the numbers themselves; failed queries do
+      // not contribute to the total, so a crash can't read as a speedup.
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // A throwing query must not read as a fast success — surface it.
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")

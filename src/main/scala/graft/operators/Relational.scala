@@ -219,7 +219,7 @@ object Relational {
       // pass 2^53 and double addition stops being exact/order-independent;
       // the exact decimal sum rounds to double exactly once at the end.
       .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"),
-        sum(($"c" * $"c").cast("decimal(38,0)")).as("sumsq_d"))
+        sum($"c".cast("decimal(38,0)") * $"c").as("sumsq_d"))
       .select(
         $"event_type", $"n", $"sum_c",
         $"sumsq_d".cast("double").as("sumsq"))
@@ -413,7 +413,7 @@ object Relational {
          |FROM (
          |  SELECT event_type, COUNT(*) AS n,
          |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_c,
-         |    CAST(SUM(${centsSql("value")} * ${centsSql("value")}) AS DOUBLE) AS sumsq
+         |    CAST(SUM(CAST(${centsSql("value")} AS HUGEINT) * ${centsSql("value")}) AS DOUBLE) AS sumsq
          |  FROM events GROUP BY event_type)""".stripMargin,
     "q16_event_histogram" ->
       """SELECT event_type, n, CAST(n AS DOUBLE) / SUM(n) OVER () AS share

@@ -115,10 +115,14 @@ object Similarity {
     }
     // The literal plane arrays have exactly `dims` components and the dot
     // truncates to the common prefix — a vector of any other length would
-    // silently bucket on partial data, so fail loudly instead.
-    when(size(v) === dims, bits.reduce(_ + _)).otherwise(raise_error(
-      concat(lit(s"lshBucket: expected $dims dims, got "),
-        size(v).cast("string"))))
+    // silently bucket on partial data, so fail loudly. NULL vectors
+    // null-propagate (their scored rows filter out downstream) rather
+    // than killing the job with a message-less error.
+    when(v.isNull, lit(null).cast("long"))
+      .when(size(v) === dims, bits.reduce(_ + _))
+      .otherwise(raise_error(
+        concat(lit(s"lshBucket: expected $dims dims, got "),
+          coalesce(size(v).cast("string"), lit("null")))))
   }
 
   /** LSH-bucketed approximate cosine top-k: score only within the query's

@@ -32,7 +32,7 @@ object VectorStats {
       // Decimal sum of squares: exact at any scale, one double rounding at
       // the end (a double sum stops being order-independent past 2^53).
       .agg(count(lit(1)).as("n"), sum($"q").as("s"),
-        sum(($"q" * $"q").cast("decimal(38,0)")).as("ssq_d"))
+        sum($"q".cast("decimal(38,0)") * $"q").as("ssq_d"))
       .select($"label", $"dim".cast("long").as("dim"), $"n", $"s",
         $"ssq_d".cast("double").as("ssq"))
       .select($"label", $"dim", $"n",
@@ -70,7 +70,7 @@ object VectorStats {
         |  FROM embeddings),
         |m AS (
         |  SELECT label, dim, COUNT(*) AS n, CAST(SUM(qv) AS BIGINT) AS s,
-        |    CAST(SUM(qv * qv) AS DOUBLE) AS ssq
+        |    CAST(SUM(CAST(qv AS HUGEINT) * qv) AS DOUBLE) AS ssq
         |  FROM q GROUP BY label, dim)
         |SELECT label, CAST(dim AS BIGINT) AS dim, n,
         |  CAST(s AS DOUBLE) / n / 1000.0 AS mean,

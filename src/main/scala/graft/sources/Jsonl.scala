@@ -45,7 +45,9 @@ object Jsonl {
   def rejects(df: DataFrame, requiredField: String): DataFrame = {
     val parsedFields = df.columns.filterNot(_ == CorruptCol).map(col)
     df.filter(col(CorruptCol).isNotNull || col(requiredField).isNull)
-      .select(coalesce(col(CorruptCol), to_json(struct(parsedFields: _*)))
+      .select(coalesce(col(CorruptCol),
+        to_json(struct(parsedFields: _*),
+          java.util.Collections.singletonMap("ignoreNullFields", "false")))
         .as("raw"))
   }
 
