@@ -33,6 +33,20 @@ object Sinks {
       .partitionBy(keyCol)
       .parquet(outDir)
 
+  /** Bucketed + sorted managed table — the co-located-join layout for
+    * fact-fact joins at scale: two tables bucketed on the same key into
+    * the same bucket count join with ZERO exchange (and with sortBy, zero
+    * sort) — the shuffle is paid once at write time instead of per query.
+    * Requires saveAsTable (bucket metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K4: per-record text files keyed by an id column — the reference's
     * `{prompt_number}.txt` writer. partitionBy(id) + text gives the same
     * one-record-one-dir layout with distributed writes.

@@ -74,6 +74,44 @@ class SinksSpec extends SparkSpec {
     val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
     assert(subdirs.toSet == Set("product_id=1", "product_id=2"))
   }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    import spark.implicits._
+    val t = tables
+    Seq("bk_orders", "bk_lineitem").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sinks.writeBucketed(
+      t.orders.select($"o_orderkey", $"o_totalprice"), "o_orderkey", 4,
+      "bk_orders")
+    Sinks.writeBucketed(
+      t.lineitem.select($"l_orderkey", $"l_quantity"), "l_orderkey", 4,
+      "bk_lineitem")
+    // Disable broadcast so the test exercises the bucketed sort-merge
+    // path — otherwise tiny test tables trivially pass via BHJ.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_orders").join(spark.table("bk_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // The shuffle was paid once at write time: the sort-merge join must
+      // plan no shuffle exchange on either side.
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == tables.lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
 
 class StreamingSpec extends SparkSpec {
