@@ -117,9 +117,33 @@ object Reporting {
         $"cnt".as("n_orders"))
   }
 
+  /** Per-source corpus card — the ingest summary a training-data pipeline
+    * reports: document/char volume, language mix, quality accept rate,
+    * exact-duplicate incidence. Composes the quality and fingerprint
+    * operators; per-doc joins shuffle on doc_id once each, the final
+    * rollup is a low-cardinality hash aggregate.
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val quality = TextAnalysis.qualityScore(docs).select($"doc_id", $"accept")
+    val dup = TextAnalysis.fingerprints(docs)
+      .withColumn("copies", count(lit(1)).over(Window.partitionBy($"fp")))
+      .select($"doc_id", ($"copies" > 1).as("dup"))
+    docs.select($"doc_id", $"source", $"lang", $"n_chars")
+      .join(quality, "doc_id")
+      .join(dup, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        countDistinct($"lang").as("n_langs"),
+        sum(when($"accept", 1L).otherwise(0L)).as("n_accept"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dups"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    "q68_corpus_report" -> ((s, d) => corpusReport(Tables.load(s, d).documents)),
     "q53_revenue_rollup" -> ((s, d) => {
       val t = Tables.load(s, d)
       revenueRollup(t.region, t.nation, t.customer, t.orders)
@@ -132,6 +156,22 @@ object Reporting {
   )
 
   def oracles: Map[String, String] = Map(
+    "q68_corpus_report" ->
+      s"""WITH q AS (${TextAnalysis.oracles("q22_quality_score")}),
+         |dup AS (
+         |  SELECT doc_id,
+         |    COUNT(*) OVER (PARTITION BY ${TextAnalysis.fingerprintSql}) > 1 AS dup
+         |  FROM documents)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(CASE WHEN q.accept THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+         |  CAST(SUM(CASE WHEN dup.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         |FROM documents d
+         |JOIN q USING (doc_id)
+         |JOIN dup USING (doc_id)
+         |GROUP BY source""".stripMargin,
     "q53_revenue_rollup" ->
       s"""SELECT COALESCE(r_name, '<all>') AS region_name,
          |  COALESCE(n_name, '<all>') AS nation_name,
