@@ -303,7 +303,42 @@ object Dedup {
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("src", "dst").persist()
-    edges.count() // materialize once; every round joins it
+    val nEdges = edges.count() // materialize once; every round joins it
+    // Near-dup pair graphs are tiny relative to the corpus (the giant
+    // components of web dedup are exact dups, removed earlier). Below a
+    // driver-memory threshold, union-find locally — one collect + one
+    // broadcast join instead of diameter-many propagation rounds. The
+    // distributed fixpoint below remains the unbounded-graph path; both
+    // produce the identical min-label components.
+    if (nEdges <= 2_000_000) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // Min-label roots: union-by-min above keeps every root the minimum
+      // of its component.
+      val labelMap = parent.keys.map(k => k -> find(k)).toMap
+      edges.unpersist()
+      val spark = docs.sparkSession
+      val lm = spark.createDataFrame(labelMap.toSeq).toDF("doc_id", "label")
+      val labels = docs.select($"doc_id")
+        .join(broadcast(lm), Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("label"))
+      // sizes is one row per cluster (mostly singletons — corpus-sized):
+      // a plain join, NOT a broadcast.
+      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      return labels.join(sizes, "label")
+        .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
+          ($"doc_id" === $"label").as("keep"))
+    }
     var labels = docs.select($"doc_id", $"doc_id".as("label"))
     var prevCached: DataFrame = null
     // Labels only ever decrease, so Σlabel strictly decreases until the
