@@ -66,7 +66,13 @@ object Dedup {
     * sets, converged cluster labels) — see [[graft.CacheRegistry]].
     */
   private val registry = new graft.CacheRegistry
-  private def cacheIndex(df: DataFrame): DataFrame = registry.cache(df)
+  private[operators] def cacheIndex(df: DataFrame): DataFrame =
+    registry.cache(df)
+
+  /** Public face of the shared shingle index for sibling operator
+    * families (e.g. Reporting.sourceOverlap).
+    */
+  def shingleIndex(docs: DataFrame): DataFrame = shingleRows(docs)
 
   /** Unpersist every index cached by the near-dup operators. Call
     * between corpora in a long-lived session.
@@ -439,7 +445,7 @@ object Dedup {
       nearDupClusters(Tables.load(s, d).documents, 0.6))
   )
 
-  private val shingleCte =
+  private[operators] val shingleCte =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
       |         generate_subscripts(string_split(text,' '), 1) AS i

@@ -140,10 +140,50 @@ object Reporting {
         sum(when($"dup", 1L).otherwise(0L)).as("n_dups"))
   }
 
+  /** Per-source p95 length cutoff by exact rank (rank ⌈0.95·n⌉ in the
+    * (n_chars, doc_id) total order — integer-deterministic, no
+    * interpolation ambiguity across engines) and the outlier flag per
+    * document. The standard length-outlier trim of a pre-training
+    * pipeline; one window partitioned by source + one broadcastable join
+    * of the per-source cutoffs.
+    */
+  def lengthOutliers(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".asc, $"doc_id".asc)
+    val cutoffs = docs.select($"source", $"n_chars", $"doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"source")))
+      .filter($"rn" === ceil($"cnt" * 0.95).cast("int"))
+      .select($"source", $"n_chars".as("p95"))
+    docs.select($"doc_id", $"source", $"n_chars")
+      .join(broadcast(cutoffs), "source")
+      .withColumn("outlier", $"n_chars" > $"p95")
+  }
+
+  /** Cross-source shingle-overlap matrix — the provenance view of
+    * inter-source contamination: for each source pair, the count of
+    * distinct 3-gram shingles present in both. The distinct (source,
+    * shingle) projection is compact; the self-join is keyed on shingle —
+    * at 100 TB, cut stop-shingles first (same df-threshold as the
+    * Jaccard prefix filter) and the join is bounded.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val srcSh = Dedup.shingleIndex(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"s64").distinct()
+    srcSh.as("x").join(srcSh.as("y"),
+        col("x.s64") === col("y.s64") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
     "q68_corpus_report" -> ((s, d) => corpusReport(Tables.load(s, d).documents)),
+    "q69_length_outliers" -> ((s, d) => lengthOutliers(Tables.load(s, d).documents)),
+    "q70_source_overlap" -> ((s, d) => sourceOverlap(Tables.load(s, d).documents)),
     "q53_revenue_rollup" -> ((s, d) => {
       val t = Tables.load(s, d)
       revenueRollup(t.region, t.nation, t.customer, t.orders)
@@ -156,6 +196,28 @@ object Reporting {
   )
 
   def oracles: Map[String, String] = Map(
+    "q69_length_outliers" ->
+      """WITH cut AS (
+        |  SELECT source, n_chars AS p95 FROM (
+        |    SELECT source, n_chars, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY source) AS cnt
+        |    FROM documents)
+        |  WHERE rn = CAST(CEIL(cnt * 0.95) AS INT))
+        |SELECT d.doc_id, d.source, d.n_chars, cut.p95,
+        |  d.n_chars > cut.p95 AS outlier
+        |FROM documents d JOIN cut USING (source)""".stripMargin,
+    "q70_source_overlap" ->
+      s"""${Dedup.shingleCte},
+         |src_sh AS (
+         |  SELECT DISTINCT d.source, ${hash60Sql("sh.s")} AS s64
+         |  FROM sh JOIN documents d USING (doc_id))
+         |SELECT x.source AS source_a, y.source AS source_b,
+         |  COUNT(*) AS n_shared
+         |FROM src_sh x JOIN src_sh y
+         |  ON x.s64 = y.s64 AND x.source < y.source
+         |GROUP BY x.source, y.source""".stripMargin,
     "q68_corpus_report" ->
       s"""WITH q AS (${TextAnalysis.oracles("q22_quality_score")}),
          |dup AS (
