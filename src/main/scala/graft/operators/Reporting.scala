@@ -169,9 +169,11 @@ object Reporting {
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val srcSh = Dedup.shingleIndex(docs)
+    // Cached via the Dedup index registry: the self-join below would
+    // otherwise compute the distinct projection once per side.
+    val srcSh = Dedup.cacheIndex(Dedup.shingleIndex(docs)
       .join(docs.select($"doc_id", $"source"), "doc_id")
-      .select($"source", $"s64").distinct()
+      .select($"source", $"s64").distinct())
     srcSh.as("x").join(srcSh.as("y"),
         col("x.s64") === col("y.s64") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
