@@ -303,20 +303,18 @@ object Dedup {
     * body for the large-star/small-star steps (same join/agg primitives,
     * O(log n) rounds). Deterministic: min over a set, no tie ambiguity.
     */
-  def nearDupClusters(docs: DataFrame, minJ: Double): DataFrame = {
+  def nearDupClusters(docs: DataFrame, minJ: Double,
+      unionFindMaxEdges: Long = 2_000_000): DataFrame = {
     import docs.sparkSession.implicits._
     val pairs = jaccardNearDups(docs, minJ).select($"doc_a", $"doc_b")
-    val edges = pairs
-      .union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").persist()
-    val nEdges = edges.count() // materialize once; every round joins it
     // Near-dup pair graphs are tiny relative to the corpus (the giant
     // components of web dedup are exact dups, removed earlier). Below a
     // driver-memory threshold, union-find locally — one collect + one
     // broadcast join instead of diameter-many propagation rounds. The
     // distributed fixpoint below remains the unbounded-graph path; both
-    // produce the identical min-label components.
-    if (nEdges <= 2_000_000) {
+    // produce the identical min-label components. (pairs is cached by
+    // jaccardNearDups, so the count and collect share one computation.)
+    if (pairs.count() <= unionFindMaxEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -332,12 +330,13 @@ object Dedup {
       // Min-label roots: union-by-min above keeps every root the minimum
       // of its component.
       val labelMap = parent.keys.map(k => k -> find(k)).toMap
-      edges.unpersist()
       val spark = docs.sparkSession
       val lm = spark.createDataFrame(labelMap.toSeq).toDF("doc_id", "label")
-      val labels = docs.select($"doc_id")
+      // Cached: the label table is consumed by both the sizes aggregate
+      // and the final join.
+      val labels = cacheIndex(docs.select($"doc_id")
         .join(broadcast(lm), Seq("doc_id"), "left_outer")
-        .select($"doc_id", coalesce($"label", $"doc_id").as("label"))
+        .select($"doc_id", coalesce($"label", $"doc_id").as("label")))
       // sizes is one row per cluster (mostly singletons — corpus-sized):
       // a plain join, NOT a broadcast.
       val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
@@ -345,6 +344,10 @@ object Dedup {
         .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
           ($"doc_id" === $"label").as("keep"))
     }
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("src", "dst").persist()
+    edges.count() // materialize once; every round joins it
     var labels = docs.select($"doc_id", $"doc_id".as("label"))
     var prevCached: DataFrame = null
     // Labels only ever decrease, so Σlabel strictly decreases until the

@@ -166,6 +166,22 @@ class SessionsSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("distributed cluster fixpoint matches the union-find fast path") {
+    // Force the distributed min-label propagation branch (the 100 TB
+    // path, otherwise unreachable at test scale) and require identical
+    // output to the driver-side union-find.
+    val docs = tables.documents
+    val fast = operators.Dedup.nearDupClusters(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val dist = operators.Dedup
+      .nearDupClusters(docs, 0.6, unionFindMaxEdges = -1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(fast == dist)
+    assert(fast.nonEmpty)
+  }
+
   test("LSH top-k cos values match brute-force for the same (qid,nid)") {
     import spark.implicits._
     val brute = operators.Similarity.cosineTopK(tables.embeddings, 20, 500)
