@@ -201,13 +201,22 @@ object Sampling {
   /** R6 deterministic shuffle: a stable pseudo-random permutation from
     * hash-derived keys (reference uses DataLoader shuffle=True; ours is
     * reproducible and partition-independent).
+    *
+    * Positions come from a parallel range-partitioned sort plus
+    * zipWithIndex (global offsets from per-partition counts) — NOT
+    * row_number() over an empty-partition Window, which funnels the
+    * whole corpus through one task. The sort key (u, doc_id) is a total
+    * order, so the permutation is identical under any partitioning.
     */
   def deterministicShuffle(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id")
-      .withColumn("pos", row_number().over(
-        Window.orderBy(detUniform("shuf", $"doc_id").asc, $"doc_id".asc))
-        .cast("long"))
+    val spark = docs.sparkSession
+    val sorted = docs
+      .select($"doc_id", detUniform("shuf", $"doc_id").as("u"))
+      .orderBy($"u".asc, $"doc_id".asc)
+      .select($"doc_id")
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1) }
+    spark.createDataFrame(rdd).toDF("doc_id", "pos")
   }
 
   /** Stable train/val/test split: membership is a pure function of the

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.operators.Similarity.quantize
 
@@ -43,12 +42,22 @@ object VectorStats {
   }
 
   /** Deterministic k-way split + per-split label histogram — the
-    * Inception-Score split machinery (A10: ntile over a fixed order).
+    * Inception-Score split machinery (A10: k contiguous chunks of the
+    * vec_id order).
+    *
+    * Split assignment is dense-id arithmetic — floor(vec_id·k/n), the
+    * same map-side formula as stats/InceptionScore — NOT ntile() over a
+    * global Window.orderBy: an empty partitionBy funnels every row
+    * through one task, a single-machine sort that caps the whole query
+    * at 100 TB. The count() pre-pass is one map-side scan; the rest is
+    * a plain hash aggregate. Splits are 1-based like ntile's.
     */
   def splitHistogram(embeddings: DataFrame, k: Int): DataFrame = {
     import embeddings.sparkSession.implicits._
+    val n = embeddings.count()
     embeddings
-      .withColumn("split", ntile(k).over(Window.orderBy($"vec_id".asc)))
+      .withColumn("split",
+        least(floor($"vec_id" * k / n), lit(k - 1)).cast("int") + 1)
       .groupBy($"split", $"label")
       .agg(count(lit(1)).as("n"))
       .select($"split".cast("long").as("split"), $"label", $"n")
@@ -78,7 +87,9 @@ object VectorStats {
         |FROM m""".stripMargin,
     "q42_split_histogram" ->
       """SELECT CAST(split AS BIGINT) AS split, label, COUNT(*) AS n FROM (
-        |  SELECT label, NTILE(10) OVER (ORDER BY vec_id ASC) AS split
+        |  SELECT label,
+        |    LEAST(CAST(FLOOR(vec_id * 10 / (SELECT COUNT(*) FROM embeddings))
+        |      AS BIGINT), 9) + 1 AS split
         |  FROM embeddings)
         |GROUP BY split, label""".stripMargin
   )

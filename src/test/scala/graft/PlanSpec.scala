@@ -84,6 +84,16 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("q42 split assignment is map-side arithmetic, not a global sort") {
+    // The split column must come from floor(vec_id*k/n), never from
+    // ntile() over an empty-partition Window — that plans a
+    // SinglePartition sort every row funnels through.
+    val p = plan("q42_split_histogram")
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"), p)
+    assert(!p.toLowerCase.contains("ntile"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q63 is pure map work: no exchange at all") {
     val p = plan("q63_bpe_tokens")
     assert(!p.contains("Exchange"), p)
