@@ -98,9 +98,27 @@ object Dedup {
     * the difference between Σ df² on stop-shingles and a join keyed
     * almost entirely by rare shingles.
     */
-  def jaccardNearDups(docs: DataFrame, minJ: Double): DataFrame = {
+  def jaccardNearDups(docs: DataFrame, minJ: Double): DataFrame =
+    jaccardNearDups(docs, minJ, Long.MaxValue)
+
+  /** As above, with an explicit stop-shingle cut: shingles with document
+    * frequency > maxDf are dropped from every document's set BEFORE
+    * sizes/prefixes/verification, so the Jaccard computed is over
+    * informative shingles only. Stop-shingles are exactly the keys whose
+    * df² join work dominates at corpus scale and whose presence says
+    * nothing about duplication; the default (no cut) keeps the operator
+    * exact. The cut is one extra s64 exchange, which the prefix df
+    * window below then reuses.
+    */
+  def jaccardNearDups(docs: DataFrame, minJ: Double, maxDf: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = shingleRows(docs)
+    val sh0 = shingleRows(docs)
+    val sh =
+      if (maxDf == Long.MaxValue) sh0
+      else cacheIndex(sh0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
+        .filter($"df" <= maxDf)
+        .drop("df"))
     // All three per-row statistics as window functions: df needs one
     // exchange on s64, then n and rn share the doc_id exchange (adjacent
     // Window operators over the same partitioning reuse it). Two shuffles

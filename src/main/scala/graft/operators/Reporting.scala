@@ -162,21 +162,37 @@ object Reporting {
 
   /** Cross-source shingle-overlap matrix — the provenance view of
     * inter-source contamination: for each source pair, the count of
-    * distinct 3-gram shingles present in both. The distinct (source,
-    * shingle) projection is compact; the self-join is keyed on shingle —
-    * at 100 TB, cut stop-shingles first (same df-threshold as the
-    * Jaccard prefix filter) and the join is bounded.
+    * distinct 3-gram shingles with document frequency ≤ maxDf present in
+    * both. Stop-shingles (df > maxDf) carry no provenance signal — they
+    * co-occur everywhere — and are cut before pairing, the same
+    * df-threshold idea as the Jaccard prefix filter.
+    *
+    * Shape: ONE shuffle — groupBy(s64) folds each shingle to
+    * (df, source-set). Both aggregates combine map-side (the set is
+    * bounded by the source count), so a df=10⁹ stop-shingle cannot skew
+    * a reducer. Source pairs then expand map-side from the per-shingle
+    * set — ≤ |sources|² rows per shingle, no shingle-keyed self-join
+    * anywhere (the previous formulation self-joined the (source,
+    * shingle) projection: a second full shuffle plus Σ df² join work).
     */
-  def sourceOverlap(docs: DataFrame): DataFrame = {
+  /** Default stop-shingle cut for [[sourceOverlap]]: high enough that no
+    * shingle reaches it at test scale (max df 25 at sf0.1), an actual
+    * cut on a real corpus where function-word shingles hit df ≈ corpus
+    * size.
+    */
+  val defaultStopShingleDf = 100L
+
+  def sourceOverlap(docs: DataFrame, maxDf: Long = defaultStopShingleDf): DataFrame = {
     import docs.sparkSession.implicits._
-    // Cached via the Dedup index registry: the self-join below would
-    // otherwise compute the distinct projection once per side.
-    val srcSh = Dedup.cacheIndex(Dedup.shingleIndex(docs)
+    Dedup.shingleIndex(docs)
       .join(docs.select($"doc_id", $"source"), "doc_id")
-      .select($"source", $"s64").distinct())
-    srcSh.as("x").join(srcSh.as("y"),
-        col("x.s64") === col("y.s64") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .groupBy($"s64")
+      .agg(count(lit(1)).as("df"), collect_set($"source").as("srcs"))
+      .filter($"df" <= maxDf)
+      .select(explode($"srcs").as("source_a"), $"srcs")
+      .select($"source_a", explode($"srcs").as("source_b"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("n_shared"))
   }
 
@@ -212,9 +228,13 @@ object Reporting {
         |FROM documents d JOIN cut USING (source)""".stripMargin,
     "q70_source_overlap" ->
       s"""${Dedup.shingleCte},
+         |keep AS (
+         |  SELECT ${hash60Sql("s")} AS s64
+         |  FROM sh GROUP BY 1 HAVING COUNT(*) <= $defaultStopShingleDf),
          |src_sh AS (
          |  SELECT DISTINCT d.source, ${hash60Sql("sh.s")} AS s64
-         |  FROM sh JOIN documents d USING (doc_id))
+         |  FROM sh JOIN documents d USING (doc_id)
+         |  WHERE ${hash60Sql("sh.s")} IN (SELECT s64 FROM keep))
          |SELECT x.source AS source_a, y.source AS source_b,
          |  COUNT(*) AS n_shared
          |FROM src_sh x JOIN src_sh y

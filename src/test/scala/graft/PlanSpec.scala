@@ -94,6 +94,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q70 expands source pairs map-side: no shingle-keyed self-join") {
+    // One join only (shingle index → doc source, keyed on doc_id); the
+    // per-shingle source pairs come from exploding the aggregated
+    // source set, never from a self-join on s64.
+    val p = plan("q70_source_overlap")
+    val joins = p.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("NestedLoopJoin") || l.contains("CartesianProduct")).toList
+    assert(joins.length == 1, p)
+    assert(joins.head.contains("doc_id"), p)
+  }
+
   test("q63 is pure map work: no exchange at all") {
     val p = plan("q63_bpe_tokens")
     assert(!p.contains("Exchange"), p)

@@ -73,6 +73,40 @@ class ReportingSpec extends SparkSpec {
     assert(r.forall(x => langs.contains(x.getString(0))))
   }
 
+  test("source overlap: stop-shingle df cut removes uninformative shingles") {
+    import spark.implicits._
+    // "a b c" lives in 3 docs spanning both sources (a stop-shingle once
+    // the threshold drops below its df); "u v w" is a genuine rare
+    // cross-source shingle.
+    val docs = Seq(
+      (1L, "src0", "u v w a b c"),
+      (2L, "src0", "a b c x1 x2 x3"),
+      (3L, "src1", "p q r a b c"),
+      (4L, "src1", "u v w p q r")).toDF("doc_id", "source", "text")
+    def overlap(maxDf: Long) =
+      operators.Reporting.sourceOverlap(docs, maxDf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(overlap(10L) == Map(("src0", "src1") -> 2L))
+    assert(overlap(2L) == Map(("src0", "src1") -> 1L))
+  }
+
+  test("jaccard stop-shingle cut drops pairs that only share hot shingles") {
+    import spark.implicits._
+    // "z z z" is in every doc (df=4): with the cut at 3 it stops counting
+    // as evidence, and docs 1/2 — identical but all stop-shingle — no
+    // longer pair.
+    val docs = Seq(
+      (1L, "z z z"),
+      (2L, "z z z"),
+      (3L, "z z z m1 m2 m3 m4"),
+      (4L, "q1 q2 q3 z z z")).toDF("doc_id", "text")
+    val noCut = operators.Dedup.jaccardNearDups(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(noCut.toSet == Set((1L, 2L)))
+    val cut = operators.Dedup.jaccardNearDups(docs, 0.9, maxDf = 3L)
+    assert(cut.count() == 0)
+  }
+
   test("cosine near-dup pairs carry exact cosines and respect the threshold") {
     import spark.implicits._
     val pairs = run("q59_cosine_neardups").collect()
