@@ -227,27 +227,118 @@ object Similarity {
       .filter($"vec_id" =!= $"qid"), k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all same-bucket pairs with
-    * cosine ≥ minCos, LSH-blocked (the standard dedup-by-embedding shape:
-    * block, then exact-verify within blocks). The bucket join is the only
-    * shuffle; within-bucket pairing is quadratic only in bucket occupancy.
-    * Same-bucket blocking is the approximation — a high-cosine pair split
-    * by a hyperplane is not emitted — but both engines see identical
-    * buckets (exact integer signs), so the oracle matches bit-for-bit.
+  /** Per-vector banded hyperplane signatures as an array of (band, bucket)
+    * structs: band b's bucket packs the sign bits of planesPerBand
+    * hyperplane dots (global plane index b·P+p, so band 0 with P planes
+    * equals [[lshBucket]]'s single signature). Same exact-integer sign
+    * arithmetic as [[lshBucket]], so the DuckDB oracle mirrors every
+    * bucket bit-for-bit.
+    */
+  private def hyperplaneBandArr(v: Column, bands: Int, planesPerBand: Int,
+      dims: Int): Column = {
+    val bandStructs = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val i = b * planesPerBand + p
+        val comps = (0 until dims).map(j =>
+          detHash32Local(s"plane$i", j.toString) * 2L - 4294967296L)
+        when(dotQ(v, typedlit(comps)) >= 0L, lit(1L << p)).otherwise(lit(0L))
+      }
+      struct(lit(b.toLong).as("band"), bits.reduce(_ + _).as("bucket"))
+    }
+    // Same contract as lshBucket: NULL vectors null-propagate (explode
+    // then drops the row — a null embedding has no near-dups), any other
+    // dimension count fails loudly instead of bucketing on partial data.
+    when(v.isNull,
+        lit(null).cast("array<struct<band:bigint,bucket:bigint>>"))
+      .when(size(v) === dims, array(bandStructs: _*))
+      .otherwise(raise_error(
+        concat(lit(s"hyperplaneBands: expected $dims dims, got "),
+          coalesce(size(v).cast("string"), lit("null")))))
+  }
+
+  /** Choose (bands, planesPerBand) for [[cosineNearDups]] from corpus
+    * size and the cosine threshold — the standard LSH parameter
+    * selection:
+    *
+    *  - planes P ≈ log₂(n / targetBucket): expected bucket occupancy
+    *    stays ≈ targetBucket as the corpus grows, so per-band candidate
+    *    work is ~n·targetBucket — linear in n, never n²;
+    *  - bands B from the hyperplane collision probability at the
+    *    threshold, s = 1 − acos(minCos)/π: a pair at exactly minCos
+    *    collides in ≥1 of B bands with probability 1−(1−s^P)^B ≥
+    *    targetRecall (pairs above the threshold have higher recall);
+    *  - if that B exceeds maxBands (low thresholds make s^P tiny — an
+    *    inherent hyperplane-LSH tradeoff), planes shrink until the work
+    *    multiplier fits: bigger buckets, fewer bands, recall preserved.
+    *
+    * Only (n, minCos, targetRecall) matter at a given scale; the result
+    * feeds both the Spark plan and the SQL oracle builder so the two
+    * can never disagree.
+    */
+  def lshParams(n: Long, minCos: Double, targetRecall: Double = 0.95,
+      targetBucket: Long = 32, maxBands: Int = 64,
+      maxPlanes: Int = 16): (Int, Int) = {
+    require(minCos > -1.0 && minCos < 1.0, s"minCos out of (-1,1): $minCos")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall out of (0,1): $targetRecall")
+    val s = 1.0 - math.acos(minCos) / math.Pi
+    var p = 1
+    while (p < maxPlanes && (targetBucket << p) < n) p += 1
+    def bandsFor(pp: Int): Int = math.max(1, math.ceil(
+      math.log(1.0 - targetRecall) / math.log(1.0 - math.pow(s, pp))).toInt)
+    while (p > 1 && bandsFor(p) > maxBands) p -= 1
+    (math.min(bandsFor(p), maxBands), p)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded hyperplane LSH
+    * blocking (candidate = same bucket in ANY of `bands` bands — the OR
+    * construction, exactly [[Dedup.lshNearDups]]'s band-join shape) with
+    * exact cosine verification, so false positives are impossible and
+    * recall is tunable via (bands, planesPerBand) — see [[lshParams]].
+    *
+    * Scale shape: the signature explode is map-side (bands rows of three
+    * longs per vector — vectors themselves are NOT replicated per band);
+    * the (band, bucket) self-join is the only blocking shuffle, quadratic
+    * only in per-band bucket occupancy (≈ targetBucket under
+    * [[lshParams]]); candidates then fetch their two vectors by key and
+    * verify. A pair colliding in k bands is verified k times (k ≤ bands)
+    * and deduped after the threshold filter, where the output is tiny —
+    * same multiplicity reasoning as Dedup.lshNearDups.
     */
   def cosineNearDups(embeddings: DataFrame, minCos: Double,
-      planes: Int = 4, dims: Int = 64): DataFrame = {
+      bands: Int, planesPerBand: Int, dims: Int = 64): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-      .withColumn("bucket", lshBucket($"v", planes, dims))
-    e.as("x").join(e.as("y"),
-        col("x.bucket") === col("y.bucket") &&
+    val banded = registry.cache(e.select($"vec_id",
+        explode(hyperplaneBandArr($"v", bands, planesPerBand, dims)).as("bb"))
+      .select($"vec_id", col("bb.band").as("band"),
+        col("bb.bucket").as("bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        (dotQ(col("x.v"), col("y.v")).cast("double") /
-          sqrt(col("x.nsq").cast("double")) /
-          sqrt(col("y.nsq").cast("double"))).as("cos"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nsq".as("na")),
+        "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nsq".as("nb")),
+        "vec_b")
+      .select($"vec_a", $"vec_b",
+        (dotQ($"va", $"vb").cast("double") /
+          sqrt($"na".cast("double")) / sqrt($"nb".cast("double"))).as("cos"))
       .filter($"cos" >= minCos)
+      .distinct()
+  }
+
+  /** [[cosineNearDups]] with (bands, planes) derived from the actual
+    * corpus size via [[lshParams]] — the one-argument entry point a
+    * pipeline calls; the count is a cheap columnar action over the cached
+    * quantized corpus.
+    */
+  def cosineNearDupsAuto(embeddings: DataFrame, minCos: Double,
+      targetRecall: Double = 0.95, dims: Int = 64): DataFrame = {
+    val (b, p) = lshParams(quantized(embeddings).count(), minCos, targetRecall)
+    cosineNearDups(embeddings, minCos, b, p, dims)
   }
 
   /** DuckDB replay of [[cosineTopKIvf]]: the Lloyd iterations unrolled as
@@ -334,6 +425,14 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q59's pinned LSH geometry = [[lshParams]] at the verify-corpus scale
+    * (the driver's sf0.01 embeddings table has 500 vectors): (20, 4).
+    * Pinned rather than derived at run time so the static SQL oracle
+    * mirrors the exact same bucket math; [[cosineNearDupsAuto]] is the
+    * self-tuning path (recall spec-checked in SimilaritySpec).
+    */
+  private val (q59Bands, q59Planes) = lshParams(500, 0.35)
+
   def queries: Map[String, Q] = Map(
     "q37_cosine_topk" -> ((s, d) => cosineTopK(Tables.load(s, d).embeddings, 5, 5)),
     "q38_cosine_topk_lsh" -> ((s, d) =>
@@ -341,7 +440,7 @@ object Similarity {
     "q51_cosine_topk_ivf" -> ((s, d) =>
       cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3)),
     "q59_cosine_neardups" -> ((s, d) =>
-      cosineNearDups(Tables.load(s, d).embeddings, 0.35)),
+      cosineNearDups(Tables.load(s, d).embeddings, 0.35, q59Bands, q59Planes)),
     // Nearest neighbor per query, written entirely in SQL against the
     // registered custom expression (dot_q) — the engine's SQL surface is
     // part of the driver-checked contract, not just the Column API.
@@ -460,10 +559,19 @@ object Similarity {
     "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2),
     "q59_cosine_neardups" -> {
-      val planeSum = (0 until 4).map { p =>
-        val h = detHash32Sql(s"plane$p", "i - 1")
-        s"CASE WHEN SUM(val * ($h * 2 - 4294967296)) >= 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString(" + ")
+      // Mirrors the banded signature bit-for-bit: band b's bucket packs
+      // the sign bits of planes b*P+p, p < P — same md5-derived integer
+      // hyperplanes, same global plane indexing as hyperplaneBandArr.
+      val bucketCols = (0 until q59Bands).map { b =>
+        val planeSum = (0 until q59Planes).map { p =>
+          val h = detHash32Sql(s"plane${b * q59Planes + p}", "i - 1")
+          s"CASE WHEN SUM(val * ($h * 2 - 4294967296)) >= 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"CAST($planeSum AS BIGINT) AS k$b"
+      }
+      val bandUnion = (0 until q59Bands).map(b =>
+        s"SELECT vec_id, $b AS band, k$b AS bucket FROM b").mkString(
+        "\n  UNION ALL ")
       s"""WITH e AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
@@ -473,10 +581,15 @@ object Similarity {
          |n AS (
          |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
          |b AS (
-         |  SELECT vec_id, CAST($planeSum AS BIGINT) AS bucket FROM u GROUP BY vec_id),
+         |  SELECT vec_id, ${bucketCols.mkString(",\n    ")}
+         |  FROM u GROUP BY vec_id),
+         |bb AS (
+         |  $bandUnion),
          |cand AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bb x JOIN bb y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id),
          |d AS (
          |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
          |  FROM cand c
