@@ -21,9 +21,11 @@ import graft.functions.Fp._
   *    second pass to discover values, which would be a full extra scan);
   *  - the range join broadcasts the literal bucket table — the fact side
   *    never shuffles;
-  *  - the grouped median here is exact (window rank) — at 100 TB switch to
-  *    approx_percentile or a partition-parallel selection; the window
-  *    partitions by group key so parallelism tracks group cardinality.
+  *  - grouped rank statistics come in pairs: an exact window-rank form
+  *    (oracle-testable, parallelism capped at the group-key cardinality)
+  *    and an approx_percentile form (one hash aggregate with map-side
+  *    sketch merge — no per-key sort, no straggler at 100 TB); the
+  *    *Adaptive entry points dispatch on row count.
   */
 object Reporting {
 
@@ -117,6 +119,46 @@ object Reporting {
         $"cnt".as("n_orders"))
   }
 
+  /** Sketch accuracy for the approx rank statistics: rank error ≤ n/1e4 —
+    * at any realistic group size the returned element sits within 0.01 %
+    * of the true rank, while the sketch stays a few KB per group.
+    */
+  val approxAccuracy = 10000
+
+  /** Row-count threshold for the *Adaptive dispatchers: below it the
+    * exact window-rank form is cheap (every group sorts in one task but
+    * groups are small); above it the single-task-per-group sort becomes
+    * the straggler and the sketch aggregate takes over.
+    */
+  val exactRankMaxRows = 10L * 1000 * 1000
+
+  /** [[medianPricePerPriority]] in sketch form: approx_percentile is ONE
+    * hash aggregate — partial sketches merge map-side, no per-key window
+    * sort, so parallelism is input-partition-bound instead of capped at
+    * the 5 distinct priorities. Same output schema as the exact form;
+    * the returned median is an actual data element within rank error
+    * n/[[approxAccuracy]] of the true lower median.
+    */
+  def medianPriceApprox(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    orders
+      .select($"o_orderpriority", cents($"o_totalprice").as("cents"))
+      .groupBy($"o_orderpriority")
+      .agg(approx_percentile($"cents", lit(0.5), lit(approxAccuracy)).as("mc"),
+        count(lit(1)).as("n_orders"))
+      .select($"o_orderpriority", ($"mc".cast("double") / 100.0).as("median_price"),
+        $"n_orders")
+  }
+
+  /** Size-dispatched median: exact rank while the relation is small
+    * enough that per-key sorts cannot straggle, sketch aggregate past
+    * [[exactRankMaxRows]]. The count is a cheap columnar action.
+    */
+  def medianPriceAdaptive(orders: DataFrame,
+      exactBelow: Long = exactRankMaxRows): DataFrame =
+    if (orders.count() <= exactBelow) medianPricePerPriority(orders)
+    else medianPriceApprox(orders)
+
   /** Per-source corpus card — the ingest summary a training-data pipeline
     * reports: document/char volume, language mix, quality accept rate,
     * exact-duplicate incidence. Composes the quality and fingerprint
@@ -159,6 +201,26 @@ object Reporting {
       .join(broadcast(cutoffs), "source")
       .withColumn("outlier", $"n_chars" > $"p95")
   }
+
+  /** [[lengthOutliers]] in sketch form: the per-source p95 cutoff from
+    * approx_percentile (one hash aggregate, map-side sketch merge — no
+    * per-source window sort, so a 100 TB corpus with 20 sources doesn't
+    * reduce to 20 straggler tasks), then the same broadcast cutoff join.
+    */
+  def lengthOutliersApprox(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cutoffs = docs.groupBy($"source")
+      .agg(approx_percentile($"n_chars", lit(0.95), lit(approxAccuracy)).as("p95"))
+    docs.select($"doc_id", $"source", $"n_chars")
+      .join(broadcast(cutoffs), "source")
+      .withColumn("outlier", $"n_chars" > $"p95")
+  }
+
+  /** Size-dispatched length-outlier trim — see [[medianPriceAdaptive]]. */
+  def lengthOutliersAdaptive(docs: DataFrame,
+      exactBelow: Long = exactRankMaxRows): DataFrame =
+    if (docs.count() <= exactBelow) lengthOutliers(docs)
+    else lengthOutliersApprox(docs)
 
   /** Cross-source shingle-overlap matrix — the provenance view of
     * inter-source contamination: for each source pair, the count of
@@ -210,7 +272,15 @@ object Reporting {
     "q55_user_event_gaps" -> ((s, d) => userEventGaps(Tables.load(s, d).events)),
     "q56_quantity_bands" -> ((s, d) => quantityBandJoin(Tables.load(s, d).lineitem)),
     "q57_median_price" -> ((s, d) =>
-      medianPricePerPriority(Tables.load(s, d).orders))
+      medianPricePerPriority(Tables.load(s, d).orders)),
+    // Sketch forms of q57/q69 — no SQL oracle (DuckDB has no GK sketch to
+    // mirror bit-for-bit), so the driver records the weaker rows-only
+    // check; bounded error vs the exact forms is asserted in
+    // ReportingSpec at sf0.1.
+    "q71_median_price_approx" -> ((s, d) =>
+      medianPriceApprox(Tables.load(s, d).orders)),
+    "q72_length_outliers_approx" -> ((s, d) =>
+      lengthOutliersApprox(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
