@@ -3,6 +3,9 @@ package graft.sinks
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 /** Partitioned sinks (reference §2.2: per-product JSON metadata K1 at
   * /root/reference/data_pipeline/zalando_gallery_scraper_s3.py:461-468,
   * Hive-style S3 product layout K2 at :133-158, per-record text K4 at
@@ -25,6 +28,51 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(keyCol)
       .json(outDir)
+
+  /** K1 with exact filename parity: one `outDir/<key>.json` file per
+    * distinct key — the reference's `metadata/{product_id}.json` layout
+    * (zalando_gallery_scraper_s3.py:461-468), not Hive `key=value/part-*`
+    * directories. Rows are serialized with to_json (codegen) and a key's
+    * rows land in one JSONL file (one object per line; the reference's
+    * one-dict-per-product case is the one-row-per-key instance).
+    *
+    * Scale shape: repartition on the key puts every key's rows in exactly
+    * one task, then each task streams its keys out through the Hadoop
+    * FileSystem API — works on local paths here and object stores on a
+    * cluster, writes fully distributed, no driver collect. Distinct keys
+    * per task stay bounded by the shuffle partitioning, and each file is
+    * opened once (rows arrive key-clustered only per shuffle partition,
+    * so writers are kept open per key until the partition ends).
+    */
+  def writeJsonPerKey(df: DataFrame, keyCol: String, outDir: String): Unit = {
+    val hc = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(hc)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    df.select(col(keyCol).cast("string").as("_k"),
+        to_json(struct(df.columns.map(col): _*)).as("_js"))
+      .repartition(col("_k"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          // Executor-side FS handle; defaults come from the executor's
+          // Hadoop conf on a real cluster, local FS here.
+          val efs = new Path(outDir).getFileSystem(new Configuration())
+          // No .crc sidecars — the whole point is exact filename parity.
+          // (No-op on filesystems without client-side checksum files.)
+          efs.setWriteChecksum(false)
+          val open = scala.collection.mutable.Map.empty[String, java.io.BufferedWriter]
+          try rows.foreach { r =>
+            val w = open.getOrElseUpdate(r.getString(0), {
+              val p = new Path(outDir, s"${r.getString(0)}.json")
+              new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                efs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+            })
+            w.write(r.getString(1)); w.newLine()
+          } finally open.values.foreach(_.close())
+        }
+      }
+  }
 
   /** K2-style partitioned parquet (the engine-native bulk sink). */
   def writePartitionedParquet(df: DataFrame, keyCol: String, outDir: String): Unit =

@@ -75,6 +75,31 @@ class SinksSpec extends SparkSpec {
     assert(subdirs.toSet == Set("product_id=1", "product_id=2"))
   }
 
+  test("per-key JSON sink writes exactly {key}.json per key, readable back") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("metadata").toFile.getAbsolutePath
+    val df = Seq(
+      ("prod_a", "Shirt", 3L),
+      ("prod_b", "Dress", 5L),
+      ("prod_b", "Dress v2", 6L),
+      ("prod_c", "Jacket", 1L)).toDF("product_id", "title", "total_images")
+    Sinks.writeJsonPerKey(df, "product_id", dir)
+    // Exact reference filenames: metadata/{product_id}.json, nothing else.
+    val files = new java.io.File(dir).listFiles().filter(_.isFile).map(_.getName)
+    assert(files.toSet == Set("prod_a.json", "prod_b.json", "prod_c.json"))
+    // Each key's rows live in its own file...
+    val bLines = scala.io.Source.fromFile(s"$dir/prod_b.json").getLines().toList
+    assert(bLines.length == 2 && bLines.forall(_.contains("\"prod_b\"")))
+    // ...and the tree reads back equal through the engine.
+    val back = spark.read.json(dir)
+      .select($"product_id", $"title", $"total_images")
+    assert(back.collect().toSet == df.collect().toSet)
+    // Re-running overwrites cleanly (no stale files accumulate).
+    Sinks.writeJsonPerKey(df.filter($"product_id" =!= "prod_c"), "product_id", dir)
+    val after = new java.io.File(dir).listFiles().filter(_.isFile).map(_.getName)
+    assert(after.toSet == Set("prod_a.json", "prod_b.json"))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import spark.implicits._
     val t = tables
