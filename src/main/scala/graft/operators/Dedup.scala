@@ -101,6 +101,15 @@ object Dedup {
   def jaccardNearDups(docs: DataFrame, minJ: Double): DataFrame =
     jaccardNearDups(docs, minJ, Long.MaxValue)
 
+  /** Default stop-shingle cut for the Jaccard join (mirrors
+    * [[Reporting.defaultStopShingleDf]]): above test-scale document
+    * frequencies (max df 25 at sf0.1) so small corpora see the exact
+    * result, while a real corpus — where boilerplate shingles reach
+    * df ≈ corpus size and dominate the Σ df² join — gets the cut by
+    * default rather than only when a caller remembers to ask for it.
+    */
+  val defaultMaxDf = 100L
+
   /** As above, with an explicit stop-shingle cut: shingles with document
     * frequency > maxDf are dropped from every document's set BEFORE
     * sizes/prefixes/verification, so the Jaccard computed is over
@@ -455,7 +464,8 @@ object Dedup {
   def queries: Map[String, Q] = Map(
     "q24_dedup_exact" -> ((s, d) => exactDedupGroups(Tables.load(s, d).documents)),
     "q25_dedup_first_event" -> ((s, d) => firstEventPerKey(Tables.load(s, d).events)),
-    "q26_neardup_jaccard" -> ((s, d) => jaccardNearDups(Tables.load(s, d).documents, 0.6)),
+    "q26_neardup_jaccard" -> ((s, d) =>
+      jaccardNearDups(Tables.load(s, d).documents, 0.6, defaultMaxDf)),
     "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
     "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
     "q47_simhash_pairs" -> ((s, d) =>
@@ -482,8 +492,35 @@ object Dedup {
       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
 
-  private def jaccardSql(minJ: Double): String =
-    s"""$shingleCte
+  private def jaccardSql(minJ: Double): String = jaccardSql(minJ, shingleCte)
+
+  /** Shingle CTE with the stop-shingle df cut applied before sizes and
+    * intersections — the SQL mirror of the bounded
+    * [[jaccardNearDups(docs:*]] overload: Jaccard over informative
+    * shingles only, with documents re-sized after the cut.
+    */
+  private def shingleCteCut(maxDf: Long): String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
+      |         generate_subscripts(string_split(text,' '), 1) AS i
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+      |  FROM tok a
+      |  JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+      |sh AS (
+      |  SELECT doc_id, s FROM sh0
+      |  WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= MAXDF)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+      .replace("MAXDF", maxDf.toString)
+
+  private def jaccardSql(minJ: Double, cte: String): String =
+    s"""$cte
        |SELECT doc_a, doc_b,
        |  CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
        |FROM inter
@@ -526,7 +563,7 @@ object Dedup {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS rk
         |  FROM events) WHERE rk = 1""".stripMargin,
-    "q26_neardup_jaccard" -> jaccardSql(0.6),
+    "q26_neardup_jaccard" -> jaccardSql(0.6, shingleCteCut(defaultMaxDf)),
     // Brute-force O(n^2) oracle; the Spark side is the pigeonhole-blocked
     // exact search, so the result sets must be identical.
     "q47_simhash_pairs" ->
