@@ -37,6 +37,50 @@ object Rules {
       .select($"event_id", $"k", $"m", $"corrected_type", $"severity")
   }
 
+  /** Strict VL-analysis schema (reference qwen_vl_processor.py:130-168's
+    * prompt contract).
+    */
+  val vlSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "garment_type STRING, edit_instructions ARRAY<STRING>, " +
+        "edit_strength STRING, confidence_score DOUBLE, feasibility STRING")
+
+  /** T13: structure sloppy model output (reference _parse_vl_response,
+    * qwen_vl_processor.py:175-187): take the first '{' through the last
+    * '}' — which strips markdown fences and prose prefixes/suffixes —
+    * parse against [[vlSchema]], and fall back to carrying the whole
+    * response in raw_response when no valid JSON object survives
+    * (truncated braces, unquoted values, no JSON at all).
+    *
+    * All codegen expressions (instr/reverse/substring/from_json), no UDF,
+    * no shuffle — per-row map work at any scale.
+    */
+  def parseVlResponses(responses: DataFrame, respCol: String = "response"): DataFrame = {
+    import responses.sparkSession.implicits._
+    val s = col(respCol)
+    val start = instr(s, "{")
+    val end = length(s) - instr(reverse(s), "}") + lit(1)
+    val jsonStr = when(start > 0 && end >= start,
+      substring(s, start, (end - start + 1).cast("int")))
+    // PERMISSIVE + corrupt-record column: malformed JSON inside the brace
+    // window lands in _corrupt instead of failing the task, mirroring the
+    // reference's except-JSONDecodeError fallback.
+    val parseSchema = vlSchema.add("_corrupt",
+      org.apache.spark.sql.types.StringType)
+    responses
+      .withColumn("_p", from_json(jsonStr, parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+      .withColumn("parsed", $"_p".isNotNull && $"_p._corrupt".isNull)
+      .select(responses.columns.filter(_ != respCol).map(col) ++ Seq(
+        col("_p.garment_type").as("garment_type"),
+        col("_p.edit_instructions").as("edit_instructions"),
+        col("_p.edit_strength").as("edit_strength"),
+        col("_p.confidence_score").as("confidence_score"),
+        col("_p.feasibility").as("feasibility"),
+        $"parsed",
+        when(!$"parsed", s).otherwise(lit("")).as("raw_response")): _*)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(

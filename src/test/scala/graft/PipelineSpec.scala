@@ -62,6 +62,56 @@ class StagesSpec extends SparkSpec {
   }
 }
 
+class VlParseSpec extends SparkSpec {
+  test("T13: sloppy model output parses or falls back per malformation class") {
+    import spark.implicits._
+    val clean =
+      """{"garment_type": "dress", "edit_instructions": ["fit bodice"],
+        | "edit_strength": "medium", "confidence_score": 0.82,
+        | "feasibility": "high"}""".stripMargin
+    val responses = Seq(
+      // 1. strict JSON, the happy path
+      (1L, clean),
+      // 2. markdown-fenced JSON (the classic chat-model wrapper)
+      (2L, s"```json\n$clean\n```"),
+      // 3. prose prefix and suffix around the object
+      (3L, s"Sure! Here is the analysis you asked for:\n$clean\nLet me know."),
+      // 4. truncated braces (cut-off generation) -> fallback
+      (4L, """{"garment_type": "jacket", "edit_instructions": ["align"""),
+      // 5. no JSON at all -> fallback
+      (5L, "I cannot analyze these images."),
+      // 6. braces present but invalid JSON inside -> fallback
+      (6L, """{"garment_type": dress, feasibility: high}"""),
+      // 7. nested braces inside a string value still find the outer object
+      (7L, s"prefix {\"garment_type\": \"{odd}\", \"confidence_score\": 0.5} suffix")
+    ).toDF("pair_id", "response")
+    val out = operators.Rules.parseVlResponses(responses).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 7)
+    val parsed = out.filter(_._2.getBoolean(6)).keySet
+    assert(parsed == Set(1L, 2L, 3L, 7L), s"parsed = $parsed")
+    // Parsed rows carry structured fields and an empty raw_response.
+    Seq(1L, 2L, 3L).foreach { id =>
+      val r = out(id)
+      assert(r.getString(1) == "dress" && r.getString(3) == "medium")
+      assert(r.getSeq[String](2) == Seq("fit bodice"))
+      assert(math.abs(r.getDouble(4) - 0.82) < 1e-9)
+      assert(r.getString(7) == "")
+    }
+    assert(out(7L).getString(1) == "{odd}")
+    // Fallback rows keep the complete original response (reference
+    // raw_response semantics) and null structured fields.
+    Seq(4L, 5L, 6L).foreach { id =>
+      val r = out(id)
+      assert(r.getString(7).nonEmpty && !r.getBoolean(6))
+      assert(r.isNullAt(1) && r.isNullAt(4), s"id $id: $r")
+    }
+    assert(out(5L).getString(7) == "I cannot analyze these images.")
+    // The A5-style accounting the pipeline runs downstream: 4/7 parsed.
+    assert(out.values.count(_.getBoolean(6)) == 4)
+  }
+}
+
 class SinksSpec extends SparkSpec {
   test("partitioned JSON sink writes one dir per key, readable back") {
     import spark.implicits._
