@@ -280,28 +280,46 @@ object Dedup {
     * verify bit_count(xor) on the candidates. This is the standard
     * multi-index hamming search; the only shuffle is on 4-bit chunk keys.
     */
-  def simhashNearPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    import docs.sparkSession.implicits._
+  def simhashNearPairs(docs: DataFrame, maxDist: Int): DataFrame =
+    hammingNearPairs(simhashes(docs), "doc_id", "simhash", 16, maxDist)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** Generic exact hamming-≤maxDist pair join over any (id, signature)
+    * relation — 16-bit text simhashes and 64-bit image aHashes
+    * ([[graft.stages.ImageStage.aHashStage]]) alike, which makes image
+    * near-dup the same operator as text near-dup.
+    *
+    * Exact without an O(n²) self-join: split the signature into
+    * (maxDist+1) chunks — by pigeonhole, any pair within maxDist shares at
+    * least one chunk exactly — join on (chunk index, chunk value), then
+    * verify bit_count(xor) on the candidates. This is the standard
+    * multi-index hamming search; the only shuffle is on chunk keys.
+    */
+  def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxDist: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    require(bits >= 1 && bits <= 64 && maxDist < bits,
+      s"need 1 <= bits <= 64 and maxDist < bits, got ($bits, $maxDist)")
     val chunks = maxDist + 1
-    val bitsPer = 16 / chunks
-    val sig = simhashes(docs)
+    val bitsPer = bits / chunks
     // The last chunk absorbs the remainder bits when chunks doesn't divide
-    // 16 — otherwise the top bits would belong to no chunk and pairs
-    // differing only there would be silently missed.
+    // the width — otherwise the top bits would belong to no chunk and
+    // pairs differing only there would be silently missed.
     val chunkArr = array((0 until chunks).map { c =>
-      val width = if (c == chunks - 1) 16 - bitsPer * (chunks - 1) else bitsPer
+      val width = if (c == chunks - 1) bits - bitsPer * (chunks - 1) else bitsPer
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(c).as("c"),
-        shiftright($"simhash", c * bitsPer)
-          .bitwiseAND(lit((1 << width) - 1)).as("v"))
+        shiftright(col("_sig"), c * bitsPer).bitwiseAND(lit(mask)).as("v"))
     }: _*)
     val chunked = cacheIndex(
-      sig.select($"doc_id", $"simhash", explode(chunkArr).as("ch"))
-        .select($"doc_id", $"simhash", col("ch.c").as("c"), col("ch.v").as("v")))
+      sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+        .select($"_id", $"_sig", explode(chunkArr).as("ch"))
+        .select($"_id", $"_sig", col("ch.c").as("c"), col("ch.v").as("v")))
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter($"hamming" <= maxDist)

@@ -94,6 +94,58 @@ class ImageStageSpec extends SparkSpec {
     assert(ham(h("base").ahash, h("inverse").ahash) == 64)
   }
 
+  /** halfPng with a solid square patch overlaid at (0,0) — perturbs a
+    * bounded number of aHash cells, the planted "near duplicate".
+    */
+  private def patchedPng(w: Int, h: Int, dark: Int, bright: Int,
+      patch: Int, patchSide: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        if (x < patchSide && y < patchSide) patch
+        else if (x < w / 2) dark else bright)
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("e2e image near-dup: binaryFile scan -> aHash -> hamming pairs") {
+    import spark.implicits._
+    // Fixture tree: a base image, a 2x-resolution copy (hamming 0), a
+    // corner-patched variant (few bits), an inverted control (~64 bits),
+    // and an undecodable file that must drop out, not crash.
+    val dir = java.nio.file.Files.createTempDirectory("imgdedup").toFile
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    put("base.png", halfPng(64, 64, 0x202020, 0xd0d0d0))
+    put("big.png", halfPng(128, 128, 0x202020, 0xd0d0d0))
+    put("patched.png", patchedPng(64, 64, 0x202020, 0xd0d0d0, 0xffffff, 16))
+    put("control.png", halfPng(64, 64, 0xd0d0d0, 0x202020))
+    put("junk.png", Array[Byte](1, 2, 3))
+    // Stage 1: the real binaryFile source (S4), id from the path.
+    val scanned = graft.sources.BinaryAssets.scan(spark, dir.getAbsolutePath, "*.png")
+      .select(graft.sources.BinaryAssets.assetId($"path").as("assetId"), $"content")
+      .as[ImageIn]
+    // Stage 2: perceptual hash; decode failures become ok=false rows.
+    val hashed = ImageStage.aHashStage.run(scanned)
+    assert(hashed.count() == 5 && hashed.filter(!_.ok).count() == 1)
+    // Stage 3: the same pigeonhole hamming join text simhashes use.
+    val pairs = operators.Dedup.hammingNearPairs(
+        hashed.filter(_.ok).toDF(), "assetId", "ahash", bits = 64, maxDist = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def pair(a: String, b: String) = if (a < b) (a, b) else (b, a)
+    // Planted near-dups found...
+    assert(pairs(pair("base", "big")) == 0L)
+    assert(pairs.contains(pair("base", "patched")) &&
+      pairs(pair("base", "patched")) > 0L)
+    assert(pairs.contains(pair("big", "patched")))
+    // ...and the inverted control pairs with nothing.
+    assert(!pairs.keys.exists(p => p._1 == "control" || p._2 == "control"))
+    assert(pairs.size == 3)
+  }
+
   test("brightness stage: white ~1.0, dark ~0.0") {
     import spark.implicits._
     val ds = Seq(
