@@ -121,20 +121,27 @@ object Dedup {
     */
   def jaccardNearDups(docs: DataFrame, minJ: Double, maxDf: Long): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh0 = shingleRows(docs)
-    val sh =
-      if (maxDf == Long.MaxValue) sh0
-      else cacheIndex(sh0
-        .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
-        .filter($"df" <= maxDf)
-        .drop("df"))
     // All three per-row statistics as window functions: df needs one
     // exchange on s64, then n and rn share the doc_id exchange (adjacent
     // Window operators over the same partitioning reuse it). Two shuffles
     // total, vs two aggregates plus two joins in the naive formulation —
-    // at 100 TB the joins would move the whole index twice more.
-    val prefix = cacheIndex(sh
+    // at 100 TB the joins would move the whole index twice more. The
+    // stop-shingle cut rides the SAME df window (cutting whole s64 groups
+    // doesn't change surviving shingles' df), so bounded and unbounded
+    // cost identical shuffles.
+    val sh0 = shingleRows(docs)
+    val withDf = sh0
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
+    // shPrefix feeds the df-ordered prefix window; shSets feeds the exact
+    // verify (which never needs df — keep the no-cut sets subtree free of
+    // the window entirely).
+    val (shPrefix, shSets) =
+      if (maxDf == Long.MaxValue) (withDf, sh0)
+      else {
+        val cut = cacheIndex(withDf.filter($"df" <= maxDf))
+        (cut, cut)
+      }
+    val prefix = cacheIndex(shPrefix
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df".asc, $"s64".asc)))
@@ -152,7 +159,7 @@ object Dedup {
     // The verified pair set is tiny (true near-dups) and is consumed
     // again by downstream operators (clustering) — cache the output, not
     // just the build inputs.
-    cacheIndex(verifyJaccard(cand, sh, minJ).distinct())
+    cacheIndex(verifyJaccard(cand, shSets, minJ).distinct())
   }
 
   /** Exact-Jaccard verification of candidate pairs against compact
