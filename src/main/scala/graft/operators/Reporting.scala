@@ -273,29 +273,66 @@ object Reporting {
     "q56_quantity_bands" -> ((s, d) => quantityBandJoin(Tables.load(s, d).lineitem)),
     "q57_median_price" -> ((s, d) =>
       medianPricePerPriority(Tables.load(s, d).orders)),
-    // Sketch forms of q57/q69 — no SQL oracle (DuckDB has no GK sketch to
-    // mirror bit-for-bit), so the driver records the weaker rows-only
-    // check; bounded error vs the exact forms is asserted in
+    // Sketch forms of q57/q69. At the driver's oracle scale every group
+    // holds n < approxAccuracy rows, so the sketch's rank-error budget
+    // n/approxAccuracy is < 1: compression can never drop a sample that
+    // moves any rank, and the query is forced to return the element at
+    // exactly rank ceil(p*n) — the same element the exact forms select
+    // (verified empirically across both SFs and every group in QDebug).
+    // The exact SQL is therefore a true oracle here; the sketch's
+    // bounded-error behavior past the exact regime is asserted in
     // ReportingSpec at sf0.1.
     "q71_median_price_approx" -> ((s, d) =>
       medianPriceApprox(Tables.load(s, d).orders)),
     "q72_length_outliers_approx" -> ((s, d) =>
-      lengthOutliersApprox(Tables.load(s, d).documents))
+      lengthOutliersApprox(Tables.load(s, d).documents)),
+    // Adaptive dispatchers on the driver-checked surface: at oracle scale
+    // both sit below exactRankMaxRows, so the exact plan runs and the
+    // exact SQL is the oracle; the sketch side of the dispatch is
+    // spec-covered (ReportingSpec plan-shape tests with exactBelow = 0).
+    "q73_median_price_adaptive" -> ((s, d) =>
+      medianPriceAdaptive(Tables.load(s, d).orders)),
+    "q74_length_outliers_adaptive" -> ((s, d) =>
+      lengthOutliersAdaptive(Tables.load(s, d).documents))
   )
 
+  /** Exact p95-cutoff SQL — oracle for q69 and, in the exact regime
+    * (n < [[approxAccuracy]] per source, see the q71/q72 registration
+    * note), for the sketch and adaptive forms q72/q74 too.
+    */
+  private val lengthOutliersSql: String =
+    """WITH cut AS (
+      |  SELECT source, n_chars AS p95 FROM (
+      |    SELECT source, n_chars, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY n_chars ASC, doc_id ASC) AS rn,
+      |      COUNT(*) OVER (PARTITION BY source) AS cnt
+      |    FROM documents)
+      |  WHERE rn = CAST(CEIL(cnt * 0.95) AS INT))
+      |SELECT d.doc_id, d.source, d.n_chars, cut.p95,
+      |  d.n_chars > cut.p95 AS outlier
+      |FROM documents d JOIN cut USING (source)""".stripMargin
+
+  /** Exact lower-median SQL — oracle for q57 and, in the exact regime,
+    * for q71/q73.
+    */
+  private val medianPriceSql: String =
+    s"""SELECT o_orderpriority,
+       |  c / 100.0 AS median_price, cnt AS n_orders
+       |FROM (
+       |  SELECT o_orderpriority, ${centsSql("o_totalprice")} AS c,
+       |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${centsSql("o_totalprice")} ASC, o_orderkey ASC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS cnt
+       |  FROM orders)
+       |WHERE rn = (cnt + 1) // 2""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q69_length_outliers" ->
-      """WITH cut AS (
-        |  SELECT source, n_chars AS p95 FROM (
-        |    SELECT source, n_chars, doc_id,
-        |      ROW_NUMBER() OVER (PARTITION BY source
-        |        ORDER BY n_chars ASC, doc_id ASC) AS rn,
-        |      COUNT(*) OVER (PARTITION BY source) AS cnt
-        |    FROM documents)
-        |  WHERE rn = CAST(CEIL(cnt * 0.95) AS INT))
-        |SELECT d.doc_id, d.source, d.n_chars, cut.p95,
-        |  d.n_chars > cut.p95 AS outlier
-        |FROM documents d JOIN cut USING (source)""".stripMargin,
+    "q69_length_outliers" -> lengthOutliersSql,
+    "q71_median_price_approx" -> medianPriceSql,
+    "q72_length_outliers_approx" -> lengthOutliersSql,
+    "q73_median_price_adaptive" -> medianPriceSql,
+    "q74_length_outliers_adaptive" -> lengthOutliersSql,
     "q70_source_overlap" ->
       s"""${Dedup.shingleCte},
          |keep AS (
@@ -367,15 +404,6 @@ object Reporting {
          |  ON l_quantity >= lo AND l_quantity < hi
          |GROUP BY band""".stripMargin
     },
-    "q57_median_price" ->
-      s"""SELECT o_orderpriority,
-         |  c / 100.0 AS median_price, cnt AS n_orders
-         |FROM (
-         |  SELECT o_orderpriority, ${centsSql("o_totalprice")} AS c,
-         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-         |      ORDER BY ${centsSql("o_totalprice")} ASC, o_orderkey ASC) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS cnt
-         |  FROM orders)
-         |WHERE rn = (cnt + 1) // 2""".stripMargin
+    "q57_median_price" -> medianPriceSql
   )
 }
