@@ -83,13 +83,19 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
             FetchResult(in.id, in.url, status, ct, Array.emptyByteArray,
               s"HTTP $status")
           else {
-            val body =
+            val (body, truncated) =
               try readAll(conn.getInputStream)
               catch {
                 case e: SocketTimeoutException =>
                   throw new TransientHttpException(s"timeout: ${e.getMessage}")
               }
-            if (expectImage &&
+            if (truncated)
+              // Terminal, and the truncated bytes are dropped: a partial
+              // body that kept flowing would be a corrupt image/page
+              // indistinguishable from a good one downstream.
+              FetchResult(in.id, in.url, status, ct, Array.emptyByteArray,
+                s"too_large: body exceeds $maxBytes bytes")
+            else if (expectImage &&
                 (ct.contains("text/html") || ct.contains("application/json")))
               FetchResult(in.id, in.url, status, ct, body, s"not_an_image: $ct")
             else if (expectImage && looksLikeHtml(body))
@@ -101,7 +107,11 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
       }
     }
 
-  private def readAll(is: InputStream): Array[Byte] = {
+  /** Read the full body, or stop once it exceeds [[maxBytes]]. Second
+    * element is true iff the stream had more than maxBytes — the loop
+    * only exits with n >= 0 when the size cap tripped.
+    */
+  private def readAll(is: InputStream): (Array[Byte], Boolean) = {
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     var n = is.read(buf)
@@ -110,7 +120,7 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
       n = is.read(buf)
     }
     is.close()
-    out.toByteArray
+    (out.toByteArray, n >= 0)
   }
 
   /** Reference masquerade check (any_scraper.py:305-307): the first 100
@@ -134,8 +144,9 @@ object HttpFetchStage {
     * through as failed rows with `attempts = 1`.
     */
   def withRetry(timeoutMs: Int = 15000, expectImage: Boolean = false,
-      maxAttempts: Int = 3, baseBackoffMs: Long = 1000L)
+      maxAttempts: Int = 3, baseBackoffMs: Long = 1000L,
+      maxBytes: Int = 32 * 1024 * 1024)
       : InferenceStage[FetchRequest, Attempted[FetchResult]] =
-    RetryStage.wrap(new HttpFetchStage(timeoutMs, expectImage), maxAttempts,
-      baseBackoffMs)
+    RetryStage.wrap(new HttpFetchStage(timeoutMs, expectImage, maxBytes),
+      maxAttempts, baseBackoffMs)
 }

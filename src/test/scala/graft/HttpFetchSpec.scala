@@ -53,6 +53,10 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
             "<!DOCTYPE html><html>blocked</html>".getBytes(UTF_8))
         case "/json.jpg" =>
           respond(ex, 200, "application/json", "{}".getBytes(UTF_8))
+        case "/huge.jpg" =>
+          val big = Array.fill[Byte](64 * 1024)(0x42)
+          big(0) = 0xFF.toByte; big(1) = 0xD8.toByte
+          respond(ex, 200, "image/jpeg", big)
         case "/slow" =>
           Thread.sleep(500)
           respond(ex, 200, "text/html", "late".getBytes(UTF_8))
@@ -117,6 +121,17 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
     val page = fetchOne(HttpFetchStage.withRetry(timeoutMs = 2000, baseBackoffMs = 0L),
       FetchRequest(7L, s"$base/blocked.jpg"))
     assert(page.value.get.ok)
+  }
+
+  test("oversize body is a terminal failed row, not silently truncated bytes") {
+    val a = fetchOne(
+      HttpFetchStage.withRetry(timeoutMs = 2000, expectImage = true,
+        baseBackoffMs = 0L, maxBytes = 1024),
+      FetchRequest(11L, s"$base/huge.jpg"))
+    assert(a.succeeded && a.attempts == 1)
+    val r = a.value.get
+    assert(!r.ok && r.error.startsWith("too_large"), r.error)
+    assert(r.body.isEmpty)
   }
 
   test("read timeout is transient and exhausts into a failed row") {
