@@ -1,0 +1,189 @@
+package graft.stages
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+/** Audio/video counterparts of [[ImageStage]]: media travels as opaque
+  * binary columns with typed metadata, and per-asset work runs as
+  * load-nothing [[InferenceStage]]s (mapPartitions, linear in input
+  * splits — the only shape that holds at 1000 executors).
+  *
+  * Audio is a REAL decode path: javax.sound.sampled reads WAV/AIFF/AU
+  * PCM from the JDK with no added dependency, so duration, RMS energy,
+  * peak and zero-crossing rate come from actual samples, and decode
+  * failures land as ok=false rows (the F4 decodability convention).
+  *
+  * Video has no JDK codec, so frame sampling is split in two:
+  * [[FakeVideoCodec]] is a clearly-marked deterministic stand-in for the
+  * real decoder (swap in a JavaCV/ffmpeg-backed codec behind the same
+  * two methods on a real deployment), while everything Spark-side —
+  * schema, the explode to one-row-per-frame, partitioning, and the
+  * downstream perceptual-hash near-dup join — is real: the fake codec
+  * emits genuine PNG bytes, so sampled frames flow through
+  * [[ImageStage.decodeStage]] / [[ImageStage.aHashStage]] and
+  * graft.operators.Dedup.hammingNearPairs unchanged.
+  */
+object MediaStage {
+
+  // ------------------------------------------------------------------
+  // Audio: real PCM decode + feature extraction
+  // ------------------------------------------------------------------
+
+  final case class AudioIn(assetId: String, content: Array[Byte])
+
+  /** Per-asset audio features over the channel-mean signal, all in one
+    * streaming pass: no sample buffer grows with asset length.
+    */
+  final case class AudioFeatures(assetId: String, ok: Boolean,
+      sampleRate: Int, channels: Int, nSamples: Long, durationSec: Double,
+      rms: Double, peak: Double, zeroCrossRate: Double)
+
+  /** Decode + feature-extract (duration, RMS, peak, zero-crossing rate,
+    * each over full-scale-normalized samples in [-1, 1]). Compressed or
+    * unreadable input yields an ok=false row, never an exception.
+    */
+  def audioFeatureStage: InferenceStage[AudioIn, AudioFeatures] =
+    new InferenceStage[AudioIn, AudioFeatures] {
+      def setup(): ModelHandle[AudioIn, AudioFeatures] =
+        new ModelHandle[AudioIn, AudioFeatures] {
+          def infer(in: AudioIn): AudioFeatures =
+            try {
+              val raw = AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(in.content))
+              // Normalize any PCM variant (8/24/32-bit, unsigned, either
+              // endianness) to signed 16-bit so the sample loop below has
+              // one decode path.
+              val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+                raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate,
+                false)
+              val pcm = AudioSystem.getAudioInputStream(fmt, raw)
+              val ch = fmt.getChannels
+              val frameBytes = fmt.getFrameSize
+              val buf = new Array[Byte](frameBytes * 1024)
+              var n = 0L; var sumSq = 0.0; var peak = 0.0
+              var crossings = 0L; var prevSign = 0
+              var read = pcm.read(buf)
+              while (read > 0) {
+                var off = 0
+                while (off + frameBytes <= read) {
+                  // Channel-mean sample, little-endian int16 per channel.
+                  var s = 0.0; var c = 0
+                  while (c < ch) {
+                    val lo = buf(off + 2 * c) & 0xff
+                    val hi = buf(off + 2 * c + 1).toInt
+                    s += ((hi << 8) | lo).toShort / 32768.0
+                    c += 1
+                  }
+                  s /= ch
+                  sumSq += s * s
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+                  if (sign != 0 && prevSign != 0 && sign != prevSign)
+                    crossings += 1
+                  if (sign != 0) prevSign = sign
+                  n += 1
+                  off += frameBytes
+                }
+                read = pcm.read(buf)
+              }
+              pcm.close()
+              if (n == 0) AudioFeatures(in.assetId, ok = false, 0, 0, 0, 0, 0, 0, 0)
+              else AudioFeatures(in.assetId, ok = true,
+                fmt.getSampleRate.toInt, ch, n, n / fmt.getSampleRate.toDouble,
+                math.sqrt(sumSq / n), peak,
+                if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+            } catch {
+              case _: Exception =>
+                AudioFeatures(in.assetId, ok = false, 0, 0, 0, 0, 0, 0, 0)
+            }
+        }
+    }
+
+  // ------------------------------------------------------------------
+  // Video: fake codec, real frame-sampling plumbing
+  // ------------------------------------------------------------------
+
+  final case class VideoIn(assetId: String, content: Array[Byte])
+  final case class SampledFrame(frameIdx: Int, tsMs: Long, png: Array[Byte])
+  final case class VideoFrames(assetId: String, ok: Boolean,
+      durationMs: Long, frames: Seq[SampledFrame])
+
+  /** DETERMINISTIC FAKE video codec — this container ships no video
+    * decoder, so this stands in for one (JavaCV/ffmpeg on a real
+    * deployment implements the same two methods). The fake is honest
+    * about shape: duration is a pure function of the byte length (1 byte
+    * = 1 ms of footage), a frame at time t is a 16×16 image whose pixels
+    * derive from an FNV-1a hash of (content, t) — so identical bytes
+    * yield identical frames, distinct bytes yield (whp) distinct frames
+    * — and each frame is encoded as a REAL PNG, keeping every downstream
+    * consumer (decode, aHash, hamming near-dup) on its production path.
+    */
+  object FakeVideoCodec extends Serializable {
+    val side = 16
+
+    def durationMs(content: Array[Byte]): Long = content.length.toLong
+
+    def frameAt(content: Array[Byte], tsMs: Long): Array[Byte] = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < content.length) {
+        h ^= content(i) & 0xffL; h *= 0x100000001b3L
+        i += 1
+      }
+      h ^= tsMs; h *= 0x100000001b3L
+      val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          // Per-pixel splitmix64 step off the frame seed.
+          var z = h + (y * side + x + 1) * 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Sample one frame every `everyMs` (first at t=0), capped at
+    * `maxFrames` per asset so one long asset can't blow a task's memory —
+    * the cap is data (frames beyond it are dropped BY DESIGN and the
+    * row's frame count says so), not a silent truncation of the schema.
+    * Output is one row per asset with a frames array; explode it for
+    * one-row-per-frame downstream processing.
+    */
+  def frameSampleStage(everyMs: Long, maxFrames: Int)
+      : InferenceStage[VideoIn, VideoFrames] = {
+    require(everyMs > 0 && maxFrames > 0)
+    new InferenceStage[VideoIn, VideoFrames] {
+      def setup(): ModelHandle[VideoIn, VideoFrames] =
+        new ModelHandle[VideoIn, VideoFrames] {
+          def infer(in: VideoIn): VideoFrames =
+            if (in.content.isEmpty)
+              VideoFrames(in.assetId, ok = false, 0L, Nil)
+            else {
+              val dur = FakeVideoCodec.durationMs(in.content)
+              val frames = Iterator.from(0)
+                .map(_ * everyMs)
+                .takeWhile(_ < dur)
+                .take(maxFrames)
+                .zipWithIndex
+                .map { case (ts, idx) =>
+                  SampledFrame(idx, ts, FakeVideoCodec.frameAt(in.content, ts))
+                }
+                .toSeq
+              VideoFrames(in.assetId, ok = true, dur, frames)
+            }
+        }
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import graft.stages._
+import graft.stages.MediaStage._
+import graft.stages.ImageStage.ImageIn
+
+/** MediaStage: real WAV decode + features against synthesized PCM with
+  * known ground truth, and the fake-codec frame sampler's REAL plumbing —
+  * schema, determinism, PNG validity through the production image decoder,
+  * and the end-to-end video near-dup path (frame-sample → aHash →
+  * pigeonhole hamming join).
+  */
+class MediaStageSpec extends SparkSpec {
+
+  /** 16-bit little-endian PCM sine, wrapped as a real WAV container. */
+  private def sineWav(freqHz: Double, seconds: Double, sampleRate: Float,
+      amplitude: Double, channels: Int = 1, invertRight: Boolean = false)
+      : Array[Byte] = {
+    val n = (seconds * sampleRate).toInt
+    val data = new Array[Byte](n * 2 * channels)
+    for (i <- 0 until n) {
+      val v = amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate)
+      for (c <- 0 until channels) {
+        val s = (if (c == 1 && invertRight) -v else v)
+        val q = (s * 32767).toInt.toShort
+        data((i * channels + c) * 2) = (q & 0xff).toByte
+        data((i * channels + c) * 2 + 1) = ((q >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio features from a real WAV match the signal's ground truth") {
+    import spark.implicits._
+    val ds = Seq(AudioIn("sine", sineWav(440.0, 0.5, 8000f, 0.5))).toDS()
+    val f = MediaStage.audioFeatureStage.run(ds).collect().head
+    assert(f.ok && f.sampleRate == 8000 && f.channels == 1)
+    assert(f.nSamples == 4000)
+    assert(math.abs(f.durationSec - 0.5) < 1e-9)
+    // Sine: rms = A/sqrt(2), peak = A, zero-crossings = 2f per second.
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, f.rms)
+    assert(math.abs(f.peak - 0.5) < 0.01, f.peak)
+    assert(math.abs(f.zeroCrossRate - 2 * 440.0 / 8000) < 0.01, f.zeroCrossRate)
+  }
+
+  test("stereo decodes with channel-mean mixing (anti-phase cancels)") {
+    import spark.implicits._
+    val ds = Seq(
+      AudioIn("inphase", sineWav(200.0, 0.25, 8000f, 0.4, channels = 2)),
+      AudioIn("antiphase", sineWav(200.0, 0.25, 8000f, 0.4, channels = 2,
+        invertRight = true))).toDS()
+    val out = MediaStage.audioFeatureStage.run(ds).collect()
+      .map(f => f.assetId -> f).toMap
+    assert(out("inphase").channels == 2)
+    assert(math.abs(out("inphase").rms - 0.4 / math.sqrt(2)) < 0.01)
+    // L = -R: the channel-mean signal is (quantization-level) silence.
+    assert(out("antiphase").rms < 1e-3, out("antiphase").rms)
+  }
+
+  test("undecodable audio is an ok=false row, not an exception") {
+    import spark.implicits._
+    val ds = Seq(AudioIn("junk", Array[Byte](1, 2, 3, 4, 5))).toDS()
+    val f = MediaStage.audioFeatureStage.run(ds).collect().head
+    assert(!f.ok)
+  }
+
+  private def fakeVideo(seed: Int, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => ((i * 31 + seed) & 0xff).toByte)
+
+  test("frame sampling: cadence, cap, determinism, and empty input") {
+    import spark.implicits._
+    val v = VideoIn("v1", fakeVideo(7, 5000))
+    val sampled = MediaStage.frameSampleStage(everyMs = 1000, maxFrames = 10)
+      .run(Seq(v).toDS()).collect().head
+    assert(sampled.ok && sampled.durationMs == 5000)
+    assert(sampled.frames.map(f => (f.frameIdx, f.tsMs)) ==
+      Seq((0, 0L), (1, 1000L), (2, 2000L), (3, 3000L), (4, 4000L)))
+    // The per-asset cap bounds frames; the count exposes the drop.
+    val capped = MediaStage.frameSampleStage(everyMs = 1000, maxFrames = 3)
+      .run(Seq(v).toDS()).collect().head
+    assert(capped.frames.size == 3)
+    // Same bytes, same frames — bit-for-bit.
+    val again = MediaStage.frameSampleStage(everyMs = 1000, maxFrames = 10)
+      .run(Seq(v).toDS()).collect().head
+    assert(again.frames.map(_.png.toSeq) == sampled.frames.map(_.png.toSeq))
+    val empty = MediaStage.frameSampleStage(everyMs = 1000, maxFrames = 10)
+      .run(Seq(VideoIn("v0", Array.emptyByteArray)).toDS()).collect().head
+    assert(!empty.ok && empty.frames.isEmpty)
+  }
+
+  test("sampled frames are real PNGs: the production image decoder reads them") {
+    import spark.implicits._
+    val vf = MediaStage.frameSampleStage(everyMs = 500, maxFrames = 4)
+      .run(Seq(VideoIn("v1", fakeVideo(3, 2000))).toDS())
+    val frames = vf.flatMap(v =>
+      v.frames.map(f => ImageIn(s"${v.assetId}#${f.frameIdx}", f.png)))
+    val metas = ImageStage.decodeStage.run(frames).collect()
+    assert(metas.length == 4)
+    assert(metas.forall(m => m.ok && m.width == FakeVideoCodec.side &&
+      m.height == FakeVideoCodec.side))
+  }
+
+  test("e2e video near-dup: frame-sample -> aHash -> hamming pairs") {
+    import spark.implicits._
+    // A and B are byte-identical footage; C is different.
+    val vids = Seq(
+      VideoIn("a", fakeVideo(1, 3000)),
+      VideoIn("b", fakeVideo(1, 3000)),
+      VideoIn("c", fakeVideo(2, 3000))).toDS()
+    val frames = MediaStage.frameSampleStage(everyMs = 1500, maxFrames = 2)
+      .run(vids)
+      .flatMap(v => v.frames.map(f => ImageIn(s"${v.assetId}#${f.frameIdx}", f.png)))
+    val hashed = ImageStage.aHashStage.run(frames)
+    assert(hashed.count() == 6 && hashed.filter(!_.ok).isEmpty)
+    val pairs = operators.Dedup.hammingNearPairs(
+        hashed.toDF(), "assetId", "ahash", bits = 64, maxDist = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def pair(a: String, b: String) = if (a < b) (a, b) else (b, a)
+    // Identical footage pairs frame-for-frame at distance 0...
+    assert(pairs(pair("a#0", "b#0")) == 0L)
+    assert(pairs(pair("a#1", "b#1")) == 0L)
+    // ...and nothing pairs with the distinct video (or across timestamps).
+    assert(pairs.size == 2, pairs)
+  }
+}
