@@ -43,6 +43,14 @@ object Sinks {
     * per task stay bounded by the shuffle partitioning, and each file is
     * opened once (rows arrive key-clustered only per shuffle partition,
     * so writers are kept open per key until the partition ends).
+    *
+    * Concurrency caveat: this sink bypasses Spark's output committer (the
+    * committer's part-file naming is exactly what filename parity forbids),
+    * so a task RETRY is safe — the rerun deterministically rewrites the
+    * same files with the same content — but two attempts running at once
+    * can race on one file. Run it with speculative execution off
+    * (spark.speculation=false, the default), like any direct-to-final-path
+    * writer.
     */
   def writeJsonPerKey(df: DataFrame, keyCol: String, outDir: String): Unit = {
     val hc = df.sparkSession.sparkContext.hadoopConfiguration
