@@ -218,6 +218,72 @@ object TextAnalysis {
       .withColumn("repetitive", $"rep_ratio" > maxRatio)
   }
 
+  // ------------------------------------------------------------------
+  // PII detection & redaction
+  // ------------------------------------------------------------------
+
+  /** PII scrub patterns (the C4/RefinedWeb-style pre-training cleanup
+    * set: email, IPv4, dashed NANP phone), restricted to syntax with
+    * identical semantics in Java regex (Spark, codegen) and RE2
+    * (DuckDB): character classes, bounded repetition, ASCII \b — no
+    * lookaround, no backreferences, no alternation (so leftmost-first
+    * and leftmost-longest matching coincide and both engines pick the
+    * same spans).
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redaction: emails first, then IPs, then phones — widest spans
+    * before patterns that could match inside them, and the placeholder
+    * text can't re-match any pattern. Three chained codegen
+    * regexp_replace calls — per-row map work.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-document PII census + redacted text. Counts are measured on the
+    * ORIGINAL text per pattern independently (the census answers "what
+    * PII classes appear", not "how many replacements ran" — a span
+    * matching two patterns would count under both); `redacted` applies
+    * [[piiRedact]]'s ordered scrub. No shuffle, no UDF — pure per-row
+    * expressions that scale with input splits.
+    */
+  def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val c = col(textCol)
+    docs.select($"doc_id",
+        size(regexp_extract_all(c, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(c, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(c, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        piiRedact(c).as("redacted"))
+      .withColumn("has_pii", ($"n_emails" + $"n_ips" + $"n_phones") > 0)
+  }
+
+  /** q75 input: the synthetic corpus carries no PII, so the query plants
+    * deterministic spans derived from driver columns (doc_id/source) on a
+    * residue-class schedule — every document is still scanned, ~1/3 get an
+    * email, ~1/5 an IP, ~1/7 a phone, with overlaps exercising multi-class
+    * rows. The derivation is part of the query and mirrored verbatim in
+    * the oracle.
+    */
+  private def piiSeeded(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      concat_ws(" ", $"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit("contact "), $"source", lit("-"), $"doc_id".cast("string"),
+            lit("@example.com"))),
+        when($"doc_id" % 5 === 0,
+          concat(lit("from 10."), ($"doc_id" % 200).cast("string"), lit(".0."),
+            ($"doc_id" % 100).cast("string"))),
+        when($"doc_id" % 7 === 0, lit("call 555-123-4567"))).as("text"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -228,7 +294,8 @@ object TextAnalysis {
     "q58_language_id" -> ((s, d) => languageId(Tables.load(s, d).documents)),
     "q61_top_terms" -> ((s, d) => topTerms(Tables.load(s, d).documents, 3)),
     "q63_bpe_tokens" -> ((s, d) => bpeTokenStats(Tables.load(s, d).documents)),
-    "q65_repetition" -> ((s, d) => repetitionStats(Tables.load(s, d).documents))
+    "q65_repetition" -> ((s, d) => repetitionStats(Tables.load(s, d).documents)),
+    "q75_pii_scan" -> ((s, d) => piiScan(piiSeeded(Tables.load(s, d).documents)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -329,6 +396,31 @@ object TextAnalysis {
          |FROM (SELECT doc_id, lang,
          |  $scores
          |FROM documents)""".stripMargin
-    }
+    },
+    "q75_pii_scan" ->
+      // Patterns are single-quoted literals — DuckDB keeps backslashes
+      // verbatim there, so the Scala \\d reaches RE2 as \d; the 'g' flag
+      // matches Spark's replace-all default.
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    concat_ws(' ', text,
+         |      CASE WHEN doc_id % 3 = 0
+         |        THEN concat('contact ', source, '-', CAST(doc_id AS VARCHAR), '@example.com') END,
+         |      CASE WHEN doc_id % 5 = 0
+         |        THEN concat('from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.', CAST(doc_id % 100 AS VARCHAR)) END,
+         |      CASE WHEN doc_id % 7 = 0 THEN 'call 555-123-4567' END) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$ipv4Re', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS redacted,
+         |  (len(regexp_extract_all(text, '$emailRe'))
+         |    + len(regexp_extract_all(text, '$ipv4Re'))
+         |    + len(regexp_extract_all(text, '$phoneRe'))) > 0 AS has_pii
+         |FROM seeded""".stripMargin
   )
 }

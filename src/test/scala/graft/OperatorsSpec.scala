@@ -194,4 +194,33 @@ class SessionsSimilaritySpec extends SparkSpec {
         .forall(_ == r.getDouble(r.fieldIndex("cos")))
     })
   }
+
+  test("PII scan: counts, ordered redaction, multi-class and clean rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 555-123-4567 thanks"),
+      (2L, "server 10.0.0.1 and 192.168.001.255 rebooted"),
+      // Email-shaped with an IP host: NOT an email (the pattern demands
+      // an alphabetic TLD), but the embedded IP still gets scrubbed.
+      (3L, "admin@10.1.2.3 logged in"),
+      (4L, "no pii here, just 12.5 percent and v1.2.3 tags"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) =
+      (out(id).getLong(1), out(id).getLong(2), out(id).getLong(3))
+    assert(counts(1L) == (1L, 0L, 1L))
+    assert(out(1L).getString(4) == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(counts(2L) == (0L, 2L, 0L))
+    assert(out(2L).getString(4) == "server <IP> and <IP> rebooted")
+    assert(counts(3L) == (0L, 1L, 0L))
+    assert(out(3L).getString(4) == "admin@<IP> logged in")
+    // Version tags and decimals must not trip the IPv4/phone patterns,
+    // and a clean row reports has_pii = false with untouched text.
+    assert(counts(4L) == (0L, 0L, 0L))
+    assert(!out(4L).getBoolean(5) && out(4L).getString(4) == docs
+      .filter($"doc_id" === 4L).head.getString(1))
+    assert(counts(5L) == (0L, 0L, 0L))
+    assert(out(1L).getBoolean(5) && out(3L).getBoolean(5))
+  }
 }
