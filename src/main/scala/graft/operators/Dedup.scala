@@ -484,9 +484,36 @@ object Dedup {
       .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Cross-document boilerplate contamination (the C4/Gopher-family
+    * dup-ngram rule): per document, the fraction of its distinct 3-gram
+    * shingles that also occur in at least one OTHER document. Distinct
+    * from within-doc repetition (TextAnalysis.repetitionStats measures a
+    * doc against itself) and from pairwise similarity (jaccardNearDups
+    * finds WHO you overlap with; this measures HOW MUCH of you is
+    * corpus-shared — headers, footers, license blocks).
+    *
+    * Shape: the shared cached shingle index, one df window on s64 (the
+    * same partitioning the Jaccard family's cut/prefix window uses), one
+    * doc_id hash aggregate with map-side combine. Linear in the index,
+    * no joins, no candidate blow-up — safe at any corpus size.
+    */
+  def boilerplateRatio(docs: DataFrame, maxRatio: Double = 0.5): DataFrame = {
+    import docs.sparkSession.implicits._
+    shingleRows(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_shingles", $"n_shared",
+        ($"n_shared".cast("double") / $"n_shingles").as("dup_ratio"))
+      .withColumn("boilerplate", $"dup_ratio" > maxRatio)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
+    "q76_boilerplate" -> ((s, d) =>
+      boilerplateRatio(Tables.load(s, d).documents)),
     "q24_dedup_exact" -> ((s, d) => exactDedupGroups(Tables.load(s, d).documents)),
     "q25_dedup_first_event" -> ((s, d) => firstEventPerKey(Tables.load(s, d).events)),
     "q26_neardup_jaccard" -> ((s, d) =>
@@ -577,6 +604,20 @@ object Dedup {
   }
 
   def oracles: Map[String, String] = Map(
+    // Shingles compare as strings vs 60-bit hashes in Spark — same
+    // injectivity-over-the-corpus assumption as the Jaccard oracles.
+    "q76_boilerplate" ->
+      s"""$shingleCte,
+         |df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+         |SELECT sh.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS dup_ratio,
+         |  (CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*)) > CAST(0.5 AS DOUBLE) AS boilerplate
+         |FROM sh JOIN df USING (s)
+         |GROUP BY sh.doc_id""".stripMargin,
     "q24_dedup_exact" ->
       s"""SELECT ${TextAnalysis.fingerprintSql} AS fp,
          |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -48,6 +48,27 @@ class TextDedupSpec extends SparkSpec {
     assert(fps.forall(_.getString(1).matches("[0-9a-f]{32}")))
   }
 
+  test("boilerplate ratio: bounds, flag consistency, and a planted dup saturates") {
+    import spark.implicits._
+    val rows = run("q76_boilerplate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val n = r.getLong(1); val shared = r.getLong(2); val ratio = r.getDouble(3)
+      shared >= 0 && shared <= n &&
+        ratio == shared.toDouble / n &&
+        r.getBoolean(4) == (ratio > 0.5)
+    })
+    // A byte-identical pair shares every shingle: both copies must read
+    // as 100% boilerplate.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0 && out(3L) == 0.0)
+  }
+
   test("quality score lies in [0,1] and accept matches threshold") {
     val rows = run("q22_quality_score").collect()
     assert(rows.forall { r =>
