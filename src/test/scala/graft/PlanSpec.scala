@@ -127,6 +127,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
   }
 
+  test("q75 PII scan is pure map work: no exchange at all") {
+    val p = plan("q75_pii_scan")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q76 boilerplate ratio plans no joins (window + aggregate only)") {
+    val p = plan("q76_boilerplate")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("no cartesian products anywhere except the declared capped cross join") {
     SparkEntry.queries.keys.filterNot(_ == "q18_capped_pairs").foreach { q =>
       val p = plan(q)
