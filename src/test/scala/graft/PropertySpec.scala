@@ -43,6 +43,20 @@ class PropertySpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("array<bigint>"), e.getMessage)
   }
 
+  test("piiRedact is idempotent: placeholders never re-match any pattern") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "10.2.3.4", "a@b.co", "x_1@mail.example.org",
+      "555-123-4567", "v1.2.3", "12.5", "<EMAIL>", "192.168.0.1:8080", "a@@b.cc",
+      "1.2.3.4.5", "555-12-34567", "%odd%", "..", "@", "end.")
+    val cases = Seq.fill(120)(
+      Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length))).mkString(" "))
+    val rows = cases.toDF("s")
+      .select(operators.TextAnalysis.piiRedact($"s").as("once"))
+      .select($"once", operators.TextAnalysis.piiRedact($"once").as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r.getString(0)))
+  }
+
   test("nearDupClusters on an empty corpus terminates with an empty result") {
     val empty = tables.documents.filter(lit(false))
     assert(operators.Dedup.nearDupClusters(empty, 0.6).count() == 0)
