@@ -496,6 +496,11 @@ object Dedup {
     * same partitioning the Jaccard family's cut/prefix window uses), one
     * doc_id hash aggregate with map-side combine. Linear in the index,
     * no joins, no candidate blow-up — safe at any corpus size.
+    *
+    * Documents shorter than one shingle (< 3 tokens) have no rows in the
+    * index and so no row here — same contract as the Jaccard family
+    * (they can't be boilerplate they don't contain); left-join the
+    * result back to the corpus if the census must list every doc.
     */
   def boilerplateRatio(docs: DataFrame, maxRatio: Double = 0.5): DataFrame = {
     import docs.sparkSession.implicits._

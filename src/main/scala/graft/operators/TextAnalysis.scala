@@ -255,7 +255,9 @@ object TextAnalysis {
     */
   def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
-    val c = col(textCol)
+    // Null text (the tolerant JSONL loader admits it) must census as
+    // zero-and-clean, not propagate null/-1 through size(null).
+    val c = coalesce(col(textCol), lit(""))
     docs.select($"doc_id",
         size(regexp_extract_all(c, lit(emailRe), lit(0))).cast("long").as("n_emails"),
         size(regexp_extract_all(c, lit(ipv4Re), lit(0))).cast("long").as("n_ips"),

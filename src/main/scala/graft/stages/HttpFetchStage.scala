@@ -108,8 +108,9 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
     }
 
   /** Read the full body, or stop once it exceeds [[maxBytes]]. Second
-    * element is true iff the stream had more than maxBytes — the loop
-    * only exits with n >= 0 when the size cap tripped.
+    * element is true iff the body exceeded maxBytes — whether the cap
+    * tripped mid-stream (loop exits with n >= 0) or the over-cap bytes
+    * arrived in the final read before EOF (n == -1 but size is over).
     */
   private def readAll(is: InputStream): (Array[Byte], Boolean) = {
     val out = new ByteArrayOutputStream()
@@ -120,7 +121,7 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
       n = is.read(buf)
     }
     is.close()
-    (out.toByteArray, n >= 0)
+    (out.toByteArray, n >= 0 || out.size() > maxBytes)
   }
 
   /** Reference masquerade check (any_scraper.py:305-307): the first 100

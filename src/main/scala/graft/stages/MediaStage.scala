@@ -126,13 +126,22 @@ object MediaStage {
 
     def durationMs(content: Array[Byte]): Long = content.length.toLong
 
-    def frameAt(content: Array[Byte], tsMs: Long): Array[Byte] = {
+    /** One FNV-1a fold over the asset bytes — computed once per asset,
+      * then mixed per frame, so sampling k frames costs O(bytes + k),
+      * not O(k × bytes).
+      */
+    def contentSeed(content: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < content.length) {
         h ^= content(i) & 0xffL; h *= 0x100000001b3L
         i += 1
       }
+      h
+    }
+
+    def frameAt(seed: Long, tsMs: Long): Array[Byte] = {
+      var h = seed
       h ^= tsMs; h *= 0x100000001b3L
       val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -172,13 +181,14 @@ object MediaStage {
               VideoFrames(in.assetId, ok = false, 0L, Nil)
             else {
               val dur = FakeVideoCodec.durationMs(in.content)
+              val seed = FakeVideoCodec.contentSeed(in.content)
               val frames = Iterator.from(0)
                 .map(_ * everyMs)
                 .takeWhile(_ < dur)
                 .take(maxFrames)
                 .zipWithIndex
                 .map { case (ts, idx) =>
-                  SampledFrame(idx, ts, FakeVideoCodec.frameAt(in.content, ts))
+                  SampledFrame(idx, ts, FakeVideoCodec.frameAt(seed, ts))
                 }
                 .toSeq
               VideoFrames(in.assetId, ok = true, dur, frames)

@@ -57,6 +57,10 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
           val big = Array.fill[Byte](64 * 1024)(0x42)
           big(0) = 0xFF.toByte; big(1) = 0xD8.toByte
           respond(ex, 200, "image/jpeg", big)
+        case "/barely-huge.jpg" =>
+          // Just over a 1024 cap and small enough to arrive in one read:
+          // the EOF lands right after the over-cap write.
+          respond(ex, 200, "image/jpeg", Array.fill[Byte](1500)(0x42))
         case "/slow" =>
           Thread.sleep(500)
           respond(ex, 200, "text/html", "late".getBytes(UTF_8))
@@ -132,6 +136,13 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
     val r = a.value.get
     assert(!r.ok && r.error.startsWith("too_large"), r.error)
     assert(r.body.isEmpty)
+    // Boundary: over the cap but delivered in one read before EOF — must
+    // still be rejected, not slip through because the loop saw EOF next.
+    val b = fetchOne(
+      HttpFetchStage.withRetry(timeoutMs = 2000, expectImage = true,
+        baseBackoffMs = 0L, maxBytes = 1024),
+      FetchRequest(12L, s"$base/barely-huge.jpg"))
+    assert(b.value.get.error.startsWith("too_large"), b.value.get.error)
   }
 
   test("read timeout is transient and exhausts into a failed row") {

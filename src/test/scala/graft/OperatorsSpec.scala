@@ -243,5 +243,12 @@ class SessionsSimilaritySpec extends SparkSpec {
       .filter($"doc_id" === 4L).head.getString(1))
     assert(counts(5L) == (0L, 0L, 0L))
     assert(out(1L).getBoolean(5) && out(3L).getBoolean(5))
+    // Null text (tolerant loaders admit it) must census as zero-and-clean,
+    // never null/-1 counts.
+    val nullRow = operators.TextAnalysis.piiScan(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text")).collect().head
+    assert((nullRow.getLong(1), nullRow.getLong(2), nullRow.getLong(3)) ==
+      ((0L, 0L, 0L)))
+    assert(!nullRow.getBoolean(5) && nullRow.getString(4) == "")
   }
 }
