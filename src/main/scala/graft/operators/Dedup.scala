@@ -178,6 +178,15 @@ object Dedup {
     // was ~100 CPU-s over the sf0.1 candidates.
     val sets = cacheIndex(sh.groupBy($"doc_id")
       .agg(sort_array(collect_list($"s64")).as("ss")))
+    verifyJaccardSets(cand, sets, minJ)
+  }
+
+  /** As [[verifyJaccard]], but against pre-built (doc_id, ss) sorted
+    * shingle-set rows — the shape persisted dedup state arrives in.
+    */
+  private def verifyJaccardSets(cand: DataFrame, sets: DataFrame,
+      minJ: Double): DataFrame = {
+    import cand.sparkSession.implicits._
     cand
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -248,6 +257,59 @@ object Dedup {
     // Exact verify: jaccard on candidate pairs only, reusing the shingle
     // rows already built for the signatures.
     verifyJaccard(cand, sh, minJ).distinct()
+  }
+
+  /** Persistable LSH dedup state for a corpus generation: the banded
+    * MinHash signature rows (doc_id, band, bh) and the sorted shingle-set
+    * arrays (doc_id, ss) — everything [[incrementalNearDups]] needs to
+    * dedup future batches against this corpus WITHOUT re-reading its
+    * text. Write both as parquet (they are plain columnar rows; ~64
+    * longs + one array per doc) and hand them back on the next batch.
+    */
+  def lshDedupState(docs: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val sh = shingleRows(docs)
+    (bandedSignatures(sh, bands, rowsPerBand),
+      sh.groupBy($"doc_id").agg(sort_array(collect_list($"s64")).as("ss")))
+  }
+
+  /** Incremental near-dup: all pairs (doc_a, doc_b) with exact Jaccard
+    * >= minJ where doc_b is in the arriving batch and doc_a is either in
+    * the signed corpus behind `stateBands`/`stateSets` or an earlier-id
+    * batch doc — i.e. exactly [[lshNearDups]]' output restricted to
+    * pairs that involve the batch, without recomputing anything for the
+    * old corpus.
+    *
+    * This is the corpus-growth shape at 100 TB: per batch, signature
+    * work is O(batch); the old corpus contributes only its compact state
+    * rows. The state-side band join shuffles on (band, bh) — and when
+    * the batch is small relative to the corpus (the steady-state case)
+    * AQE broadcasts the batch's band rows so the state never moves.
+    * Exact verification touches only the docs that appear in candidate
+    * pairs. Requires the same (bands, rowsPerBand) the state was built
+    * with — band hashes are per-doc, so incremental candidates equal the
+    * full run's candidates restricted to the batch.
+    */
+  def incrementalNearDups(stateBands: DataFrame, stateSets: DataFrame,
+      newDocs: DataFrame, minJ: Double, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    import newDocs.sparkSession.implicits._
+    val newSh = shingleRows(newDocs)
+    val newBands = cacheIndex(bandedSignatures(newSh, bands, rowsPerBand))
+    // Old–new candidates: state id carries as doc_a (the survivor side),
+    // batch id as doc_b. New–new candidates order by id as usual.
+    val oldNew = stateBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val newNew = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val newSets = newSh.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s64")).as("ss"))
+    verifyJaccardSets(oldNew.union(newNew),
+      stateSets.select($"doc_id", $"ss").union(newSets), minJ).distinct()
   }
 
   /** 16-bit SimHash over distinct 3-gram shingles: bit j of the signature
@@ -524,6 +586,14 @@ object Dedup {
     "q26_neardup_jaccard" -> ((s, d) =>
       jaccardNearDups(Tables.load(s, d).documents, 0.6, defaultMaxDf)),
     "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
+    // Corpus-growth scenario on driver data: docs below 250 are the
+    // already-signed corpus (state built once, text never re-read), the
+    // rest arrive as a batch.
+    "q77_incremental_neardups" -> ((s, d) => {
+      val docs = Tables.load(s, d).documents
+      val (sb, ss) = lshDedupState(docs.filter(col("doc_id") < 250))
+      incrementalNearDups(sb, ss, docs.filter(col("doc_id") >= 250), 0.9)
+    }),
     "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
     "q47_simhash_pairs" -> ((s, d) =>
       simhashNearPairs(Tables.load(s, d).documents, 1)),
@@ -646,6 +716,10 @@ object Dedup {
     // The LSH path is exact-verified; at 16×4 bands the candidate recall at
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),
+    // The full-corpus pair set restricted to pairs involving the batch:
+    // doc_a < doc_b always, so doc_b >= 250 ⇔ at least one endpoint is a
+    // batch doc. Same brute-force-oracle argument as q27.
+    "q77_incremental_neardups" -> (jaccardSql(0.9) + "\n  AND doc_b >= 250"),
     "q28_simhash" -> s"WITH $simhashCte SELECT doc_id, simhash FROM sig",
     // Shingles compare as strings here vs 60-bit hashes in Spark — the
     // shared-count equality relies on hash injectivity over the corpus,

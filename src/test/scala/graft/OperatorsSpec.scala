@@ -69,6 +69,29 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) == 1.0 && out(2L) == 1.0 && out(3L) == 0.0)
   }
 
+  test("incremental near-dup equals the full run restricted to the batch") {
+    import spark.implicits._
+    val docs = tables.documents
+    val cut = 250L
+    val full = Dedup.lshNearDups(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter(_._2 >= cut)
+    // State round-trips through parquet — the persisted-state contract,
+    // not just an in-session DataFrame handoff.
+    val dir = java.nio.file.Files.createTempDirectory("lshstate").toFile
+    val (sb, ss) = Dedup.lshDedupState(docs.filter($"doc_id" < cut))
+    sb.write.parquet(s"$dir/bands"); ss.write.parquet(s"$dir/sets")
+    val got = Dedup.incrementalNearDups(
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+        docs.filter($"doc_id" >= cut), 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    // The scenario is non-trivial at this SF: both old–new and new–new
+    // candidate paths must have fired.
+    assert(expected.exists(p => p._1 < cut), "no cross-generation pair")
+    assert(expected.exists(p => p._1 >= cut), "no within-batch pair")
+  }
+
   test("quality score lies in [0,1] and accept matches threshold") {
     val rows = run("q22_quality_score").collect()
     assert(rows.forall { r =>
