@@ -237,4 +237,48 @@ class StreamingSpec extends SparkSpec {
     val written = spark.read.parquet(s"$out/batch").count()
     assert(written == tables.events.count())
   }
+
+  test("streaming incremental near-dup: foreachBatch accumulates state across batches") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // The corpus arrives as two JSONL files (one micro-batch each); the
+    // handler dedups each batch against the state written by earlier
+    // batches, then appends the batch's own state — so across the run
+    // every near-dup pair is found exactly when its later doc arrives.
+    val root = Files.createTempDirectory("incdedup").toFile.getAbsolutePath
+    val docsJson = tables.documents
+      .select($"doc_id", to_json(struct($"doc_id", $"text")).as("js"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    Files.createDirectories(Paths.get(s"$root/in"))
+    Files.writeString(Paths.get(s"$root/in/f1.jsonl"),
+      docsJson.filter(_._1 < 250).map(_._2).mkString("\n"))
+    Files.writeString(Paths.get(s"$root/in/f2.jsonl"),
+      docsJson.filter(_._1 >= 250).map(_._2).mkString("\n"))
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$root/in")
+    val q = Streams.toForeachBatchSink(stream, s"$root/ckpt") { (batch, _) =>
+      val s = batch.sparkSession
+      val empty = Dedup.lshDedupState(batch.limit(0))
+      val (bands, sets) =
+        if (new java.io.File(s"$root/state/bands").exists())
+          (s.read.parquet(s"$root/state/bands"), s.read.parquet(s"$root/state/sets"))
+        else empty
+      Dedup.incrementalNearDups(bands, sets, batch, 0.9)
+        .write.mode("append").parquet(s"$root/pairs")
+      val (nb, ns) = Dedup.lshDedupState(batch)
+      nb.write.mode("append").parquet(s"$root/state/bands")
+      ns.write.mode("append").parquet(s"$root/state/sets")
+    }
+    q.awaitTermination(180000)
+    def norm(r: org.apache.spark.sql.Row) = {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      (math.min(a, b), math.max(a, b))
+    }
+    val streamed = spark.read.parquet(s"$root/pairs").collect().map(norm).toSet
+    val full = Dedup.lshNearDups(tables.documents, 0.9).collect().map(norm).toSet
+    assert(streamed == full, s"streamed ${streamed.size}, full ${full.size}")
+    assert(full.nonEmpty)
+  }
 }
