@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectCountSorted].getName,
         "intersect_count_sorted"),
       (exprs: Seq[Expression]) => GraftExtensions.buildIntersect(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "pii_redact"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildPiiRedact(exprs)))
   }
 }
 
@@ -52,6 +58,27 @@ object GraftExtensions {
       new ExpressionInfo(classOf[IntersectCountSorted].getName,
         "intersect_count_sorted"),
       (exprs: Seq[Expression]) => buildIntersect(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("pii_redact"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+        "pii_redact"),
+      (exprs: Seq[Expression]) => buildPiiRedact(exprs))
+  }
+
+  /** SQL builder: pii_redact(text) — the ordered email→IP→phone scrub of
+    * graft.operators.TextAnalysis.piiRedact, composed from the built-in
+    * codegen RegExpReplace so SQL callers get the identical semantics.
+    */
+  private[graft] def buildPiiRedact(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "pii_redact(text STRING)")
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    import graft.operators.TextAnalysis
+    Seq(TextAnalysis.emailRe -> "<EMAIL>", TextAnalysis.ipv4Re -> "<IP>",
+        TextAnalysis.phoneRe -> "<PHONE>")
+      .foldLeft(exprs.head) { case (e, (re, rep)) =>
+        RegExpReplace(e, Literal(re), Literal(rep))
+      }
   }
 
   /** SQL builder: intersect_count_sorted(a, b) over sorted-distinct

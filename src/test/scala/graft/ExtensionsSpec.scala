@@ -60,6 +60,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("pii_redact is callable from SQL and matches the Column API scrub") {
+    import spark.implicits._
+    val texts = Seq(
+      "mail a@b.co or dial 555-123-4567",
+      "host 10.0.0.1 fine",
+      "clean v1.2.3 text")
+    val viaSql = texts.toDF("t").createOrReplaceTempView("pii_t")
+    val sql = spark.sql("SELECT pii_redact(t) AS r FROM pii_t")
+      .collect().map(_.getString(0)).toSeq
+    val viaCol = texts.toDF("t")
+      .select(graft.operators.TextAnalysis.piiRedact($"t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sql == viaCol)
+    assert(sql == Seq("mail <EMAIL> or dial <PHONE>", "host <IP> fine",
+      "clean v1.2.3 text"))
+  }
+
   test("weighted_bucket rejects non-literal dictionaries") {
     val e = intercept[Exception] {
       spark.sql("SELECT weighted_bucket(0.5, array(CAST(id AS STRING)), array(1.0)) FROM range(2)").collect()
