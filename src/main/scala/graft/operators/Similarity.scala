@@ -168,38 +168,37 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    // Centroids live on the driver as literal arrays (nlist × d longs —
-    // trivially small; FAISS coarse quantizers are the same shape). Each
-    // Lloyd iteration is then map-side assignment (an expression, not a
-    // crossJoin+window: zero shuffle) plus ONE aggregate shuffle of
-    // nlist×(d+1) partial sums per partition, and a ≤nlist-row collect.
-    // All arithmetic is the same exact-integer math as before, so the
-    // index — and the DuckDB oracle replay — is unchanged bit-for-bit.
-    var cents: Seq[(Long, Array[Long])] = e
-      .select($"vec_id", $"v", detUniform("ivfseed", $"vec_id").as("u"))
-      .orderBy($"u".asc, $"vec_id".asc).limit(nlist)
-      .select($"v").collect()
-      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }
-      .toSeq
+    val cents = trainIvfCentroids(e, nlist, iters)
     if (cents.isEmpty) {
       // Empty corpus: no centroids to train — return the empty result with
       // the operator's schema instead of failing at construction time.
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
     }
+    val assigned = e.withColumn("list_id", assignExpr(cents))
+    probeAndScore(assigned, e.filter($"vec_id" < nQueries), cents, k, nprobe)
+  }
+
+  /** Broadcast-k-means training (the index-build half of
+    * [[cosineTopKIvf]]). Centroids live on the driver as literal arrays
+    * (nlist × d longs — trivially small; FAISS coarse quantizers are the
+    * same shape). Each Lloyd iteration is map-side assignment (an
+    * expression, not a crossJoin+window: zero shuffle) plus ONE aggregate
+    * shuffle of nlist×(d+1) partial sums per partition, and a ≤nlist-row
+    * collect. All arithmetic is exact-integer, so the index — and the
+    * DuckDB oracle replay — is deterministic bit-for-bit.
+    */
+  private def trainIvfCentroids(e: DataFrame, nlist: Int,
+      iters: Int): Seq[(Long, Array[Long])] = {
+    import e.sparkSession.implicits._
+    var cents: Seq[(Long, Array[Long])] = e
+      .select($"vec_id", $"v", detUniform("ivfseed", $"vec_id").as("u"))
+      .orderBy($"u".asc, $"vec_id".asc).limit(nlist)
+      .select($"v").collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0).toArray) }
+      .toSeq
+    if (cents.isEmpty) return cents
     val dims = cents.head._2.length
-    // Per-row (squared-L2 dist, cid) struct per centroid — the single
-    // source for both assignment (array_min = lexicographic minimum,
-    // identical tiebreak to the window formulation it replaced) and
-    // query probing (array_sort + slice).
-    def centStructs(cs: Seq[(Long, Array[Long])]): Column =
-      array(cs.map { case (cid, cv) =>
-        val cnsq = cv.map(x => x * x).sum
-        struct(($"nsq" + lit(cnsq) - lit(2L) * dotQ($"v", typedlit(cv.toSeq)))
-          .as("dist"), lit(cid).as("cid"))
-      }: _*)
-    def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
-      array_min(centStructs(cs)).getField("cid")
     for (_ <- 1 to iters) {
       val sums = (0 until dims).map(i =>
         sum(element_at($"v", i + 1)).as(s"s$i"))
@@ -214,17 +213,77 @@ object Similarity {
         (r.getAs[Long]("cid"), cv)
       }.sortBy(_._1).toSeq
     }
-    val assigned = e.withColumn("list_id", assignExpr(cents))
-    // Each query probes its nprobe nearest centroid lists (same integer
-    // squared-L2 metric as assignment): sort the per-row (dist, cid)
-    // array and slice — map-side, no window.
+    cents
+  }
+
+  /** Per-row (squared-L2 dist, cid) struct per centroid — the single
+    * source for both assignment (array_min = lexicographic minimum,
+    * identical tiebreak to the window formulation it replaced) and
+    * query probing (array_sort + slice).
+    */
+  private def centStructs(cs: Seq[(Long, Array[Long])]): Column =
+    array(cs.map { case (cid, cv) =>
+      val cnsq = cv.map(x => x * x).sum
+      struct((col("nsq") + lit(cnsq) - lit(2L) * dotQ(col("v"), typedlit(cv.toSeq)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*)
+
+  private def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
+    array_min(centStructs(cs)).getField("cid")
+
+  /** The serving half: each query probes its nprobe nearest centroid
+    * lists (same integer squared-L2 metric as assignment) via a map-side
+    * array_sort + slice, then scores only those lists.
+    */
+  private def probeAndScore(assigned: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Array[Long])], k: Int, nprobe: Int): DataFrame = {
+    import assigned.sparkSession.implicits._
     val probeArr = array_sort(centStructs(cents))
-    val qProbes = e.filter($"vec_id" < nQueries)
+    val qProbes = queries
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
         explode(slice(probeArr, 1, nprobe)).as("pp"))
       .select($"qid", $"qv", $"qnsq", col("pp.cid").as("list_id"))
     scoreTopK(assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter($"vec_id" =!= $"qid"), k)
+  }
+
+  /** Build the IVF index once, persistably: trained centroids as rows
+    * (cid, cv) and the corpus assigned to lists (vec_id, v, nsq,
+    * list_id) — both plain parquet. The ANN serving shape at scale:
+    * training and assignment run offline per corpus generation;
+    * [[cosineTopKIvfFromIndex]] then answers query batches against the
+    * stored index without touching raw embeddings or re-training.
+    */
+  def ivfIndex(embeddings: DataFrame, nlist: Int = 16,
+      iters: Int = 2): (DataFrame, DataFrame) = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val cents = trainIvfCentroids(e, nlist, iters)
+    val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val assigned =
+      if (cents.isEmpty) e.withColumn("list_id", lit(0L)).filter(lit(false))
+      else e.withColumn("list_id", assignExpr(cents))
+    (centDf, assigned.select($"vec_id", $"v", $"nsq", $"list_id"))
+  }
+
+  /** Serve cosine top-k from a stored [[ivfIndex]]: queries are raw
+    * (vec_id, embedding) rows; the ≤nlist centroid rows collect to the
+    * driver (the same driver-literal shape training uses) and probing/
+    * scoring proceed exactly as in [[cosineTopKIvf]] — with identical
+    * index parameters the results match the one-shot operator's.
+    */
+  def cosineTopKIvfFromIndex(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    import queries.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val q = quantized(queries)
+    if (cents.isEmpty)
+      return q.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    probeAndScore(assigned, q, cents, k, nprobe)
   }
 
   /** Per-vector banded hyperplane signatures as an array of (band, bucket)

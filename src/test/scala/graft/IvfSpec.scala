@@ -27,4 +27,20 @@ class IvfSpec extends SparkSpec {
     val again = Similarity.cosineTopKIvf(tables.embeddings, 10, 3).collect()
     assert(again.map(_.toSeq).toSet == ivf.map(_.toSeq).toSet)
   }
+
+  test("serving from a stored IVF index matches the one-shot operator") {
+    import spark.implicits._
+    // Build once, persist as parquet (the serving contract), query many.
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toFile
+    val (cents, assigned) = Similarity.ivfIndex(tables.embeddings)
+    cents.write.parquet(s"$dir/cents")
+    assigned.write.parquet(s"$dir/assigned")
+    val served = Similarity.cosineTopKIvfFromIndex(
+        spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/assigned"),
+        tables.embeddings.filter($"vec_id" < 10), 3)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Similarity.cosineTopKIvf(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == oneShot && served.nonEmpty)
+  }
 }
