@@ -274,12 +274,14 @@ object Dedup {
       sh.groupBy($"doc_id").agg(sort_array(collect_list($"s64")).as("ss")))
   }
 
-  /** Incremental near-dup: all pairs (doc_a, doc_b) with exact Jaccard
-    * >= minJ where doc_b is in the arriving batch and doc_a is either in
-    * the signed corpus behind `stateBands`/`stateSets` or an earlier-id
-    * batch doc — i.e. exactly [[lshNearDups]]' output restricted to
-    * pairs that involve the batch, without recomputing anything for the
-    * old corpus.
+  /** Incremental near-dup: all pairs with exact Jaccard >= minJ that
+    * involve the arriving batch — the same pair CONTENTS as
+    * [[lshNearDups]] over the grown corpus restricted to pairs touching
+    * the batch, without recomputing anything for the old corpus.
+    * Orientation: old–new pairs come out as (doc_a = state doc, doc_b =
+    * batch doc) regardless of id order — doc_a is the survivor side;
+    * new–new pairs order by id. Normalize to (min, max) before comparing
+    * with a full-corpus run if ids interleave across generations.
     *
     * This is the corpus-growth shape at 100 TB: per batch, signature
     * work is O(batch); the old corpus contributes only its compact state
@@ -290,24 +292,30 @@ object Dedup {
     * pairs. Requires the same (bands, rowsPerBand) the state was built
     * with — band hashes are per-doc, so incremental candidates equal the
     * full run's candidates restricted to the batch.
+    *
+    * Long-running streams: each batch's shingle/signature builds persist
+    * in the shared index registry — call [[releaseIndexes]] after the
+    * batch's outputs are written, or storage grows per micro-batch.
     */
   def incrementalNearDups(stateBands: DataFrame, stateSets: DataFrame,
       newDocs: DataFrame, minJ: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     import newDocs.sparkSession.implicits._
-    val newSh = shingleRows(newDocs)
-    val newBands = cacheIndex(bandedSignatures(newSh, bands, rowsPerBand))
+    val (nb, newSets) = lshDedupState(newDocs, bands, rowsPerBand)
+    val newBands = cacheIndex(nb)
     // Old–new candidates: state id carries as doc_a (the survivor side),
-    // batch id as doc_b. New–new candidates order by id as usual.
+    // batch id as doc_b. The =!= guard keeps an at-least-once replay (a
+    // doc present in both state and batch) from emitting (X, X) — which
+    // a keep-lowest consumer would read as "X is its own loser".
+    // New–new candidates order by id as usual.
     val oldNew = stateBands.as("x").join(newBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val newNew = newBands.as("x").join(newBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val newSets = newSh.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"s64")).as("ss"))
     verifyJaccardSets(oldNew.union(newNew),
       stateSets.select($"doc_id", $"ss").union(newSets), minJ).distinct()
   }

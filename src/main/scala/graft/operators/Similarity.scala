@@ -279,7 +279,12 @@ object Similarity {
     val cents = centroids.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
-    val q = quantized(queries)
+    // Uncached quantization: a serving call's query batch is consumed
+    // once — registering every batch in the session-lifetime index cache
+    // would grow storage per call served.
+    val q = queries
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
     if (cents.isEmpty)
       return q.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))

@@ -66,7 +66,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "mail a@b.co or dial 555-123-4567",
       "host 10.0.0.1 fine",
       "clean v1.2.3 text")
-    val viaSql = texts.toDF("t").createOrReplaceTempView("pii_t")
+    texts.toDF("t").createOrReplaceTempView("pii_t")
     val sql = spark.sql("SELECT pii_redact(t) AS r FROM pii_t")
       .collect().map(_.getString(0)).toSeq
     val viaCol = texts.toDF("t")

@@ -268,8 +268,15 @@ class StreamingSpec extends SparkSpec {
       Dedup.incrementalNearDups(bands, sets, batch, 0.9)
         .write.mode("append").parquet(s"$root/pairs")
       val (nb, ns) = Dedup.lshDedupState(batch)
-      nb.write.mode("append").parquet(s"$root/state/bands")
+      // Sets before bands: the state probe above keys on bands existing,
+      // so this order means bands present ⇒ sets present even if the
+      // handler dies between the two writes.
       ns.write.mode("append").parquet(s"$root/state/sets")
+      nb.write.mode("append").parquet(s"$root/state/bands")
+      // Per-batch index builds persist in the shared registry — release
+      // them once this batch's outputs are durable, or a long stream
+      // accumulates cached DataFrames per micro-batch.
+      Dedup.releaseIndexes()
     }
     q.awaitTermination(180000)
     def norm(r: org.apache.spark.sql.Row) = {
