@@ -15,6 +15,12 @@ import graft.functions.Fp._
   *
   * Everything is a pure column expression (whole-stage codegen, no UDFs) —
   * per-row work with no shuffle, so it scales linearly with input splits.
+  *
+  * Input contract: document tables arrive post-ingestion (sources.Jsonl
+  * .valid strips rows whose required fields are null/corrupt), so these
+  * operators assume non-null text; piiScan additionally tolerates null
+  * text directly because redaction is often the FIRST hop, before any
+  * validity split.
   */
 object TextAnalysis {
 
