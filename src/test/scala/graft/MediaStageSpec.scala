@@ -50,6 +50,47 @@ class MediaStageSpec extends SparkSpec {
     assert(math.abs(f.zeroCrossRate - 2 * 440.0 / 8000) < 0.01, f.zeroCrossRate)
   }
 
+  test("PCM variants normalize: 8-bit unsigned WAV and big-endian AIFF") {
+    import spark.implicits._
+    // 8-bit unsigned WAV (0..255 around 128) and 16-bit big-endian AIFF
+    // both funnel through the signed-16 normalization path.
+    def encoded(bits: Int, bigEndian: Boolean,
+        fileType: AudioFileFormat.Type): Array[Byte] = {
+      val (rate, n, amp) = (8000f, 2000, 0.5)
+      val data = new Array[Byte](n * bits / 8)
+      for (i <- 0 until n) {
+        val v = amp * math.sin(2 * math.Pi * 440.0 * i / rate)
+        if (bits == 8) data(i) = ((v * 127).toInt + 128).toByte
+        else {
+          val q = (v * 32767).toInt.toShort
+          val (b0, b1) = if (bigEndian) ((q >> 8).toByte, (q & 0xff).toByte)
+            else ((q & 0xff).toByte, (q >> 8).toByte)
+          data(2 * i) = b0; data(2 * i + 1) = b1
+        }
+      }
+      val fmt = new AudioFormat(
+        if (bits == 8) AudioFormat.Encoding.PCM_UNSIGNED
+        else AudioFormat.Encoding.PCM_SIGNED,
+        rate, bits, 1, bits / 8, rate, bigEndian)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, n.toLong), fileType, out)
+      out.toByteArray
+    }
+    val ds = Seq(
+      AudioIn("u8wav", encoded(8, bigEndian = false, AudioFileFormat.Type.WAVE)),
+      AudioIn("beaiff", encoded(16, bigEndian = true, AudioFileFormat.Type.AIFF)))
+      .toDS()
+    val out = MediaStage.audioFeatureStage.run(ds).collect()
+      .map(f => f.assetId -> f).toMap
+    out.values.foreach { f =>
+      assert(f.ok && f.sampleRate == 8000 && f.nSamples == 2000, f)
+      // 8-bit quantization adds ~1/256 noise; both stay near A/sqrt(2).
+      assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.02, f)
+      assert(math.abs(f.zeroCrossRate - 2 * 440.0 / 8000) < 0.01, f)
+    }
+  }
+
   test("stereo decodes with channel-mean mixing (anti-phase cancels)") {
     import spark.implicits._
     val ds = Seq(
