@@ -49,7 +49,8 @@ final class TransientHttpException(msg: String) extends RuntimeException(msg)
   * like every other stage.
   */
 class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
-    maxBytes: Int = 32 * 1024 * 1024)
+    maxBytes: Int = 32 * 1024 * 1024,
+    userAgent: String = HttpFetchStage.defaultUserAgent)
     extends InferenceStage[FetchRequest, FetchResult] {
 
   def setup(): ModelHandle[FetchRequest, FetchResult] =
@@ -63,6 +64,10 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
         conn.setConnectTimeout(timeoutMs)
         conn.setReadTimeout(timeoutMs)
         conn.setRequestProperty("Referer", referer)
+        // CDNs block the JDK's default "Java/…" agent outright; the
+        // reference sends a browser agent on every request
+        // (test_scraper_requests.py:26, any_scraper.py headers).
+        if (userAgent.nonEmpty) conn.setRequestProperty("User-Agent", userAgent)
         conn.setRequestProperty("Accept",
           if (expectImage) "image/avif,image/webp,image/apng,image/*,*/*;q=0.8"
           else "*/*")
@@ -138,6 +143,13 @@ class HttpFetchStage(timeoutMs: Int = 15000, expectImage: Boolean = false,
 }
 
 object HttpFetchStage {
+
+  /** Browser-style agent mirroring the reference's request headers; pass
+    * userAgent = "" to fall back to the JDK default.
+    */
+  val defaultUserAgent: String =
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 " +
+      "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"
 
   /** The production composition: fetch wrapped in exponential-backoff
     * retry — transient rows (5xx, timeout) re-attempt with 1s/2s/4s waits

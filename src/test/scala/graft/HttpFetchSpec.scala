@@ -21,6 +21,7 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
   private var base: String = _
   private val flakyHits = new AtomicInteger(0)
   private val seenReferers = new ConcurrentHashMap[String, String]()
+  private val seenAgents = new ConcurrentHashMap[String, String]()
 
   private def respond(ex: HttpExchange, status: Int, ct: String,
       body: Array[Byte]): Unit = {
@@ -35,6 +36,7 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
     server.createContext("/", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       seenReferers.put(path, Option(ex.getRequestHeaders.getFirst("Referer")).getOrElse(""))
+      seenAgents.put(path, Option(ex.getRequestHeaders.getFirst("User-Agent")).getOrElse(""))
       path match {
         case "/page" =>
           respond(ex, 200, "text/html", "<html>hello</html>".getBytes(UTF_8))
@@ -157,6 +159,9 @@ class HttpFetchSpec extends SparkSpec with BeforeAndAfterAll {
     val stage = HttpFetchStage.withRetry(timeoutMs = 2000, baseBackoffMs = 0L)
     fetchOne(stage, FetchRequest(9L, s"$base/img.jpg"))
     assert(seenReferers.get("/img.jpg") == s"$base/")
+    // The browser-style agent goes out by default — never the JDK's
+    // "Java/…", which CDNs block on sight.
+    assert(seenAgents.get("/img.jpg") == HttpFetchStage.defaultUserAgent)
     fetchOne(stage, FetchRequest(10L, s"$base/page", referer = "https://example.com/"))
     assert(seenReferers.get("/page") == "https://example.com/")
   }
