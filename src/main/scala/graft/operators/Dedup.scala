@@ -594,13 +594,16 @@ object Dedup {
     "q26_neardup_jaccard" -> ((s, d) =>
       jaccardNearDups(Tables.load(s, d).documents, 0.6, defaultMaxDf)),
     "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
-    // Corpus-growth scenario on driver data: docs below 250 are the
-    // already-signed corpus (state built once, text never re-read), the
-    // rest arrive as a batch.
+    // Corpus-growth scenario on driver data: the lower half of the id
+    // space is the already-signed corpus (state built once, text never
+    // re-read), the upper half arrives as a batch. The cut scales with
+    // the table (one max() driver action) so every SF splits in half;
+    // the oracle pins the identical arithmetic.
     "q77_incremental_neardups" -> ((s, d) => {
       val docs = Tables.load(s, d).documents
-      val (sb, ss) = lshDedupState(docs.filter(col("doc_id") < 250))
-      incrementalNearDups(sb, ss, docs.filter(col("doc_id") >= 250), 0.9)
+      val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
+      val (sb, ss) = lshDedupState(docs.filter(col("doc_id") < cut))
+      incrementalNearDups(sb, ss, docs.filter(col("doc_id") >= cut), 0.9)
     }),
     "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
     "q47_simhash_pairs" -> ((s, d) =>
@@ -725,9 +728,11 @@ object Dedup {
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),
     // The full-corpus pair set restricted to pairs involving the batch:
-    // doc_a < doc_b always, so doc_b >= 250 ⇔ at least one endpoint is a
-    // batch doc. Same brute-force-oracle argument as q27.
-    "q77_incremental_neardups" -> (jaccardSql(0.9) + "\n  AND doc_b >= 250"),
+    // doc_a < doc_b always, so doc_b >= cut ⇔ at least one endpoint is a
+    // batch doc, with cut = (max(doc_id)+1)/2 exactly as the Spark side
+    // computes it. Same brute-force-oracle argument as q27.
+    "q77_incremental_neardups" -> (jaccardSql(0.9) +
+      "\n  AND doc_b >= (SELECT (MAX(doc_id) + 1) // 2 FROM documents)"),
     "q28_simhash" -> s"WITH $simhashCte SELECT doc_id, simhash FROM sig",
     // Shingles compare as strings here vs 60-bit hashes in Spark — the
     // shared-count equality relies on hash injectivity over the corpus,
