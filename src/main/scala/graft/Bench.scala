@@ -41,7 +41,15 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // A throwing query must not read as a fast success — surface it.
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only the tail of sbt output, which has truncated
+    // past per-query maps — the full line also lands in a file it (and the
+    // per-round commit) can read intact.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
