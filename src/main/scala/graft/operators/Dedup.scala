@@ -328,9 +328,11 @@ object Dedup {
     // side broadcasts; stale state BAND rows may still nominate candidates
     // from the old signature, which costs an extra exact verify, never a
     // wrong answer.
-    val sets = stateSets.select($"doc_id", $"ss")
+    // Cached: the verify epilogue joins the set table twice (doc_a and
+    // doc_b sides) — one materialized union instead of two.
+    val sets = cacheIndex(stateSets.select($"doc_id", $"ss")
       .join(broadcast(newSets.select($"doc_id")), Seq("doc_id"), "left_anti")
-      .union(newSets)
+      .union(newSets))
     verifyJaccardSets(oldNew.union(newNew), sets, minJ).distinct()
   }
 

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for fact-fact joins.
+  *
+  * The default posture at scale is AQE: `spark.sql.adaptive.skewJoin`
+  * splits an oversized shuffle partition into sub-tasks and replicates the
+  * matching partition of the other side — no plan changes, verified by
+  * `SkewSpec`. Salting is the explicit fallback for the cases AQE does not
+  * cover: a single key too hot for one task even after splitting on a
+  * non-AQE engine path, deterministic partition-count control, or skewed
+  * AGGREGATIONS (AQE never splits a groupBy key; pre-aggregate on
+  * (key, salt) then re-aggregate on key — same trick, one extra partial).
+  */
+object Skew {
+
+  /** Equi-join with the skewed side salted: the hot side's rows scatter
+    * over `nSalts` sub-keys and the other side is replicated `nSalts`
+    * times, so one hot key occupies `nSalts` shuffle partitions instead
+    * of one. Result equals `skewed.join(other, key, joinType)` exactly.
+    *
+    * The salt is `xxhash64` of the skewed side's whole row — deterministic
+    * across retries and partitionings (no rand()), uniform over duplicate
+    * keys, and requiring no secondary-column knowledge from the caller.
+    * Replication multiplies the OTHER side's shuffle volume by `nSalts`:
+    * salt the side with the hot keys, keep `nSalts` small (8–32), and
+    * prefer AQE when it already handles the skew.
+    *
+    * Supported joinTypes: "inner", "left"/"left_outer" (an unmatched
+    * skewed row appears exactly once — its salt replica misses, the other
+    * nSalts−1 replicas never existed). Right/full-outer would emit one
+    * null row per UNMATCHED other-side replica; refuse rather than
+    * silently multiply.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val jt = joinType.toLowerCase.replace("_outer", "")
+    require(jt == "inner" || jt == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val salted = skewed.withColumn("_salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(nSalts.toLong)))
+    val replicated = other.withColumn("_salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

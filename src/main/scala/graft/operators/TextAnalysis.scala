@@ -283,7 +283,11 @@ object TextAnalysis {
     import docs.sparkSession.implicits._
     docs.select($"doc_id",
       concat_ws(" ", $"text",
-        when($"doc_id" % 3 === 0,
+        // source non-null guard: Spark concat null-propagates inside
+        // when() while DuckDB concat skips NULLs — without the guard a
+        // NULL source would diverge engine and oracle (no email vs
+        // 'contact -<id>@example.com'). The guard makes both emit nothing.
+        when($"doc_id" % 3 === 0 && $"source".isNotNull,
           concat(lit("contact "), $"source", lit("-"), $"doc_id".cast("string"),
             lit("@example.com"))),
         when($"doc_id" % 5 === 0,
@@ -412,7 +416,7 @@ object TextAnalysis {
       s"""WITH seeded AS (
          |  SELECT doc_id,
          |    concat_ws(' ', text,
-         |      CASE WHEN doc_id % 3 = 0
+         |      CASE WHEN doc_id % 3 = 0 AND source IS NOT NULL
          |        THEN concat('contact ', source, '-', CAST(doc_id AS VARCHAR), '@example.com') END,
          |      CASE WHEN doc_id % 5 = 0
          |        THEN concat('from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.', CAST(doc_id % 100 AS VARCHAR)) END,

@@ -44,13 +44,18 @@ object Sinks {
     * opened once (rows arrive key-clustered only per shuffle partition,
     * so writers are kept open per key until the partition ends).
     *
-    * Concurrency caveat: this sink bypasses Spark's output committer (the
-    * committer's part-file naming is exactly what filename parity forbids),
-    * so a task RETRY is safe — the rerun deterministically rewrites the
-    * same files with the same content — but two attempts running at once
-    * can race on one file. Run it with speculative execution off
-    * (spark.speculation=false, the default), like any direct-to-final-path
-    * writer.
+    * Concurrency: this sink bypasses Spark's output committer (the
+    * committer's part-file naming is exactly what filename parity forbids)
+    * but keeps the committer's attempt isolation — each task attempt
+    * writes `_tmp/<key>.json.<taskAttemptId>` and publishes by rename
+    * after the file is complete. A retry or speculative twin therefore
+    * can never interleave bytes into a reader-visible file: the final
+    * `<key>.json` only ever appears as one attempt's complete output
+    * (rename is atomic on HDFS/local; on rename-refuses-overwrite
+    * filesystems the loser deletes its temp, on POSIX-overwrite semantics
+    * the twin replaces a byte-equal file). Attempt temp litter is swept
+    * with `_tmp` after the job; the underscore prefix keeps readers and
+    * globs away from it in the meantime.
     */
   def writeJsonPerKey(df: DataFrame, keyCol: String, outDir: String): Unit = {
     val hc = df.sparkSession.sparkContext.hadoopConfiguration
@@ -69,18 +74,38 @@ object Sinks {
           // No .crc sidecars — the whole point is exact filename parity.
           // (No-op on filesystems without client-side checksum files.)
           efs.setWriteChecksum(false)
-          val open = scala.collection.mutable.Map.empty[String, java.io.BufferedWriter]
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId().toString).getOrElse("driver")
+          val open = scala.collection.mutable.Map.empty[
+            String, (Path, java.io.BufferedWriter)]
           try rows.foreach { r =>
-            val w = open.getOrElseUpdate(r.getString(0), {
-              val p = new Path(outDir, s"${r.getString(0)}.json")
-              new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-                efs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+            val (_, w) = open.getOrElseUpdate(r.getString(0), {
+              val t = new Path(new Path(outDir, "_tmp"),
+                s"${r.getString(0)}.json.$attempt")
+              (t, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+                efs.create(t, true), java.nio.charset.StandardCharsets.UTF_8)))
             })
             w.write(r.getString(1)); w.newLine()
-          } finally open.values.foreach(_.close())
+          } finally open.values.foreach { case (_, w) => w.close() }
+          // Publish only after every file in the partition closed cleanly;
+          // a throw above leaves nothing reader-visible.
+          open.foreach { case (k, (tmp, _)) =>
+            publishAtomic(efs, tmp, new Path(outDir, s"$k.json"))
+          }
         }
       }
+    fs.delete(new Path(root, "_tmp"), true)
   }
+
+  /** Publish a complete task-attempt temp file at its final name. Rename
+    * is atomic per FS contract; when the destination already exists
+    * (a faster attempt won) either the FS refuses — then the loser's temp
+    * is dropped — or POSIX semantics atomically replace a byte-equal file.
+    * Either way readers only ever observe one attempt's complete bytes.
+    */
+  private[graft] def publishAtomic(fs: FileSystem, tmp: Path,
+      dest: Path): Unit =
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
 
   /** K2-style partitioned parquet (the engine-native bulk sink). */
   def writePartitionedParquet(df: DataFrame, keyCol: String, outDir: String): Unit =

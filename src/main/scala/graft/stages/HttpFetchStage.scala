@@ -158,8 +158,10 @@ object HttpFetchStage {
     */
   def withRetry(timeoutMs: Int = 15000, expectImage: Boolean = false,
       maxAttempts: Int = 3, baseBackoffMs: Long = 1000L,
-      maxBytes: Int = 32 * 1024 * 1024)
+      maxBytes: Int = 32 * 1024 * 1024,
+      userAgent: String = defaultUserAgent)
       : InferenceStage[FetchRequest, Attempted[FetchResult]] =
-    RetryStage.wrap(new HttpFetchStage(timeoutMs, expectImage, maxBytes),
+    RetryStage.wrap(
+      new HttpFetchStage(timeoutMs, expectImage, maxBytes, userAgent),
       maxAttempts, baseBackoffMs)
 }

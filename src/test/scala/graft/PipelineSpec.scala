@@ -144,10 +144,49 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.json(dir)
       .select($"product_id", $"title", $"total_images")
     assert(back.collect().toSet == df.collect().toSet)
-    // Re-running overwrites cleanly (no stale files accumulate).
+    // Re-running overwrites cleanly (no stale files accumulate), and the
+    // attempt staging dir is swept after the job.
     Sinks.writeJsonPerKey(df.filter($"product_id" =!= "prod_c"), "product_id", dir)
     val after = new java.io.File(dir).listFiles().filter(_.isFile).map(_.getName)
     assert(after.toSet == Set("prod_a.json", "prod_b.json"))
+    assert(!new java.io.File(dir, "_tmp").exists())
+  }
+
+  test("per-key sink: a speculated twin attempt cannot corrupt a key file") {
+    // The sink's isolation mechanism, exercised directly: two task
+    // attempts of the same partition each stage a complete per-attempt
+    // temp file and publish by atomic rename. Whatever the race order,
+    // the reader-visible file must be ONE attempt's complete bytes —
+    // never an interleaving — and no temp litter survives.
+    val dir = Files.createTempDirectory("atomic").toFile.getAbsolutePath
+    val hc = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hc)
+    fs.setWriteChecksum(false)
+    val attemptA = "prod_x was written by attempt 17\nsecond line A\n"
+    val attemptB = "prod_x was written by attempt 43\nsecond line B\n"
+    def stage(name: String, content: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir, "_tmp"), name)
+      val os = fs.create(p, true)
+      os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      os.close()
+      p
+    }
+    val dest = new org.apache.hadoop.fs.Path(dir, "prod_x.json")
+    // Attempt 17 publishes first; the slower twin 43 publishes after.
+    Sinks.publishAtomic(fs, stage("prod_x.json.17", attemptA), dest)
+    Sinks.publishAtomic(fs, stage("prod_x.json.43", attemptB), dest)
+    val got = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "prod_x.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // One complete attempt, nothing interleaved (which FS rename semantics
+    // pick — refuse-overwrite keeps A, POSIX replace installs B — both are
+    // complete single-attempt files; in production the twins are
+    // byte-equal anyway).
+    assert(got == attemptA || got == attemptB)
+    // The losing temp is gone either way.
+    val tmpDir = new java.io.File(dir, "_tmp")
+    assert(!tmpDir.exists() || tmpDir.listFiles().isEmpty)
   }
 
   test("bucketed tables join with zero shuffle exchanges") {
