@@ -103,7 +103,8 @@ object MediaStage {
     }
 
   // ------------------------------------------------------------------
-  // Video: fake codec, real frame-sampling plumbing
+  // Video: pluggable codec (a REAL pure-JVM MJPEG/AVI decoder and a
+  // deterministic fake), real frame-sampling plumbing
   // ------------------------------------------------------------------
 
   final case class VideoIn(assetId: String, content: Array[Byte])
@@ -111,17 +112,30 @@ object MediaStage {
   final case class VideoFrames(assetId: String, ok: Boolean,
       durationMs: Long, frames: Seq[SampledFrame])
 
-  /** DETERMINISTIC FAKE video codec — this container ships no video
-    * decoder, so this stands in for one (JavaCV/ffmpeg on a real
-    * deployment implements the same two methods). The fake is honest
-    * about shape: duration is a pure function of the byte length (1 byte
-    * = 1 ms of footage), a frame at time t is a 16×16 image whose pixels
-    * derive from an FNV-1a hash of (content, t) — so identical bytes
-    * yield identical frames, distinct bytes yield (whp) distinct frames
-    * — and each frame is encoded as a REAL PNG, keeping every downstream
-    * consumer (decode, aHash, hamming near-dup) on its production path.
+  /** The codec seam [[frameSampleStage]] runs on: container duration and
+    * time-driven frame sampling. [[MjpegAviCodec]] is the real in-JVM
+    * implementation; [[FakeVideoCodec]] the deterministic test stand-in;
+    * an ffmpeg/JavaCV adapter for other codecs implements the same two
+    * methods. Implementations may throw on malformed input — the stage
+    * maps that to an ok=false row (F4 decodability convention).
     */
-  object FakeVideoCodec extends Serializable {
+  trait VideoCodec extends Serializable {
+    def durationMs(content: Array[Byte]): Long
+    def sampleFrames(content: Array[Byte], everyMs: Long,
+        maxFrames: Int): Seq[SampledFrame]
+  }
+
+  /** DETERMINISTIC FAKE video codec — the synthetic-corpus stand-in (the
+    * driver's video column is opaque random bytes, not real containers).
+    * The fake is honest about shape: duration is a pure function of the
+    * byte length (1 byte = 1 ms of footage), a frame at time t is a 16×16
+    * image whose pixels derive from an FNV-1a hash of (content, t) — so
+    * identical bytes yield identical frames, distinct bytes yield (whp)
+    * distinct frames — and each frame is encoded as a REAL PNG, keeping
+    * every downstream consumer (decode, aHash, hamming near-dup) on its
+    * production path. Real containers go through [[MjpegAviCodec]].
+    */
+  object FakeVideoCodec extends VideoCodec {
     val side = 16
 
     def durationMs(content: Array[Byte]): Long = content.length.toLong
@@ -161,6 +175,101 @@ object MediaStage {
       ImageIO.write(img, "png", out)
       out.toByteArray
     }
+
+    def sampleFrames(content: Array[Byte], everyMs: Long,
+        maxFrames: Int): Seq[SampledFrame] = {
+      val dur = durationMs(content)
+      val seed = contentSeed(content)
+      sampleTimes(dur, everyMs, maxFrames).map { case (ts, idx) =>
+        SampledFrame(idx, ts, frameAt(seed, ts))
+      }
+    }
+  }
+
+  /** The shared sampling schedule: one frame every `everyMs` starting at
+    * t=0, capped at `maxFrames`, as (tsMs, sampleIdx) pairs.
+    */
+  private def sampleTimes(durationMs: Long, everyMs: Long,
+      maxFrames: Int): Seq[(Long, Int)] =
+    Iterator.from(0).map(_ * everyMs).takeWhile(_ < durationMs)
+      .take(maxFrames).zipWithIndex.toSeq
+
+  /** REAL video decode, no native dependency: MJPEG in an AVI (RIFF)
+    * container — each video frame is a complete JPEG, which the JDK's
+    * ImageIO decodes — the standard pure-JVM choice in a container that
+    * ships no ffmpeg. The parse follows the published RIFF/AVI layout:
+    * `RIFF('AVI ' LIST('hdrl' avih ...) LIST('movi' 00dc*))`, timing from
+    * the avih MainAVIHeader (dwMicroSecPerFrame at offset 0, dwTotalFrames
+    * at offset 16), frame payloads from the movi-list '00dc'/'00db'
+    * chunks in stream order. Sampled frames are decoded (real JPEG
+    * decode) and re-encoded as PNG so every downstream consumer sees the
+    * same frame schema as the fake codec's output. Malformed containers
+    * throw; [[frameSampleStage]] turns that into ok=false rows.
+    *
+    * An ffmpeg-CLI/JavaCV adapter for arbitrary codecs implements the
+    * same [[VideoCodec]] methods on a deployment that ships one.
+    */
+  object MjpegAviCodec extends VideoCodec {
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (microSecPerFrame, totalFrames, frame payload ranges in order). */
+    private def parse(b: Array[Byte]): (Long, Long, Vector[(Int, Int)]) = {
+      require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+        fourcc(b, 8) == "AVI ", "not a RIFF/AVI container")
+      var usPerFrame = 0L
+      var totalFrames = 0L
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = fourcc(b, off)
+          val size = u32(b, off + 4).toInt
+          require(size >= 0 && off + 8 + size <= end,
+            s"chunk '$id' overruns the container")
+          if (id == "LIST") walk(off + 12, off + 8 + size)
+          else if (id == "avih") {
+            require(size >= 20, "truncated avih header")
+            usPerFrame = u32(b, off + 8)
+            totalFrames = u32(b, off + 24)
+          } else if (id.endsWith("dc") || id.endsWith("db")) {
+            frames += ((off + 8, size))
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(b.length, 8 + u32(b, 4).toInt))
+      val fs = frames.result()
+      require(usPerFrame > 0, "missing or zero avih dwMicroSecPerFrame")
+      require(fs.nonEmpty, "no video frame chunks in movi list")
+      (usPerFrame, if (totalFrames > 0) totalFrames else fs.length.toLong, fs)
+    }
+
+    def durationMs(content: Array[Byte]): Long = {
+      val (us, n, _) = parse(content)
+      us * n / 1000L
+    }
+
+    def sampleFrames(content: Array[Byte], everyMs: Long,
+        maxFrames: Int): Seq[SampledFrame] = {
+      val (us, n, frames) = parse(content)
+      val durMs = us * n / 1000L
+      sampleTimes(durMs, everyMs, maxFrames).map { case (ts, idx) =>
+        // The source frame covering sample time ts.
+        val fi = math.min(ts * 1000L / us, frames.length - 1L).toInt
+        val (off, len) = frames(fi)
+        val img = ImageIO.read(new ByteArrayInputStream(content, off, len))
+        require(img != null, s"frame $fi is not decodable image data")
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", out)
+        SampledFrame(idx, ts, out.toByteArray)
+      }
+    }
   }
 
   /** Sample one frame every `everyMs` (first at t=0), capped at
@@ -168,9 +277,11 @@ object MediaStage {
     * the cap is data (frames beyond it are dropped BY DESIGN and the
     * row's frame count says so), not a silent truncation of the schema.
     * Output is one row per asset with a frames array; explode it for
-    * one-row-per-frame downstream processing.
+    * one-row-per-frame downstream processing. Undecodable assets land as
+    * ok=false rows, never exceptions (F4 decodability convention).
     */
-  def frameSampleStage(everyMs: Long, maxFrames: Int)
+  def frameSampleStage(everyMs: Long, maxFrames: Int,
+      codec: VideoCodec = FakeVideoCodec)
       : InferenceStage[VideoIn, VideoFrames] = {
     require(everyMs > 0 && maxFrames > 0)
     new InferenceStage[VideoIn, VideoFrames] {
@@ -179,20 +290,15 @@ object MediaStage {
           def infer(in: VideoIn): VideoFrames =
             if (in.content.isEmpty)
               VideoFrames(in.assetId, ok = false, 0L, Nil)
-            else {
-              val dur = FakeVideoCodec.durationMs(in.content)
-              val seed = FakeVideoCodec.contentSeed(in.content)
-              val frames = Iterator.from(0)
-                .map(_ * everyMs)
-                .takeWhile(_ < dur)
-                .take(maxFrames)
-                .zipWithIndex
-                .map { case (ts, idx) =>
-                  SampledFrame(idx, ts, FakeVideoCodec.frameAt(seed, ts))
-                }
-                .toSeq
-              VideoFrames(in.assetId, ok = true, dur, frames)
-            }
+            else
+              try {
+                val dur = codec.durationMs(in.content)
+                VideoFrames(in.assetId, ok = true, dur,
+                  codec.sampleFrames(in.content, everyMs, maxFrames))
+              } catch {
+                case _: Exception =>
+                  VideoFrames(in.assetId, ok = false, 0L, Nil)
+              }
         }
     }
   }

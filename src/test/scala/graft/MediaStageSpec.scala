@@ -148,6 +148,130 @@ class MediaStageSpec extends SparkSpec {
       m.height == FakeVideoCodec.side))
   }
 
+  // ------------------------------------------------------------------
+  // Real codec: MJPEG in a RIFF/AVI container, generated here frame by
+  // frame (ImageIO JPEG encode + hand-rolled RIFF writer following the
+  // published chunk layout), then decoded by the production MjpegAviCodec.
+  // ------------------------------------------------------------------
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def list(typ: String, body: Array[Byte]): Array[Byte] =
+    "LIST".getBytes("US-ASCII") ++ le32(body.length + 4L) ++
+      typ.getBytes("US-ASCII") ++ body
+
+  /** A gray two-tone test frame: `horizontal` splits left/right,
+    * otherwise top/bottom — structurally distinct aHash patterns.
+    */
+  private def toneFrame(w: Int, h: Int, v: Int,
+      horizontal: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dark = if (horizontal) x < w / 2 else y < h / 2
+      val g = if (dark) v else 255 - v
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A complete MJPEG AVI: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    * strf)) LIST('movi' 00dc*)).
+    */
+  private def mjpegAvi(jpegFrames: Seq[Array[Byte]], fps: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val usPerFrame = 1000000L / fps
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+        le32(jpegFrames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+        le32(1) ++ le32(fps.toLong) ++ le32(0) ++
+        le32(jpegFrames.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        "MJPG".getBytes("US-ASCII") ++ le32(w.toLong * h * 3) ++
+        Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegFrames.flatMap(chunk("00dc", _)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("MJPEG/AVI: real container parse, avih timing, time-driven decode") {
+    import spark.implicits._
+    // 10 frames at 10 fps, gray level stepping 20..200: a 1000 ms clip.
+    val clip = mjpegAvi(
+      (0 until 10).map(i => toneFrame(32, 24, 20 + i * 20, horizontal = true)),
+      fps = 10, w = 32, h = 24)
+    val out = MediaStage.frameSampleStage(everyMs = 250, maxFrames = 10,
+        codec = MediaStage.MjpegAviCodec)
+      .run(Seq(VideoIn("clip", clip)).toDS()).collect().head
+    assert(out.ok && out.durationMs == 1000L, out)
+    assert(out.frames.map(f => (f.frameIdx, f.tsMs)) ==
+      Seq((0, 0L), (1, 250L), (2, 500L), (3, 750L)))
+    // Each sampled PNG is the SOURCE frame covering its timestamp: the
+    // dark half's gray level tracks 20 + floor(ts/100)*20 through the
+    // real JPEG decode (lossy, so tolerance).
+    out.frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(f.png))
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      val expected = 20 + (f.tsMs / 100).toInt * 20
+      val got = img.getRGB(2, 12) & 0xff
+      assert(math.abs(got - expected) < 10, s"ts=${f.tsMs}: $got vs $expected")
+    }
+    // Garbage and truncated containers land as ok=false rows, like audio.
+    val bad = MediaStage.frameSampleStage(everyMs = 250, maxFrames = 10,
+        codec = MediaStage.MjpegAviCodec)
+      .run(Seq(VideoIn("junk", Array.tabulate(500)(_.toByte)),
+        VideoIn("trunc", clip.take(200))).toDS()).collect()
+    assert(bad.forall(v => !v.ok && v.frames.isEmpty))
+  }
+
+  test("e2e REAL-codec near-dup: AVI decode -> aHash -> hamming pairs") {
+    import spark.implicits._
+    def clip(horizontal: Boolean): Array[Byte] = mjpegAvi(
+      (0 until 6).map(i => toneFrame(32, 24, 30 + i * 25, horizontal)),
+      fps = 10, w = 32, h = 24)
+    // a and b are byte-identical footage; c splits its tones the other way.
+    val vids = Seq(
+      VideoIn("a", clip(horizontal = true)),
+      VideoIn("b", clip(horizontal = true)),
+      VideoIn("c", clip(horizontal = false))).toDS()
+    val frames = MediaStage.frameSampleStage(everyMs = 300, maxFrames = 2,
+        codec = MediaStage.MjpegAviCodec)
+      .run(vids)
+      .flatMap(v => v.frames.map(f => ImageIn(s"${v.assetId}#${f.frameIdx}", f.png)))
+    val hashed = ImageStage.aHashStage.run(frames)
+    assert(hashed.count() == 6 && hashed.filter(!_.ok).isEmpty)
+    val pairs = operators.Dedup.hammingNearPairs(
+        hashed.toDF(), "assetId", "ahash", bits = 64, maxDist = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def pair(a: String, b: String) = if (a < b) (a, b) else (b, a)
+    // Identical footage pairs frame-for-frame at distance 0...
+    assert(pairs(pair("a#0", "b#0")) == 0L)
+    assert(pairs(pair("a#1", "b#1")) == 0L)
+    // ...and the structurally different clip never pairs with a or b.
+    assert(!pairs.keys.exists { case (x, y) =>
+      (x.startsWith("c") && !y.startsWith("c")) ||
+        (!x.startsWith("c") && y.startsWith("c"))
+    }, pairs)
+  }
+
   test("e2e video near-dup: frame-sample -> aHash -> hamming pairs") {
     import spark.implicits._
     // A and B are byte-identical footage; C is different.
