@@ -107,6 +107,37 @@ object Sinks {
       dest: Path): Unit =
     if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
 
+  /** Object-store committer configuration for the partitioned sinks (the
+    * reference writes straight to S3; on Spark the equivalent durable
+    * path is a zero-rename committer, since object-store "rename" is a
+    * copy and the classic FileOutputCommitter is both slow and
+    * non-atomic there).
+    *
+    * All keys are s3a-scheme-scoped, so the map can ship in a global
+    * spark-defaults without affecting file:/hdfs: writes — `SinksSpec`
+    * pins that by running the local sinks with it applied. The committer
+    * classes themselves live in the `spark-hadoop-cloud` module +
+    * `hadoop-aws` (standard in cloud distros, absent in this offline
+    * environment, which is why there is no class-level contract test
+    * here); deployments also set
+    * `spark.sql.sources.commitProtocolClass=org.apache.spark.internal.io.cloud.PathOutputCommitProtocol`
+    * and
+    * `spark.sql.parquet.output.committer.class=org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter`
+    * — those two are global (they route ALL datasource commits through
+    * the path-output factory, which still picks the classic committer
+    * for non-s3a schemes), documented here rather than returned because
+    * they hard-require the cloud module on the classpath.
+    *
+    * `writeJsonPerKey`'s own temp+rename publish assumes real rename —
+    * on S3 prefer `writePartitionedJson` (committer-managed) or point
+    * the per-key tree at an HDFS/EFS-style staging path.
+    */
+  def s3aCommitterConf: Map[String, String] = Map(
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled" -> "true",
+    "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a" ->
+      "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory")
+
   /** K2-style partitioned parquet (the engine-native bulk sink). */
   def writePartitionedParquet(df: DataFrame, keyCol: String, outDir: String): Unit =
     df.repartition(col(keyCol))

@@ -152,6 +152,29 @@ class SinksSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_tmp").exists())
   }
 
+  test("s3a committer conf is scheme-scoped: local sinks unaffected by it") {
+    import spark.implicits._
+    // The point of scoping every key to the s3a scheme: the map can ship
+    // in a global spark-defaults, and non-S3 deployments never notice.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = Sinks.s3aCommitterConf.keys
+      .map(k => k -> Option(hc.get(k.stripPrefix("spark.hadoop.")))).toMap
+    Sinks.s3aCommitterConf.foreach { case (k, v) =>
+      hc.set(k.stripPrefix("spark.hadoop."), v)
+    }
+    try {
+      val dir = Files.createTempDirectory("s3aconf").toFile.getAbsolutePath
+      val df = Seq((1L, "a"), (2L, "b")).toDF("product_id", "payload")
+      Sinks.writePartitionedJson(df, "product_id", s"$dir/part")
+      assert(spark.read.json(s"$dir/part").count() == 2)
+      Sinks.writeJsonPerKey(df, "product_id", s"$dir/perkey")
+      assert(new java.io.File(s"$dir/perkey").listFiles().count(_.isFile) == 2)
+    } finally prev.foreach {
+      case (k, Some(v)) => hc.set(k.stripPrefix("spark.hadoop."), v)
+      case (k, None) => hc.unset(k.stripPrefix("spark.hadoop."))
+    }
+  }
+
   test("per-key sink: a speculated twin attempt cannot corrupt a key file") {
     // The sink's isolation mechanism, exercised directly: two task
     // attempts of the same partition each stage a complete per-attempt
