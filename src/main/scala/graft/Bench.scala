@@ -13,6 +13,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Cached index columns are hashes/quantized values — high-entropy,
+      // incompressible; the encoders are pure CPU here (see Verify).
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

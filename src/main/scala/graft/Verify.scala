@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // The session caches hold derived indexes whose columns are
+      // md5/xxhash64 values and quantized embeddings — high-entropy data
+      // the columnar compression encoders cannot shrink, so compression
+      // is pure CPU on the cache-build path (measured ~2x on the shingle
+      // index). Deployments with memory-bound executors flip it back.
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
