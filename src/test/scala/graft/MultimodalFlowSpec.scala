@@ -1,0 +1,124 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.stages._
+import graft.stages.MediaStage._
+import graft.stages.ImageStage.ImageIn
+
+/** The multimodal counterpart of CurationFlowSpec: a video corpus flows
+  * ingest → real decode (MJPEG/AVI) → decodability gate → frame sampling
+  * → perceptual-hash near-dup at the ASSET level → deterministic survivor
+  * selection → census, entirely on the production operators. This is the
+  * curation shape a multimodal training set runs at scale; every step
+  * here is the same code path a cluster deployment calls.
+  */
+class MultimodalFlowSpec extends SparkSpec {
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+
+  private def list(typ: String, body: Array[Byte]): Array[Byte] =
+    "LIST".getBytes("US-ASCII") ++ le32(body.length + 4L) ++
+      typ.getBytes("US-ASCII") ++ body
+
+  /** A 32×24 frame with a diagonal split at `phase` — structurally
+    * distinct aHashes across phases, stable within one.
+    */
+  private def frame(phase: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val dark = (phase % 3) match {
+        case 0 => x < 16
+        case 1 => y < 12
+        case 2 => x / 2 < y * 4 / 3
+      }
+      val g = if (dark) v else 255 - v
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  private def clip(phase: Int): Array[Byte] = {
+    val frames = (0 until 4).map(i => frame(phase, 40 + i * 10))
+    val avih = chunk("avih",
+      le32(100000L) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+        le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(32L) ++ le32(24L) ++ Array.fill(16)(0.toByte))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        Array.fill(48)(0.toByte))
+    val strf = chunk("strf",
+      le32(40) ++ le32(32L) ++ le32(24L) ++ le16(1) ++ le16(24) ++
+        "MJPG".getBytes("US-ASCII") ++ le32(32L * 24 * 3) ++
+        Array.fill(16)(0.toByte))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih ++ list("strl", strh ++ strf)) ++
+      list("movi", frames.flatMap(chunk("00dc", _)).toArray)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("multimodal flow: ingest -> decode gate -> frame dedup -> census") {
+    import spark.implicits._
+    // v0/v1 duplicate footage, v2 and v3 distinct, v4 undecodable.
+    val corpus = Seq(
+      VideoIn("v0", clip(0)), VideoIn("v1", clip(0)),
+      VideoIn("v2", clip(1)), VideoIn("v3", clip(2)),
+      VideoIn("v4", Array.tabulate(300)(_.toByte))).toDS()
+
+    // 1. Real decode + decodability gate (F4): the corrupt asset drops
+    //    here as data, not as a job failure.
+    val decoded = MediaStage.frameSampleStage(everyMs = 200, maxFrames = 2,
+      codec = MediaStage.MjpegAviCodec).run(corpus)
+    val ok = decoded.filter(_.ok)
+    assert(decoded.count() == 5 && ok.count() == 4)
+
+    // 2. Frame-level perceptual hashes through the production image path.
+    val hashed = ImageStage.aHashStage.run(
+      ok.flatMap(v => v.frames.map(f =>
+        ImageIn(s"${v.assetId}#${f.frameIdx}", f.png)))).toDF()
+    assert(hashed.count() == 8)
+
+    // 3. Asset-level near-dup: assets pair when EVERY sampled frame
+    //    position pairs within the hamming threshold — the multi-frame
+    //    AND that keeps one lucky frame collision from merging distinct
+    //    footage.
+    val pairs = operators.Dedup.hammingNearPairs(
+        hashed, "assetId", "ahash", bits = 64, maxDist = 4)
+      .select(
+        split($"id_a", "#").getItem(0).as("asset_a"),
+        split($"id_a", "#").getItem(1).as("pos_a"),
+        split($"id_b", "#").getItem(0).as("asset_b"),
+        split($"id_b", "#").getItem(1).as("pos_b"))
+      .filter($"asset_a" =!= $"asset_b" && $"pos_a" === $"pos_b")
+      .groupBy($"asset_a", $"asset_b")
+      .agg(count(lit(1)).as("n_pos"))
+      .filter($"n_pos" === 2)
+    val dupPairs = pairs.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(dupPairs.toSet == Set(("v0", "v1")), dupPairs.toSeq)
+
+    // 4. Deterministic survivor: keep the minimum asset id per dup pair;
+    //    census over the survivors.
+    val losers = pairs.select(greatest($"asset_a", $"asset_b").as("assetId"))
+    val survivors = ok.toDF().select($"assetId", $"durationMs")
+      .join(losers, Seq("assetId"), "left_anti")
+    val census = survivors.agg(
+      count(lit(1)).as("n_assets"),
+      sum($"durationMs").as("total_ms")).head()
+    assert(census.getLong(0) == 3) // v0, v2, v3 — v1 deduped, v4 gated
+    assert(census.getLong(1) == 3 * 400L)
+  }
+}

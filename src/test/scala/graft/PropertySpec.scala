@@ -57,6 +57,30 @@ class PropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(0) == r.getString(1), r.getString(0)))
   }
 
+  test("saltedJoin equals the plain join on random key distributions") {
+    import spark.implicits._
+    // Random fact/other pairs, including duplicate keys on both sides,
+    // keys that match nothing, and salts 1 (degenerate) through 16.
+    for (trial <- 0 until 5) {
+      val fact = Seq.fill(200 + rnd.nextInt(200))(
+        (rnd.nextInt(10).toLong, rnd.nextLong() % 1000)).toDF("k", "v")
+      val other = Seq.fill(50 + rnd.nextInt(100))(
+        (rnd.nextInt(14).toLong, rnd.nextLong() % 1000)).toDF("k", "w")
+      val nSalts = Seq(1, 2, 8, 16)(trial % 4)
+      for (jt <- Seq("inner", "left")) {
+        val plain = fact.join(other, Seq("k"), jt)
+          .select($"k", $"v", coalesce($"w", lit(Long.MinValue)).as("w"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+        val salted = operators.Skew.saltedJoin(fact, other, "k", nSalts, jt)
+          .select($"k", $"v", coalesce($"w", lit(Long.MinValue)).as("w"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+        assert(salted == plain, s"trial=$trial salts=$nSalts type=$jt")
+      }
+    }
+  }
+
   test("nearDupClusters on an empty corpus terminates with an empty result") {
     val empty = tables.documents.filter(lit(false))
     assert(operators.Dedup.nearDupClusters(empty, 0.6).count() == 0)
