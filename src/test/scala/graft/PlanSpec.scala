@@ -144,4 +144,23 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("q67 rides q26's cached verified-pair set (no second index join)") {
+    // The round-8 regression fix, pinned: clustering and the pair query
+    // share the df-cut default, so after q26 materializes the session
+    // cache, q67's pair subtree is an in-memory scan, not a rebuild.
+    run("q26_neardup_jaccard").count()
+    val p = run("q67_neardup_clusters").queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q77 serve rides the state the build entry materialized") {
+    // The bench split's premise, pinned: after the state-build query
+    // runs, the serve side reads cached state tables (and the shared
+    // shingle index) rather than recomputing them.
+    run("q77_dedup_state_build").count()
+    val p = run("q77_incremental_neardups")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }
