@@ -225,25 +225,30 @@ object MediaStage {
       var usPerFrame = 0L
       var totalFrames = 0L
       val frames = Vector.newBuilder[(Int, Int)]
+      // Long arithmetic throughout: a malformed 32-bit size near 2^31
+      // would overflow Int bound checks into "valid" negatives and wedge
+      // the walk; with Longs it fails the overrun check instead.
       def walk(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
           val id = fourcc(b, off)
-          val size = u32(b, off + 4).toInt
-          require(size >= 0 && off + 8 + size <= end,
+          val size = u32(b, off + 4) // unsigned, 0 .. 2^32-1
+          require(off + 8 + size <= end,
             s"chunk '$id' overruns the container")
-          if (id == "LIST") walk(off + 12, off + 8 + size)
-          else if (id == "avih") {
+          if (id == "LIST") {
+            require(size >= 4, s"LIST chunk too short for a type tag")
+            walk(off + 12, off + 8 + size.toInt)
+          } else if (id == "avih") {
             require(size >= 20, "truncated avih header")
             usPerFrame = u32(b, off + 8)
             totalFrames = u32(b, off + 24)
           } else if (id.endsWith("dc") || id.endsWith("db")) {
-            frames += ((off + 8, size))
+            frames += ((off + 8, size.toInt))
           }
-          off += 8 + size + (size & 1) // chunks are word-aligned
+          off += (8 + size + (size & 1)).toInt // chunks are word-aligned
         }
       }
-      walk(12, math.min(b.length, 8 + u32(b, 4).toInt))
+      walk(12, math.min(b.length.toLong, 8 + u32(b, 4)).toInt)
       val fs = frames.result()
       require(usPerFrame > 0, "missing or zero avih dwMicroSecPerFrame")
       require(fs.nonEmpty, "no video frame chunks in movi list")

@@ -242,6 +242,25 @@ class MediaStageSpec extends SparkSpec {
     assert(bad.forall(v => !v.ok && v.frames.isEmpty))
   }
 
+  test("hostile AVI sizes (incl. 2^31 overflow) land as ok=false rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // A chunk whose declared size would overflow Int bound arithmetic,
+    // plus fuzz: valid RIFF/AVI magic over random bodies.
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(0xfffffff0L) ++
+      "AVI ".getBytes("US-ASCII") ++ "00dc".getBytes("US-ASCII") ++
+      le32(0x7ffffffaL) ++ Array.fill(32)(1.toByte)
+    val fuzz = (0 until 50).map { i =>
+      VideoIn(s"fz$i", "RIFF".getBytes("US-ASCII") ++ le32(rnd.nextLong() & 0xffffffffL) ++
+        "AVI ".getBytes("US-ASCII") ++
+        Array.fill(rnd.nextInt(300))(rnd.nextInt().toByte))
+    }
+    val out = MediaStage.frameSampleStage(everyMs = 100, maxFrames = 4,
+        codec = MediaStage.MjpegAviCodec)
+      .run((VideoIn("evil", evil) +: fuzz).toDS()).collect()
+    assert(out.length == 51 && out.forall(v => !v.ok && v.frames.isEmpty))
+  }
+
   test("e2e REAL-codec near-dup: AVI decode -> aHash -> hamming pairs") {
     import spark.implicits._
     def clip(horizontal: Boolean): Array[Byte] = mjpegAvi(
