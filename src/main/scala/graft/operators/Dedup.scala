@@ -323,9 +323,10 @@ object Dedup {
       stateSets: DataFrame, newShingles: DataFrame, minJ: Double,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     import newShingles.sparkSession.implicits._
-    val (nb, newSets) =
+    // Both halves arrive cached from the state builder (newBands feeds
+    // two band joins, newSets the anti-join probe and the union).
+    val (newBands, newSets) =
       lshDedupStateFromShingles(newShingles, bands, rowsPerBand)
-    val newBands = cacheIndex(nb)
     // Old–new candidates: state id carries as doc_a (the survivor side),
     // batch id as doc_b. The =!= guard keeps an at-least-once replay (a
     // doc present in both state and batch) from emitting (X, X) — which

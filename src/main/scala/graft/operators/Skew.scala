@@ -37,9 +37,11 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
-    val jt = joinType.toLowerCase.replace("_outer", "")
+    val jt = joinType.toLowerCase.replace("_outer", "").replace("outer", "")
     require(jt == "inner" || jt == "left",
       s"saltedJoin supports inner/left, got $joinType")
+    require(!(skewed.columns ++ other.columns).contains("_salt"),
+      "saltedJoin reserves the _salt column name")
     val salted = skewed.withColumn("_salt",
       pmod(xxhash64(skewed.columns.map(col): _*), lit(nSalts.toLong)))
     val replicated = other.withColumn("_salt",
