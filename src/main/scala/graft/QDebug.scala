@@ -25,6 +25,23 @@ object QDebug {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-job timing: which jobs inside a slow query actually cost time.
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.headOption.map(_.name).getOrElse("?")))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, name) = starts.remove(je.jobId)
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec > 0.2)
+            println(f"  JOB ${je.jobId}%4d ${sec}%7.2f s  $name")
+        }
+      })
     try {
       SparkEntry.entry(spark).count()
       val t = Tables.load(spark, sfDir)
