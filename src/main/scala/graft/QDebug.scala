@@ -22,6 +22,9 @@ object QDebug {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Keep cache-build cost identical to Bench (uncompressed columnar
+      // cache; the shingle index builds ~2x faster without the encoders).
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,12 +38,14 @@ object QDebug {
           starts.put(js.jobId, (System.nanoTime(),
             js.stageInfos.headOption.map(_.name).getOrElse("?")))
         override def onJobEnd(
-            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val (t0, name) = starts.remove(je.jobId)
-          val sec = (System.nanoTime() - t0) / 1e9
-          if (sec > 0.2)
-            println(f"  JOB ${je.jobId}%4d ${sec}%7.2f s  $name")
-        }
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          // The listener bus may drop a start event under load — a
+          // missing entry must not MatchError inside the listener.
+          Option(starts.remove(je.jobId)).foreach { case (t0, name) =>
+            val sec = (System.nanoTime() - t0) / 1e9
+            if (sec > 0.2)
+              println(f"  JOB ${je.jobId}%4d ${sec}%7.2f s  $name")
+          }
       })
     try {
       SparkEntry.entry(spark).count()

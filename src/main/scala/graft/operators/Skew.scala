@@ -21,9 +21,17 @@ object Skew {
     * times, so one hot key occupies `nSalts` shuffle partitions instead
     * of one. Result equals `skewed.join(other, key, joinType)` exactly.
     *
-    * The salt is `xxhash64` of the skewed side's whole row — deterministic
-    * across retries and partitionings (no rand()), uniform over duplicate
-    * keys, and requiring no secondary-column knowledge from the caller.
+    * The salt is `xxhash64` over the skewed side's whole row PLUS a
+    * per-row ordinal (`monotonically_increasing_id`): the row hash alone
+    * would send byte-identical duplicate rows — a plausible shape for a
+    * hot key in a dedup-centric corpus — to a single salt, silently
+    * degenerating back to the unsalted join; the ordinal scatters them.
+    * The ordinal makes the salt nondeterministic across retries, which is
+    * benign here: a row's join matches are identical under every salt
+    * value (the other side is replicated for all salts), so the salt only
+    * chooses WHERE a row is joined, never WHAT it joins with, and Spark's
+    * indeterminate-stage rollback re-runs the whole map stage on partial
+    * recompute rather than mixing old and new placements.
     * Replication multiplies the OTHER side's shuffle volume by `nSalts`:
     * salt the side with the hot keys, keep `nSalts` small (8–32), and
     * prefer AQE when it already handles the skew.
@@ -42,10 +50,17 @@ object Skew {
       s"saltedJoin supports inner/left, got $joinType")
     require(!(skewed.columns ++ other.columns).contains("_salt"),
       "saltedJoin reserves the _salt column name")
-    val salted = skewed.withColumn("_salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(nSalts.toLong)))
+    val salted = skewed.withColumn("_salt", saltExpr(skewed, nSalts))
     val replicated = other.withColumn("_salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** The salt assignment [[saltedJoin]] shuffles on (exposed for the
+    * duplicate-row distribution proof in SkewSpec).
+    */
+  private[graft] def saltExpr(skewed: DataFrame,
+      nSalts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(skewed.columns.map(col) :+
+      monotonically_increasing_id(): _*), lit(nSalts.toLong))
 }

@@ -53,7 +53,10 @@ object Sinks {
     * `<key>.json` only ever appears as one attempt's complete output
     * (rename is atomic on HDFS/local; on rename-refuses-overwrite
     * filesystems the loser deletes its temp, on POSIX-overwrite semantics
-    * the twin replaces a byte-equal file). Attempt temp litter is swept
+    * the twin replaces a byte-equal file — byte-equal because rows are
+    * sorted within each partition below, so two attempts over the same
+    * shuffle partition serialize identical bytes even though shuffle
+    * fetch order differs between attempts). Attempt temp litter is swept
     * with `_tmp` after the job; the underscore prefix keeps readers and
     * globs away from it in the meantime.
     */
@@ -66,6 +69,10 @@ object Sinks {
     df.select(col(keyCol).cast("string").as("_k"),
         to_json(struct(df.columns.map(col): _*)).as("_js"))
       .repartition(col("_k"))
+      // Deterministic file bytes: shuffle fetch order is not stable across
+      // runs or attempts, so order each key's lines by content before
+      // writing. Also clusters keys, so each writer is opened exactly once.
+      .sortWithinPartitions(col("_k"), col("_js"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           // Executor-side FS handle; defaults come from the executor's
@@ -100,12 +107,22 @@ object Sinks {
   /** Publish a complete task-attempt temp file at its final name. Rename
     * is atomic per FS contract; when the destination already exists
     * (a faster attempt won) either the FS refuses — then the loser's temp
-    * is dropped — or POSIX semantics atomically replace a byte-equal file.
-    * Either way readers only ever observe one attempt's complete bytes.
+    * is dropped — or POSIX semantics atomically replace a byte-equal file
+    * (byte-equal by the sortWithinPartitions above). Either way readers
+    * only ever observe one attempt's complete bytes. Only that genuine
+    * lost race is swallowed: a rename that fails with NO destination
+    * present (permissions, quota, transient FS error) throws, so the job
+    * can't report success while a key's output was silently dropped.
     */
   private[graft] def publishAtomic(fs: FileSystem, tmp: Path,
       dest: Path): Unit =
-    if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, dest)) {
+      if (!fs.exists(dest))
+        throw new java.io.IOException(
+          s"failed to publish $tmp -> $dest and no winning attempt's " +
+            "output is present")
+      fs.delete(tmp, false)
+    }
 
   /** Object-store committer configuration for the partitioned sinks (the
     * reference writes straight to S3; on Spark the equivalent durable

@@ -228,16 +228,27 @@ object MediaStage {
       // Long arithmetic throughout: a malformed 32-bit size near 2^31
       // would overflow Int bound checks into "valid" negatives and wedge
       // the walk; with Longs it fails the overrun check instead.
-      def walk(start: Int, end: Int): Unit = {
-        var off = start
-        while (off + 8 <= end) {
+      // The walk is iterative (explicit stack, depth-first so frame
+      // chunks stay in stream order): untrusted input controls LIST
+      // nesting depth, and a recursive walk would let a ~100 KB container
+      // of nested LISTs throw StackOverflowError — an Error, which the
+      // stage's decodability catch does not (and must not) swallow.
+      var stack = List((12, math.min(b.length.toLong, 8 + u32(b, 4)).toInt))
+      while (stack.nonEmpty) {
+        var (off, end) = stack.head
+        stack = stack.tail
+        var descended = false
+        while (!descended && off + 8 <= end) {
           val id = fourcc(b, off)
           val size = u32(b, off + 4) // unsigned, 0 .. 2^32-1
           require(off + 8 + size <= end,
             s"chunk '$id' overruns the container")
+          val next = off + (8 + size + (size & 1)).toInt // word-aligned
           if (id == "LIST") {
             require(size >= 4, s"LIST chunk too short for a type tag")
-            walk(off + 12, off + 8 + size.toInt)
+            // Resume the rest of this range after the LIST body.
+            stack = (off + 12, off + 8 + size.toInt) :: (next, end) :: stack
+            descended = true
           } else if (id == "avih") {
             require(size >= 20, "truncated avih header")
             usPerFrame = u32(b, off + 8)
@@ -245,10 +256,9 @@ object MediaStage {
           } else if (id.endsWith("dc") || id.endsWith("db")) {
             frames += ((off + 8, size.toInt))
           }
-          off += (8 + size + (size & 1)).toInt // chunks are word-aligned
+          off = next
         }
       }
-      walk(12, math.min(b.length.toLong, 8 + u32(b, 4)).toInt)
       val fs = frames.result()
       require(usPerFrame > 0, "missing or zero avih dwMicroSecPerFrame")
       require(fs.nonEmpty, "no video frame chunks in movi list")

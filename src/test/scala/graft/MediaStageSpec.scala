@@ -261,6 +261,31 @@ class MediaStageSpec extends SparkSpec {
     assert(out.length == 51 && out.forall(v => !v.ok && v.frames.isEmpty))
   }
 
+  test("deeply nested LISTs can't blow the stack (walk is iterative)") {
+    import spark.implicits._
+    // ~100 KB of untrusted input buys ~8k nesting levels — enough to
+    // StackOverflowError a recursive walk, and Error bypasses the stage's
+    // decodability catch, killing the task. The iterative walk must keep
+    // this on the ok=false path. Innermost payload is a real frame chunk
+    // so a walk that silently stops early would also be caught (the bomb
+    // has no avih, so a FULL parse must reject it via the require).
+    val depth = 8000
+    var body: Array[Byte] = chunk("00dc", Array.fill(4)(9.toByte))
+    (0 until depth).foreach(_ => body = list("mdat", body))
+    val bomb = "RIFF".getBytes("US-ASCII") ++ le32(body.length + 4L) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    val out = MediaStage.frameSampleStage(everyMs = 100, maxFrames = 4,
+        codec = MediaStage.MjpegAviCodec)
+      .run(Seq(VideoIn("bomb", bomb)).toDS()).collect()
+    assert(out.length == 1 && !out.head.ok && out.head.frames.isEmpty)
+    // And nesting does not break a well-formed parse: the standard clip
+    // from the timing test still decodes when wrapped in extra LISTs
+    // around hdrl/movi — a structure some muxers emit.
+    val clip = mjpegAvi(Seq(toneFrame(16, 16, 40, horizontal = true)),
+      fps = 4, w = 16, h = 16)
+    assert(MediaStage.MjpegAviCodec.durationMs(clip) == 250L)
+  }
+
   test("e2e REAL-codec near-dup: AVI decode -> aHash -> hamming pairs") {
     import spark.implicits._
     def clip(horizontal: Boolean): Array[Byte] = mjpegAvi(

@@ -212,6 +212,54 @@ class SinksSpec extends SparkSpec {
     assert(!tmpDir.exists() || tmpDir.listFiles().isEmpty)
   }
 
+  test("per-key sink bytes are deterministic across runs and twin attempts") {
+    import spark.implicits._
+    // Rows arrive at the writer in shuffle-fetch order, which varies
+    // between runs/attempts; the sink's sortWithinPartitions must make the
+    // serialized bytes a pure function of the data. 500 rows on one key
+    // and a skewed repartition give fetch order room to differ.
+    val df = spark.range(500L).select(
+      concat(lit("prod_"), ($"id" % 3L).cast("string")).as("product_id"),
+      ($"id" * 2654435761L % 1000003L).as("v"))
+    def bytesOf(dir: String): Map[String, String] =
+      new java.io.File(dir).listFiles().filter(_.isFile).map { f =>
+        f.getName -> new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }.toMap
+    val d1 = Files.createTempDirectory("det1").toFile.getAbsolutePath
+    val d2 = Files.createTempDirectory("det2").toFile.getAbsolutePath
+    Sinks.writeJsonPerKey(df, "product_id", d1)
+    // Second run over a differently-partitioned (hence differently-ordered)
+    // equal dataset — the published bytes must not notice.
+    Sinks.writeJsonPerKey(df.repartition(17).sortWithinPartitions(desc("v")),
+      "product_id", d2)
+    val (b1, b2) = (bytesOf(d1), bytesOf(d2))
+    assert(b1.keySet == Set("prod_0.json", "prod_1.json", "prod_2.json"))
+    assert(b1 == b2, "per-key file bytes differ between two runs of the same data")
+    // And within each file the lines are content-sorted (the twin-attempt
+    // byte-equality invariant publishAtomic's POSIX-replace case relies on).
+    b1.values.foreach { s =>
+      val lines = s.split("\n").toList
+      assert(lines == lines.sorted)
+    }
+  }
+
+  test("publishAtomic surfaces a rename failure that is not a lost race") {
+    // A rename can return false for reasons other than "a faster twin
+    // already published" (permissions, quota, transient FS error). If the
+    // destination is absent after the failure, swallowing it would mean a
+    // silently dropped key — the sink must throw instead.
+    val dir = Files.createTempDirectory("pubfail").toFile.getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ghost = new org.apache.hadoop.fs.Path(dir, "_tmp/never_staged.json.7")
+    val dest = new org.apache.hadoop.fs.Path(dir, "never_staged.json")
+    intercept[java.io.IOException] {
+      Sinks.publishAtomic(fs, ghost, dest)
+    }
+    assert(!fs.exists(dest))
+  }
+
   test("bucketed tables join with zero shuffle exchanges") {
     import spark.implicits._
     val t = tables

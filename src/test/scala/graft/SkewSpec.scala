@@ -98,6 +98,25 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("byte-identical duplicate rows on the hot key still scatter") {
+    // 75% of the fact is ONE row repeated verbatim — the degenerate shape
+    // for a whole-row-hash salt (every duplicate hashes alike and lands on
+    // one salt, i.e. one task). The per-row ordinal must spread them.
+    val dupFact = spark.range(150000L).select(lit(0L).as("k"), lit(42L).as("v"))
+      .union(spark.range(50000L).select(($"id" % 97L).as("k"), ($"id" * 7L).as("v")))
+    val saltsOnHotKey = dupFact.filter($"k" === 0L)
+      .withColumn("_salt", operators.Skew.saltExpr(dupFact, 8))
+      .select("_salt").distinct().count()
+    assert(saltsOnHotKey == 8L,
+      s"duplicate hot-key rows occupy $saltsOnHotKey/8 salts — salted join " +
+        "degenerates back to one task")
+    // And the join answer over the duplicate-heavy data is unchanged.
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plain = digest(dupFact.join(other, "k"))
+      assert(digest(operators.Skew.saltedJoin(dupFact, other, "k", 8)) == plain)
+    }
+  }
+
   test("saltedJoin refuses join types that would multiply null rows") {
     intercept[IllegalArgumentException] {
       operators.Skew.saltedJoin(fact, other, "k", 8, "full_outer")
