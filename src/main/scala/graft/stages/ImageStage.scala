@@ -191,6 +191,51 @@ object ImageStage {
         }
     }
 
+  final case class ImageFeatures(assetId: String, ok: Boolean,
+      features: Array[Double])
+
+  /** M5 feature extraction: the compact per-image descriptor a classifier
+    * head consumes — [mean luminance, luminance stddev, dark-pixel
+    * fraction, log aspect ratio], computed in one pixel pass. Pairs with
+    * [[MlpAcceptFilter]] for a REAL accept/reject gate behind the seam the
+    * reference's MLLM filter occupies (robust_scraper.py:96-109 simulates
+    * accept-all; the head here is an actual served model). Undecodable
+    * input is an ok=false row (F4), so the gate composes with the decode
+    * gate instead of throwing.
+    */
+  def featureStage: InferenceStage[ImageIn, ImageFeatures] =
+    new InferenceStage[ImageIn, ImageFeatures] {
+      def setup(): ModelHandle[ImageIn, ImageFeatures] =
+        new ModelHandle[ImageIn, ImageFeatures] {
+          def infer(in: ImageIn): ImageFeatures = decode(in.content) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var s = 0.0; var s2 = 0.0; var dark = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                    (rgb & 0xff)) / (3.0 * 255.0)
+                  s += lum; s2 += lum * lum
+                  if (lum < 0.25) dark += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              val mean = s / n
+              ImageFeatures(in.assetId, ok = true, Array(
+                mean,
+                math.sqrt(math.max(0.0, s2 / n - mean * mean)),
+                dark.toDouble / n,
+                math.log(w.toDouble / h)))
+            case None => ImageFeatures(in.assetId, ok = false, Array.empty)
+          }
+        }
+    }
+
   /** Channel-mean brightness in [0,1] — the scalar face of the reference's
     * normalize-to-[-1,1] tensor step, usable as a quality predicate.
     */

@@ -121,3 +121,26 @@ final class MlpInferenceStage(modelPath: String)
     }
   }
 }
+
+/** M5 accept/reject with a REAL classifier head: a row is accepted iff the
+  * served MLP's argmax equals `acceptLabel` with at least `minProb`
+  * confidence. This is the production counterpart of [[MockAcceptFilter]]
+  * (the reference's filter simulates accept-all, robust_scraper.py:96-109,
+  * so oracle-parity tests keep the mock); features typically come from
+  * [[ImageStage.featureStage]]. Same per-partition weight-load lifecycle
+  * as [[MlpInferenceStage]].
+  */
+final class MlpAcceptFilter(modelPath: String, acceptLabel: Int = 1,
+    minProb: Double = 0.0)
+    extends InferenceStage[FeatureRow, (Long, Boolean)] {
+
+  def setup(): ModelHandle[FeatureRow, (Long, Boolean)] = {
+    val inner = new MlpInferenceStage(modelPath).setup()
+    new ModelHandle[FeatureRow, (Long, Boolean)] {
+      def infer(in: FeatureRow): (Long, Boolean) = {
+        val s = inner.infer(in)
+        (in.id, s.label == acceptLabel && s.prob >= minProb)
+      }
+    }
+  }
+}

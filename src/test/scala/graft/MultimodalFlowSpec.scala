@@ -52,8 +52,23 @@ class MultimodalFlowSpec extends SparkSpec {
     out.toByteArray
   }
 
-  private def clip(phase: Int): Array[Byte] = {
-    val frames = (0 until 4).map(i => frame(phase, 40 + i * 10))
+  /** A flat gray frame: uniformly `g` everywhere — the "dark footage"
+    * shape the M5 quality gate rejects when g is low.
+    */
+  private def flatFrame(g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  private def clip(phase: Int): Array[Byte] =
+    aviOf((0 until 4).map(i => frame(phase, 40 + i * 10)))
+
+  private def aviOf(frames: Seq[Array[Byte]]): Array[Byte] = {
     val avih = chunk("avih",
       le32(100000L) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
         le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
@@ -120,5 +135,85 @@ class MultimodalFlowSpec extends SparkSpec {
       sum($"durationMs").as("total_ms")).head()
     assert(census.getLong(0) == 3) // v0, v2, v3 — v1 deduped, v4 gated
     assert(census.getLong(1) == 3 * 400L)
+  }
+
+  test("multimodal flow with a REAL M5 gate: dark footage rejected pre-dedup") {
+    import spark.implicits._
+    // The M5 seam served by an actual model (not MockAcceptFilter's
+    // accept-all): a classifier head over ImageStage.featureStage's
+    // descriptor, weights in a file, loaded per partition, real forward
+    // pass. The head is the exact affine+softmax encoding of "accept iff
+    // mean luminance >= 0.3" — what matters here is the serving path and
+    // its composition into the curation flow; MlpStageSpec already proves
+    // trained weights through the same seam.
+    val k = 50.0
+    val path = java.nio.file.Files.createTempDirectory("m5")
+      .resolve("gate.mlp").toString
+    MlpModel.save(path, Seq(MlpModel.Layer(
+      Array(Array(-k, 0.0, 0.0, 0.0), Array(k, 0.0, 0.0, 0.0)),
+      Array(k * 0.3, -k * 0.3))))
+
+    // v0/v1 duplicate bright footage, v2 distinct bright, vdark decodable
+    // but uniformly near-black (gray 30 ≈ luma 0.12), v4 undecodable.
+    val corpus = Seq(
+      VideoIn("v0", clip(0)), VideoIn("v1", clip(0)),
+      VideoIn("v2", clip(1)),
+      VideoIn("vdark", aviOf((0 until 4).map(_ => flatFrame(30)))),
+      VideoIn("v4", Array.tabulate(300)(_.toByte))).toDS()
+
+    // 1. Decode gate: only the corrupt asset drops here — dark footage
+    //    DECODES fine; rejecting it is the model's job, not the codec's.
+    val ok = MediaStage.frameSampleStage(everyMs = 200, maxFrames = 2,
+      codec = MediaStage.MjpegAviCodec).run(corpus).filter(_.ok)
+    assert(ok.count() == 4)
+
+    // 2. Features per sampled frame through the production extractor.
+    val frames = ok.flatMap(v => v.frames.map(f =>
+      ImageIn(s"${v.assetId}#${f.frameIdx}", f.png)))
+    // Stable 64-bit row key for joining model scores back to frames
+    // (local function: a spec-level method would drag the non-serializable
+    // suite into the closure).
+    val stableIdOf = (s: String) =>
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong
+    val feats = ImageStage.featureStage.run(frames).filter(_.ok)
+      .map(f => (stableIdOf(f.assetId), f.assetId, f.features))
+      .toDF("fid", "frameId", "features")
+
+    // 3. REAL model accept gate, scores joined back by the stable frame id.
+    val scored = new MlpAcceptFilter(path).run(
+        feats.select($"fid", $"features").as[(Long, Array[Double])]
+          .map { case (id, fs) => FeatureRow(id, fs) })
+      .toDF("fid", "accepted")
+    val perAsset = feats.join(scored, "fid")
+      .select(split($"frameId", "#").getItem(0).as("assetId"), $"accepted")
+      .groupBy($"assetId")
+      // An asset survives only if EVERY sampled frame passes the gate.
+      .agg(min($"accepted").as("allAccepted"))
+    val surviving = perAsset.filter($"allAccepted").select("assetId")
+      .as[String].collect().toSet
+    assert(surviving == Set("v0", "v1", "v2"), surviving)
+
+    // 4. Dedup among the accepted assets only (vdark never pays hash or
+    //    join cost — the gate runs before the shuffle); census.
+    val hashed = ImageStage.aHashStage.run(
+      ok.filter(v => surviving.contains(v.assetId))
+        .flatMap(v => v.frames.map(f =>
+          ImageIn(s"${v.assetId}#${f.frameIdx}", f.png)))).toDF()
+    val losers = operators.Dedup.hammingNearPairs(
+        hashed, "assetId", "ahash", bits = 64, maxDist = 4)
+      .select(
+        split($"id_a", "#").getItem(0).as("asset_a"),
+        split($"id_a", "#").getItem(1).as("pos_a"),
+        split($"id_b", "#").getItem(0).as("asset_b"),
+        split($"id_b", "#").getItem(1).as("pos_b"))
+      .filter($"asset_a" =!= $"asset_b" && $"pos_a" === $"pos_b")
+      .groupBy($"asset_a", $"asset_b").agg(count(lit(1)).as("n_pos"))
+      .filter($"n_pos" === 2)
+      .select(greatest($"asset_a", $"asset_b").as("assetId"))
+    val survivors = ok.toDF().select($"assetId")
+      .join(perAsset.filter($"allAccepted"), Seq("assetId"), "left_semi")
+      .join(losers, Seq("assetId"), "left_anti")
+      .as[String].collect().toSet
+    assert(survivors == Set("v0", "v2"), survivors)
   }
 }
