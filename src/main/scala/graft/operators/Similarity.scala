@@ -291,33 +291,26 @@ object Similarity {
     probeAndScore(assigned, q, cents, k, nprobe)
   }
 
-  /** Per-vector banded hyperplane signatures as an array of (band, bucket)
-    * structs: band b's bucket packs the sign bits of planesPerBand
-    * hyperplane dots (global plane index b·P+p, so band 0 with P planes
-    * equals [[lshBucket]]'s single signature). Same exact-integer sign
-    * arithmetic as [[lshBucket]], so the DuckDB oracle mirrors every
-    * bucket bit-for-bit.
+  /** Per-vector banded hyperplane signatures as an array of per-band
+    * buckets: element b packs the sign bits of planesPerBand hyperplane
+    * dots (global plane index b·P+p, so band 0 with P planes equals
+    * [[lshBucket]]'s single signature). Same exact-integer sign arithmetic
+    * as [[lshBucket]], so the DuckDB oracle mirrors every bucket
+    * bit-for-bit — computed by ONE native expression
+    * (graft.functions.HyperplaneSig) instead of bands×planes separate
+    * dot-vs-literal expressions, which dominated q59's runtime as
+    * generated-code bulk. NULL vectors null-propagate (explode then drops
+    * the row — a null embedding has no near-dups); any other dimension
+    * count fails loudly inside the expression instead of bucketing on
+    * partial data.
     */
-  private def hyperplaneBandArr(v: Column, bands: Int, planesPerBand: Int,
+  private[graft] def hyperplaneBandArr(v: Column, bands: Int, planesPerBand: Int,
       dims: Int): Column = {
-    val bandStructs = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { p =>
-        val i = b * planesPerBand + p
-        val comps = (0 until dims).map(j =>
-          detHash32Local(s"plane$i", j.toString) * 2L - 4294967296L)
-        when(dotQ(v, typedlit(comps)) >= 0L, lit(1L << p)).otherwise(lit(0L))
-      }
-      struct(lit(b.toLong).as("band"), bits.reduce(_ + _).as("bucket"))
+    val planes = (0 until bands * planesPerBand).map { i =>
+      (0 until dims).map(j =>
+        detHash32Local(s"plane$i", j.toString) * 2L - 4294967296L)
     }
-    // Same contract as lshBucket: NULL vectors null-propagate (explode
-    // then drops the row — a null embedding has no near-dups), any other
-    // dimension count fails loudly instead of bucketing on partial data.
-    when(v.isNull,
-        lit(null).cast("array<struct<band:bigint,bucket:bigint>>"))
-      .when(size(v) === dims, array(bandStructs: _*))
-      .otherwise(raise_error(
-        concat(lit(s"hyperplaneBands: expected $dims dims, got "),
-          coalesce(size(v).cast("string"), lit("null")))))
+    graft.functions.VecExprs.hyperplaneSig(v, planes, planesPerBand, dims)
   }
 
   /** Choose (bands, planesPerBand) for [[cosineNearDups]] from corpus
@@ -374,9 +367,9 @@ object Similarity {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
     val banded = registry.cache(e.select($"vec_id",
-        explode(hyperplaneBandArr($"v", bands, planesPerBand, dims)).as("bb"))
-      .select($"vec_id", col("bb.band").as("band"),
-        col("bb.bucket").as("bucket")))
+        posexplode(hyperplaneBandArr($"v", bands, planesPerBand, dims))
+          .as(Seq("band", "bucket")))
+      .select($"vec_id", $"band".cast("long").as("band"), $"bucket"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
