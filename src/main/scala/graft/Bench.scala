@@ -39,7 +39,13 @@ object Bench {
       // not contribute to the total, so a crash can't read as a speedup.
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision and sorted keys keep the printed line short
+    // and its truncation deterministic: the driver's capture keeps a
+    // bounded tail of sbt output, so every byte saved is another query
+    // that survives into BENCH_r{N}.json, and a sorted map means the
+    // surviving subset is the same queries every round.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // A throwing query must not read as a fast success — surface it.
