@@ -45,7 +45,11 @@ object Bench {
     // that survives into BENCH_r{N}.json, and a sorted map means the
     // surviving subset is the same queries every round.
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      // Locale.ROOT: a comma-decimal default locale (de_DE) would print
+      // "1,234" and corrupt the JSON line the driver parses.
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v)) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // A throwing query must not read as a fast success — surface it.

@@ -21,17 +21,33 @@ object Skew {
     * times, so one hot key occupies `nSalts` shuffle partitions instead
     * of one. Result equals `skewed.join(other, key, joinType)` exactly.
     *
-    * The salt is `xxhash64` over the skewed side's whole row PLUS a
-    * per-row ordinal (`monotonically_increasing_id`): the row hash alone
-    * would send byte-identical duplicate rows — a plausible shape for a
-    * hot key in a dedup-centric corpus — to a single salt, silently
-    * degenerating back to the unsalted join; the ordinal scatters them.
-    * The ordinal makes the salt nondeterministic across retries, which is
-    * benign here: a row's join matches are identical under every salt
-    * value (the other side is replicated for all salts), so the salt only
-    * chooses WHERE a row is joined, never WHAT it joins with, and Spark's
-    * indeterminate-stage rollback re-runs the whole map stage on partial
-    * recompute rather than mixing old and new placements.
+    * The salt is a pure function of the DATA — never of row order,
+    * partition ids, or `monotonically_increasing_id` — so a
+    * fetch-failure-triggered partial recompute of the map stage assigns
+    * every row the same salt it had before, and reducers mixing old and
+    * new shuffle outputs cannot duplicate or lose join rows. Two paths:
+    *
+    *  - `uniqueCols` given (a row-unique key the caller vouches for, e.g.
+    *    a primary key): salt = hash(uniqueCols) % nSalts. Zero extra
+    *    shuffle; byte-identical VALUES still scatter because their ids
+    *    differ. Preferred whenever an id column exists.
+    *  - default: a deterministic per-duplicate occurrence index. Rows are
+    *    collapsed by full content (`groupBy` over every column — map-side
+    *    partial aggregation bounds the extra shuffle volume at the number
+    *    of DISTINCT rows per map partition, which is exactly small when
+    *    duplication is heavy), then re-expanded with an ordinal, and
+    *    salt = hash(row, ordinal) % nSalts. Identical rows are
+    *    interchangeable, so which physical row receives which ordinal is
+    *    immaterial; the multiset of (row, salt) pairs is a pure function
+    *    of the data. The re-expansion explodes in ≤2^20-element chunks so
+    *    a row duplicated billions of times builds bounded arrays, not one
+    *    giant `sequence`. Requires groupable columns (no MapType) — pass
+    *    `uniqueCols` for schemas that aren't.
+    *
+    * The salt only chooses WHERE a row is joined, never WHAT it joins
+    * with (the other side is replicated for all salts), so correctness
+    * never depended on the assignment — but determinism under retry did;
+    * see SkewSpec "salt assignment is a pure function of the data".
     * Replication multiplies the OTHER side's shuffle volume by `nSalts`:
     * salt the side with the hot keys, keep `nSalts` small (8–32), and
     * prefer AQE when it already handles the skew.
@@ -43,24 +59,48 @@ object Skew {
     * silently multiply.
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-      nSalts: Int, joinType: String = "inner"): DataFrame = {
+      nSalts: Int, joinType: String = "inner",
+      uniqueCols: Seq[String] = Nil): DataFrame = {
     require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     val jt = joinType.toLowerCase.replace("_outer", "").replace("outer", "")
     require(jt == "inner" || jt == "left",
       s"saltedJoin supports inner/left, got $joinType")
     require(!(skewed.columns ++ other.columns).contains("_salt"),
       "saltedJoin reserves the _salt column name")
-    val salted = skewed.withColumn("_salt", saltExpr(skewed, nSalts))
+    val salted = saltAssign(skewed, nSalts, uniqueCols)
     val replicated = other.withColumn("_salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
-  /** The salt assignment [[saltedJoin]] shuffles on (exposed for the
-    * duplicate-row distribution proof in SkewSpec).
+  /** Chunk width for the occurrence-index re-expansion: bounds any single
+    * `sequence` array at 2^20 longs (8 MB) no matter how hot a duplicate
+    * row is, while one level of chunking covers counts up to 2^40.
     */
-  private[graft] def saltExpr(skewed: DataFrame,
-      nSalts: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(skewed.columns.map(col) :+
-      monotonically_increasing_id(): _*), lit(nSalts.toLong))
+  private val OrdChunk = 1L << 20
+
+  /** `skewed` plus a deterministic `_salt` column (exposed for SkewSpec's
+    * scatter + determinism proofs). Same multiset of rows as the input.
+    */
+  private[graft] def saltAssign(skewed: DataFrame, nSalts: Int,
+      uniqueCols: Seq[String] = Nil): DataFrame = {
+    if (uniqueCols.nonEmpty) {
+      skewed.withColumn("_salt",
+        pmod(xxhash64(uniqueCols.map(col): _*), lit(nSalts.toLong)))
+    } else {
+      val cols = skewed.columns
+      require(!cols.exists(Set("_n", "_chunk", "_i")),
+        "saltedJoin reserves the _n/_chunk/_i column names")
+      skewed.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_chunk", // integral (_n-1)/2^20 via shift: Column./ is fractional
+          explode(sequence(lit(0L), shiftright(col("_n") - 1L, 20))))
+        .withColumn("_i", explode(sequence(lit(0L),
+          least(lit(OrdChunk), col("_n") - col("_chunk") * OrdChunk) - 1L)))
+        .withColumn("_salt", pmod(
+          xxhash64(cols.map(col) :+ (col("_chunk") * OrdChunk + col("_i")): _*),
+          lit(nSalts.toLong)))
+        .drop("_n", "_chunk", "_i")
+    }
+  }
 }

@@ -122,6 +122,16 @@ final class MlpInferenceStage(modelPath: String)
   }
 }
 
+/** Gate verdict: the decision AND the confidence behind it. Keeping the
+  * probability costs nothing here and saves a second inference pass for
+  * any caller that thresholds later — the reference keeps the same
+  * `confidence_score` beside its verdicts (qwen_vl_processor.py:166).
+  * `prob` is the probability of `acceptLabel` specifically (not the
+  * argmax class), so `accepted == (argmax == acceptLabel) && (prob >=
+  * minProb)` is re-derivable from the row at any stricter threshold.
+  */
+final case class GateVerdict(id: Long, accepted: Boolean, prob: Double)
+
 /** M5 accept/reject with a REAL classifier head: a row is accepted iff the
   * served MLP's argmax equals `acceptLabel` with at least `minProb`
   * confidence. This is the production counterpart of [[MockAcceptFilter]]
@@ -132,14 +142,20 @@ final class MlpInferenceStage(modelPath: String)
   */
 final class MlpAcceptFilter(modelPath: String, acceptLabel: Int = 1,
     minProb: Double = 0.0)
-    extends InferenceStage[FeatureRow, (Long, Boolean)] {
+    extends InferenceStage[FeatureRow, GateVerdict] {
 
-  def setup(): ModelHandle[FeatureRow, (Long, Boolean)] = {
-    val inner = new MlpInferenceStage(modelPath).setup()
-    new ModelHandle[FeatureRow, (Long, Boolean)] {
-      def infer(in: FeatureRow): (Long, Boolean) = {
-        val s = inner.infer(in)
-        (in.id, s.label == acceptLabel && s.prob >= minProb)
+  def setup(): ModelHandle[FeatureRow, GateVerdict] = {
+    val model = MlpModel.load(modelPath)
+    require(acceptLabel >= 0 && acceptLabel < model.outputDim,
+      s"acceptLabel $acceptLabel out of range for a ${model.outputDim}-class head")
+    new ModelHandle[FeatureRow, GateVerdict] {
+      def infer(in: FeatureRow): GateVerdict = {
+        val probs = model.forward(in.features)
+        var best = 0
+        var i = 1
+        while (i < probs.length) { if (probs(i) > probs(best)) best = i; i += 1 }
+        val p = probs(acceptLabel)
+        GateVerdict(in.id, best == acceptLabel && p >= minProb, p)
       }
     }
   }

@@ -136,15 +136,22 @@ object Rendered {
 
     var visited = startUrls.distinct.toDF("url")
     var frontier = visited
-    var out: DataFrame = null
+    // Empty-crawl identity: zero start URLs returns zero pages, not an NPE.
+    var out: DataFrame = spark.emptyDataset[RenderedPage].toDF()
+      .drop("id").withColumn("depth", lit(0))
     var depth = 0
     var budget = maxPages
     while (depth <= maxDepth && budget > 0 && !frontier.isEmpty) {
-      val pages = render(frontier.limit(budget))
+      // orderBy before the limit: when the page budget binds mid-wave,
+      // WHICH pages get rendered must be a function of the frontier's
+      // contents, not of partition order — the same determinism doctrine
+      // as the hash-derived draws and sorted sink bytes elsewhere. The
+      // sort is over a wave's frontier (URLs only, tiny vs page bodies).
+      val pages = render(frontier.orderBy($"url").limit(budget))
         .withColumn("depth", lit(depth))
         .localCheckpoint() // one render per wave, reused by out + frontier
       budget -= pages.count().toInt
-      out = if (out == null) pages else out.unionByName(pages)
+      out = out.unionByName(pages)
       if (depth < maxDepth) {
         // Same-domain guard against the page that linked it, like the
         // reference's netloc comparison — then dedup against everything

@@ -180,15 +180,28 @@ class MultimodalFlowSpec extends SparkSpec {
       .toDF("fid", "frameId", "features")
 
     // 3. REAL model accept gate, scores joined back by the stable frame id.
+    //    The gate returns its confidence alongside the verdict so a later
+    //    stricter threshold never re-runs inference.
     val scored = new MlpAcceptFilter(path).run(
         feats.select($"fid", $"features").as[(Long, Array[Double])]
           .map { case (id, fs) => FeatureRow(id, fs) })
-      .toDF("fid", "accepted")
+      .toDF("fid", "accepted", "prob")
     val perAsset = feats.join(scored, "fid")
-      .select(split($"frameId", "#").getItem(0).as("assetId"), $"accepted")
+      .select(split($"frameId", "#").getItem(0).as("assetId"),
+        $"accepted", $"prob")
       .groupBy($"assetId")
-      // An asset survives only if EVERY sampled frame passes the gate.
-      .agg(min($"accepted").as("allAccepted"))
+      // An asset survives only if EVERY sampled frame passes the gate;
+      // the kept min-confidence lets downstream re-threshold for free.
+      .agg(min($"accepted").as("allAccepted"),
+        min($"prob").as("minConf"))
+    // The retained confidence is consistent with the verdict: every
+    // accepted frame of a surviving asset carried prob > 0.5 (the
+    // accept class won the argmax), and re-thresholding at 0.9 from the
+    // stored column alone still accepts the bright assets — no second
+    // inference pass.
+    assert(perAsset.filter($"allAccepted" && $"minConf" <= 0.5).count() == 0)
+    assert(perAsset.filter($"minConf" >= 0.9).count() ==
+      perAsset.filter($"allAccepted").count())
     val surviving = perAsset.filter($"allAccepted").select("assetId")
       .as[String].collect().toSet
     assert(surviving == Set("v0", "v1", "v2"), surviving)

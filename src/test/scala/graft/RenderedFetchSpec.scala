@@ -61,6 +61,37 @@ class RenderedFetchSpec extends SparkSpec {
     assert(capped.count() == 1L)
   }
 
+  test("empty start set is the crawl identity, not an NPE") {
+    val out = Rendered.crawl(spark, new FixtureRenderer(site),
+      Seq.empty, maxDepth = 3)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("url", "depth", "ok", "html", "error"))
+  }
+
+  test("a binding page budget renders a deterministic page set") {
+    // Four pages reachable, budget 2: which two render must be a function
+    // of the site, not of partition/fetch order. Crawl twice with
+    // different frontier partitionings forced via shuffle.partitions and
+    // assert identical (url, depth) sets — and specifically the
+    // lexicographic-least URLs of each wave.
+    def crawlSet(parts: String): Set[(String, Int)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Rendered.crawl(spark, new FixtureRenderer(site),
+        Seq("http://shop.example.com/p1"), maxDepth = 2, maxPages = 2)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = crawlSet("3")
+    val b = crawlSet("17")
+    assert(a == b, s"budget-bound crawl is partition-order-dependent: $a vs $b")
+    // Wave 0 takes p1 (budget 2 -> 1); wave 1's frontier {p2, p3} is cut
+    // to the lexicographically first.
+    assert(a == Set(("http://shop.example.com/p1", 0),
+      ("http://shop.example.com/p2", 1)), a)
+  }
+
   test("navigation failures are ok=false rows, not job failures") {
     val out = Rendered.crawl(spark, new FixtureRenderer(site),
       Seq("http://shop.example.com/p1", "http://shop.example.com/missing"),

@@ -101,11 +101,11 @@ class SkewSpec extends SparkSpec {
   test("byte-identical duplicate rows on the hot key still scatter") {
     // 75% of the fact is ONE row repeated verbatim — the degenerate shape
     // for a whole-row-hash salt (every duplicate hashes alike and lands on
-    // one salt, i.e. one task). The per-row ordinal must spread them.
+    // one salt, i.e. one task). The occurrence ordinal must spread them.
     val dupFact = spark.range(150000L).select(lit(0L).as("k"), lit(42L).as("v"))
       .union(spark.range(50000L).select(($"id" % 97L).as("k"), ($"id" * 7L).as("v")))
-    val saltsOnHotKey = dupFact.filter($"k" === 0L)
-      .withColumn("_salt", operators.Skew.saltExpr(dupFact, 8))
+    val saltsOnHotKey = operators.Skew.saltAssign(dupFact, 8)
+      .filter($"k" === 0L)
       .select("_salt").distinct().count()
     assert(saltsOnHotKey == 8L,
       s"duplicate hot-key rows occupy $saltsOnHotKey/8 salts — salted join " +
@@ -114,6 +114,42 @@ class SkewSpec extends SparkSpec {
     withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val plain = digest(dupFact.join(other, "k"))
       assert(digest(operators.Skew.saltedJoin(dupFact, other, "k", 8)) == plain)
+    }
+  }
+
+  test("salt assignment is a pure function of the data") {
+    // The retry-safety claim: salts must not depend on row order or
+    // physical placement. Recompute the assignment under two different
+    // input partitionings (a proxy for a partial map-stage recompute
+    // seeing rows in a different order) — the (row content -> per-salt
+    // count) histogram must be byte-identical. An order-dependent salt
+    // (monotonically_increasing_id, spark_partition_id, rand) fails this.
+    val dupFact = spark.range(150000L).select(lit(0L).as("k"), lit(42L).as("v"))
+      .union(spark.range(50000L).select(($"id" % 97L).as("k"), ($"id" * 7L).as("v")))
+    def histogram(df: DataFrame): Set[(Long, Long, Long, Long)] =
+      operators.Skew.saltAssign(df, 8)
+        .groupBy($"k", $"v", $"_salt").count()
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val a = histogram(dupFact.repartition(7))
+    val b = histogram(dupFact.repartition(13))
+    assert(a == b, "salt histogram changed across recomputes with " +
+      "different physical partitionings — salts are not retry-stable")
+  }
+
+  test("uniqueCols fast path: deterministic, scattered, and join-equal") {
+    // `v` is row-unique here; the caller vouching for that buys a salt
+    // with no extra shuffle (no groupBy in the plan).
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plain = digest(fact.join(other, "k"))
+      val salted =
+        operators.Skew.saltedJoin(fact, other, "k", 8, "inner", Seq("v"))
+      assert(digest(salted) == plain)
+      val p = salted.queryExecution.optimizedPlan.toString
+      assert(!p.contains("Aggregate"),
+        s"uniqueCols path must not add a groupBy shuffle:\n$p")
+      val saltsOnHotKey = operators.Skew.saltAssign(fact, 8, Seq("v"))
+        .filter($"k" === 0L).select("_salt").distinct().count()
+      assert(saltsOnHotKey == 8L)
     }
   }
 
