@@ -490,6 +490,16 @@ object Similarity {
     */
   private val (q59Bands, q59Planes) = lshParams(500, 0.35)
 
+  /** q78 exercises [[cosineNearDupsAuto]] — the geometry is chosen at RUN
+    * time from the actual corpus count, and the oracle replays what
+    * lshParams yields at the verify corpus's 500 vectors with q78's
+    * (minCos=0.5, recall=0.9): any drift in the runtime count or the
+    * parameter-selection math changes the buckets and hash-mismatches.
+    * Deliberately a different geometry than q59 — (11,4) vs (20,4) — so
+    * the auto path isn't re-proving the pinned one.
+    */
+  private val (q78Bands, q78Planes) = lshParams(500, 0.5, targetRecall = 0.9)
+
   def queries: Map[String, Q] = Map(
     "q37_cosine_topk" -> ((s, d) => cosineTopK(Tables.load(s, d).embeddings, 5, 5)),
     "q38_cosine_topk_lsh" -> ((s, d) =>
@@ -498,6 +508,8 @@ object Similarity {
       cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3)),
     "q59_cosine_neardups" -> ((s, d) =>
       cosineNearDups(Tables.load(s, d).embeddings, 0.35, q59Bands, q59Planes)),
+    "q78_cosine_neardups_auto" -> ((s, d) =>
+      cosineNearDupsAuto(Tables.load(s, d).embeddings, 0.5, targetRecall = 0.9)),
     // Nearest neighbor per query, written entirely in SQL against the
     // registered custom expression (dot_q) — the engine's SQL surface is
     // part of the driver-checked contract, not just the Column API.
@@ -615,49 +627,59 @@ object Similarity {
     // plan by construction; recall vs brute force is checked in IvfSpec.
     "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2),
-    "q59_cosine_neardups" -> {
-      // Mirrors the banded signature bit-for-bit: band b's bucket packs
-      // the sign bits of planes b*P+p, p < P — same md5-derived integer
-      // hyperplanes, same global plane indexing as hyperplaneBandArr.
-      val bucketCols = (0 until q59Bands).map { b =>
-        val planeSum = (0 until q59Planes).map { p =>
-          val h = detHash32Sql(s"plane${b * q59Planes + p}", "i - 1")
-          s"CASE WHEN SUM(val * ($h * 2 - 4294967296)) >= 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
-        s"CAST($planeSum AS BIGINT) AS k$b"
-      }
-      val bandUnion = (0 until q59Bands).map(b =>
-        s"SELECT vec_id, $b AS band, k$b AS bucket FROM b").mkString(
-        "\n  UNION ALL ")
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |u AS (
-         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
-         |n AS (
-         |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
-         |b AS (
-         |  SELECT vec_id, ${bucketCols.mkString(",\n    ")}
-         |  FROM u GROUP BY vec_id),
-         |bb AS (
-         |  $bandUnion),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bb x JOIN bb y
-         |    ON x.band = y.band AND x.bucket = y.bucket
-         |    AND x.vec_id < y.vec_id),
-         |d AS (
-         |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
-         |  FROM cand c
-         |  JOIN u a ON a.vec_id = c.vec_a
-         |  JOIN u bb ON bb.vec_id = c.vec_b AND bb.i = a.i
-         |  GROUP BY 1, 2)
-         |SELECT vec_a, vec_b, cos FROM (
-         |  SELECT vec_a, vec_b,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
-         |  FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
-         |WHERE cos >= CAST(0.35 AS DOUBLE)""".stripMargin
-    }
+    "q59_cosine_neardups" ->
+      cosineNearDupsOracleSql(q59Bands, q59Planes, "0.35"),
+    "q78_cosine_neardups_auto" ->
+      cosineNearDupsOracleSql(q78Bands, q78Planes, "0.5")
   )
+
+  /** DuckDB replay of [[cosineNearDups]] at a given geometry. Mirrors the
+    * banded signature bit-for-bit: band b's bucket packs the sign bits of
+    * planes b*P+p, p < P — same md5-derived integer hyperplanes, same
+    * global plane indexing as hyperplaneBandArr. `minCosSql` is the
+    * threshold as a SQL literal so both sides compare the identical
+    * double.
+    */
+  private def cosineNearDupsOracleSql(bands: Int, planes: Int,
+      minCosSql: String): String = {
+    val bucketCols = (0 until bands).map { b =>
+      val planeSum = (0 until planes).map { p =>
+        val h = detHash32Sql(s"plane${b * planes + p}", "i - 1")
+        s"CASE WHEN SUM(val * ($h * 2 - 4294967296)) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"CAST($planeSum AS BIGINT) AS k$b"
+    }
+    val bandUnion = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, k$b AS bucket FROM b").mkString(
+      "\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+       |n AS (
+       |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+       |b AS (
+       |  SELECT vec_id, ${bucketCols.mkString(",\n    ")}
+       |  FROM u GROUP BY vec_id),
+       |bb AS (
+       |  $bandUnion),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bb x JOIN bb y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.vec_id < y.vec_id),
+       |d AS (
+       |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN u a ON a.vec_id = c.vec_a
+       |  JOIN u bb ON bb.vec_id = c.vec_b AND bb.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT vec_a, vec_b,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+       |  FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+       |WHERE cos >= CAST($minCosSql AS DOUBLE)""".stripMargin
+  }
 }
