@@ -122,10 +122,20 @@ object Rendered {
     * (url) frontier rows plus the rendered pages it keeps.
     *
     * Returns (url, depth, ok, html, error) for every page rendered.
+    *
+    * `skipVisited` is the cross-session resume hook (the reference's
+    * scraped_urls check, any_scraper.py:103-116): a (url) DataFrame —
+    * typically [[graft.streaming.IncrementalState.processed]] — seeded
+    * into the visited set, so a resumed crawl never re-renders pages a
+    * prior session already processed. Start URLs always render (they are
+    * the traversal roots — a listing page must be re-read to discover
+    * NEW links even when it was seen before); everything downstream of
+    * them honors the skip.
     */
   def crawl(spark: SparkSession, renderer: PageRenderer,
       startUrls: Seq[String], maxDepth: Int,
-      maxPages: Int = 10000): DataFrame = {
+      maxPages: Int = 10000,
+      skipVisited: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val stage = new RenderedFetchStage(renderer)
 
@@ -134,8 +144,10 @@ object Rendered {
           .map(u => FetchRequest(0L, u)))
         .toDF().drop("id")
 
-    var visited = startUrls.distinct.toDF("url")
-    var frontier = visited
+    val starts = startUrls.distinct.toDF("url")
+    var visited = skipVisited.fold(starts)(s =>
+      starts.unionByName(s.select($"url")).distinct())
+    var frontier = starts
     // Empty-crawl identity: zero start URLs returns zero pages, not an NPE.
     var out: DataFrame = spark.emptyDataset[RenderedPage].toDF()
       .drop("id").withColumn("depth", lit(0))
