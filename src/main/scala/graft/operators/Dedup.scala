@@ -470,77 +470,8 @@ object Dedup {
     // the index cache — clustering over a corpus whose pairs were already
     // queried costs one collect, not a second inverted-index join.
     val pairs = jaccardNearDups(docs, minJ, maxDf).select($"doc_a", $"doc_b")
-    // Near-dup pair graphs are tiny relative to the corpus (the giant
-    // components of web dedup are exact dups, removed earlier). Below a
-    // driver-memory threshold, union-find locally — one collect + one
-    // broadcast join instead of diameter-many propagation rounds. The
-    // distributed fixpoint below remains the unbounded-graph path; both
-    // produce the identical min-label components. (pairs is cached by
-    // jaccardNearDups, so the count and collect share one computation.)
-    if (pairs.count() <= unionFindMaxEdges) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      pairs.collect().foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      // Min-label roots: union-by-min above keeps every root the minimum
-      // of its component.
-      val labelMap = parent.keys.map(k => k -> find(k)).toMap
-      val spark = docs.sparkSession
-      val lm = spark.createDataFrame(labelMap.toSeq).toDF("doc_id", "label")
-      // Cached: the label table is consumed by both the sizes aggregate
-      // and the final join.
-      val labels = cacheIndex(docs.select($"doc_id")
-        .join(broadcast(lm), Seq("doc_id"), "left_outer")
-        .select($"doc_id", coalesce($"label", $"doc_id").as("label")))
-      // sizes is one row per cluster (mostly singletons — corpus-sized):
-      // a plain join, NOT a broadcast.
-      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-      return labels.join(sizes, "label")
-        .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
-          ($"doc_id" === $"label").as("keep"))
-    }
-    val edges = pairs
-      .union(pairs.select($"doc_b", $"doc_a"))
-      .toDF("src", "dst").persist()
-    edges.count() // materialize once; every round joins it
-    var labels = docs.select($"doc_id", $"doc_id".as("label"))
-    var prevCached: DataFrame = null
-    // Labels only ever decrease, so Σlabel strictly decreases until the
-    // fixpoint — one cheap aggregate per round detects convergence
-    // instead of a join against the previous labels. Decimal sum: a long
-    // sum would overflow past ~10^12 rows of 10^12-sized ids.
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    while (!converged) {
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
-        .select($"dst".as("doc_id"), $"label")
-      val next = labels.union(prop)
-        .groupBy($"doc_id").agg(min($"label").as("label")).persist()
-      val s = next.agg(sum($"label".cast("decimal(38,0)"))).first().getDecimal(0)
-      if (prevCached != null) prevCached.unpersist()
-      prevCached = next
-      labels = next
-      // s is null exactly when the corpus is empty — converged trivially
-      // (otherwise the null-vs-null comparison would loop forever).
-      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
-      prevSum = s
-    }
-    edges.unpersist()
-    // The converged label table backs the query's two consumers below;
-    // free it with the other session indexes.
-    if (prevCached != null) registry.add(prevCached)
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select($"doc_id", $"label".as("cluster_id"), $"cluster_size",
-        ($"doc_id" === $"label").as("keep"))
+    Clusters.fromPairs(docs.select($"doc_id"), pairs, unionFindMaxEdges,
+      registry)
   }
 
   /** Benchmark decontamination — the standard training-data hygiene pass:

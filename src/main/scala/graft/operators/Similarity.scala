@@ -398,6 +398,26 @@ object Similarity {
     cosineNearDups(embeddings, minCos, b, p, dims)
   }
 
+  /** Embedding near-dup CLUSTERS: connected components over the
+    * [[cosineNearDups]] pair graph with min-vec_id labels, cluster size,
+    * and the keep-one-survivor flag — the cosine counterpart of
+    * [[Dedup.nearDupClusters]] (q67), closing the embedding family from
+    * pairs to an actual deduplicated corpus. Same bounded-driver
+    * union-find / distributed min-label fixpoint adjudication via
+    * [[Clusters.fromPairs]]; the pair set is cached, so the closure's
+    * count+collect pays the LSH+verify pipeline once.
+    */
+  def cosineNearDupClusters(embeddings: DataFrame, minCos: Double,
+      bands: Int, planesPerBand: Int, dims: Int = 64,
+      unionFindMaxEdges: Long = 2_000_000): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val pairs = registry.cache(
+      cosineNearDups(embeddings, minCos, bands, planesPerBand, dims)
+        .select($"vec_a", $"vec_b"))
+    Clusters.fromPairs(quantized(embeddings).select($"vec_id"), pairs,
+      unionFindMaxEdges, registry)
+  }
+
   /** DuckDB replay of [[cosineTopKIvf]]: the Lloyd iterations unrolled as
     * CTE chains over the unnested (vec_id, i, val) relation.
     */
@@ -510,6 +530,12 @@ object Similarity {
       cosineNearDups(Tables.load(s, d).embeddings, 0.35, q59Bands, q59Planes)),
     "q78_cosine_neardups_auto" -> ((s, d) =>
       cosineNearDupsAuto(Tables.load(s, d).embeddings, 0.5, targetRecall = 0.9)),
+    // Same threshold + pinned geometry as q59 ON PURPOSE: the pair plan
+    // is identical, so in a shared session the closure rides q59's band
+    // cache instead of rebuilding it (see the q59Bands scaladoc).
+    "q79_cosine_neardup_clusters" -> ((s, d) =>
+      cosineNearDupClusters(Tables.load(s, d).embeddings, 0.35,
+        q59Bands, q59Planes)),
     // Nearest neighbor per query, written entirely in SQL against the
     // registered custom expression (dot_q) — the engine's SQL surface is
     // part of the driver-checked contract, not just the Column API.
@@ -630,7 +656,9 @@ object Similarity {
     "q59_cosine_neardups" ->
       cosineNearDupsOracleSql(q59Bands, q59Planes, "0.35"),
     "q78_cosine_neardups_auto" ->
-      cosineNearDupsOracleSql(q78Bands, q78Planes, "0.5")
+      cosineNearDupsOracleSql(q78Bands, q78Planes, "0.5"),
+    "q79_cosine_neardup_clusters" ->
+      cosineNearDupsOracleSql(q59Bands, q59Planes, "0.35", clusters = true)
   )
 
   /** DuckDB replay of [[cosineNearDups]] at a given geometry. Mirrors the
@@ -638,10 +666,12 @@ object Similarity {
     * planes b*P+p, p < P — same md5-derived integer hyperplanes, same
     * global plane indexing as hyperplaneBandArr. `minCosSql` is the
     * threshold as a SQL literal so both sides compare the identical
-    * double.
+    * double. With `clusters`, appends the transitive closure (recursive
+    * CTE over the pair graph, min-reachable label per node) replaying
+    * [[cosineNearDupClusters]] — the same oracle shape as q67's.
     */
   private def cosineNearDupsOracleSql(bands: Int, planes: Int,
-      minCosSql: String): String = {
+      minCosSql: String, clusters: Boolean = false): String = {
     val bucketCols = (0 until bands).map { b =>
       val planeSum = (0 until planes).map { p =>
         val h = detHash32Sql(s"plane${b * planes + p}", "i - 1")
@@ -652,34 +682,60 @@ object Similarity {
     val bandUnion = (0 until bands).map(b =>
       s"SELECT vec_id, $b AS band, k$b AS bucket FROM b").mkString(
       "\n  UNION ALL ")
-    s"""WITH e AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
-       |  FROM embeddings),
-       |u AS (
-       |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
-       |n AS (
-       |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
-       |b AS (
-       |  SELECT vec_id, ${bucketCols.mkString(",\n    ")}
-       |  FROM u GROUP BY vec_id),
-       |bb AS (
-       |  $bandUnion),
-       |cand AS (
-       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-       |  FROM bb x JOIN bb y
-       |    ON x.band = y.band AND x.bucket = y.bucket
-       |    AND x.vec_id < y.vec_id),
-       |d AS (
-       |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
-       |  FROM cand c
-       |  JOIN u a ON a.vec_id = c.vec_a
-       |  JOIN u bb ON bb.vec_id = c.vec_b AND bb.i = a.i
-       |  GROUP BY 1, 2)
-       |SELECT vec_a, vec_b, cos FROM (
-       |  SELECT vec_a, vec_b,
-       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
-       |  FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
-       |WHERE cos >= CAST($minCosSql AS DOUBLE)""".stripMargin
+    val common =
+      s"""WITH ${if (clusters) "RECURSIVE " else ""}e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |u AS (
+         |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+         |n AS (
+         |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+         |b AS (
+         |  SELECT vec_id, ${bucketCols.mkString(",\n    ")}
+         |  FROM u GROUP BY vec_id),
+         |bb AS (
+         |  $bandUnion),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bb x JOIN bb y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id),
+         |d AS (
+         |  SELECT c.vec_a, c.vec_b, CAST(SUM(a.val * bb.val) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN u a ON a.vec_id = c.vec_a
+         |  JOIN u bb ON bb.vec_id = c.vec_b AND bb.i = a.i
+         |  GROUP BY 1, 2)""".stripMargin
+    if (!clusters)
+      s"""$common
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT vec_a, vec_b,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+         |  FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+         |WHERE cos >= CAST($minCosSql AS DOUBLE)""".stripMargin
+    else
+      s"""$common,
+         |pairs AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b,
+         |      CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE)) / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+         |    FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+         |  WHERE cos >= CAST($minCosSql AS DOUBLE)),
+         |edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT vec_b, vec_a FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS node, vec_id AS peer FROM e
+         |  UNION
+         |  SELECT r.node, g.dst FROM reach r JOIN edges g ON r.peer = g.src),
+         |lbl AS (SELECT node AS vec_id, MIN(peer) AS cluster_id
+         |        FROM reach GROUP BY node),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM lbl GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, sz.cluster_size,
+         |  l.vec_id = l.cluster_id AS keep
+         |FROM lbl l JOIN sz USING (cluster_id)""".stripMargin
   }
 }

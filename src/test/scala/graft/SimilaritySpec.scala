@@ -58,4 +58,48 @@ class SimilaritySpec extends SparkSpec {
     // Deterministic: md5-derived hyperplanes, no RNG state.
     assert(pairSet(Similarity.cosineNearDupsAuto(e, 0.35)) == found)
   }
+
+  test("cosineNearDupClusters: transitive closure, min labels, keep flags") {
+    import spark.implicits._
+    // Planted chain: v100 ~ v101 ~ v102 where the ENDS are below the
+    // threshold pairwise — only transitive closure puts all three in one
+    // cluster. Exact geometry, not noise: v1 = cosθ·v0 + sinθ·e1 and
+    // v2 = cosθ·v1 + sinθ·e2 with e2 ⊥ span(v0, v1), so adjacent pairs
+    // sit at cosθ = 0.87 and the ends at exactly cos²θ = 0.7569 < 0.8.
+    val dims = 64
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val a = Array.fill(dims)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => (x / n).toFloat)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val (c, s) = (0.87, math.sqrt(1 - 0.87 * 0.87))
+    def basis(vals: (Int, Double)*): Array[Float] = {
+      val a = new Array[Float](dims)
+      vals.foreach { case (j, v) => a(j) = v.toFloat }
+      a
+    }
+    val v0 = basis(0 -> 1.0)
+    val v1 = basis(0 -> c, 1 -> s)
+    val v2 = basis(0 -> c * c, 1 -> c * s, 2 -> s)
+    assert(cos(v0, v1) >= 0.85 && cos(v1, v2) >= 0.85)
+    assert(cos(v0, v2) < 0.8, s"chain ends too close: ${cos(v0, v2)}")
+    val base = (0 until 100).map(i => (i.toLong, unit()))
+    val corpus = (base ++ Seq((100L, v0), (101L, v1), (102L, v2)))
+      .toDF("vec_id", "embedding")
+
+    val (b, p) = Similarity.lshParams(103, 0.8)
+    val out = Similarity.cosineNearDupClusters(corpus, 0.8, b, p)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // One 3-cluster labeled by its minimum member, which is the keeper.
+    assert(out(100L) == (100L, 3L, true), out(100L))
+    assert(out(101L) == (100L, 3L, false))
+    assert(out(102L) == (100L, 3L, false))
+    // Background vectors are singletons keeping themselves.
+    assert(out.size == 103)
+    assert((0L until 100L).forall(i => out(i) == (i, 1L, true)))
+  }
 }
