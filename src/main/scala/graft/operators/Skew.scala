@@ -41,8 +41,10 @@ object Skew {
     *    immaterial; the multiset of (row, salt) pairs is a pure function
     *    of the data. The re-expansion explodes in ≤2^20-element chunks so
     *    a row duplicated billions of times builds bounded arrays, not one
-    *    giant `sequence`. Requires groupable columns (no MapType) — pass
-    *    `uniqueCols` for schemas that aren't.
+    *    giant `sequence`. Requires groupable columns (no MapType), and
+    *    float/double VALUES pass through Spark's grouping normalization
+    *    (-0.0 becomes 0.0, NaN bit patterns canonicalize) — pass
+    *    `uniqueCols` for schemas where either matters.
     *
     * The salt only chooses WHERE a row is joined, never WHAT it joins
     * with (the other side is replicated for all salts), so correctness

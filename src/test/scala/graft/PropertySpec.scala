@@ -92,4 +92,12 @@ class PropertySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("qid", "nid", "cos", "rk"))
     assert(out.count() == 0)
   }
+
+  test("cosineNearDupClusters on an empty corpus terminates empty") {
+    val empty = tables.embeddings.filter(lit(false))
+    val out = operators.Similarity.cosineNearDupClusters(empty, 0.8, 4, 2)
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "cluster_id", "cluster_size", "keep"))
+    assert(out.count() == 0)
+  }
 }
