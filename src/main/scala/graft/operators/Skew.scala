@@ -75,6 +75,54 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Skewed AGGREGATION fallback — the groupBy counterpart of
+    * [[saltedJoin]] (AQE splits skewed JOIN partitions, never a groupBy
+    * key). Spark's own partial aggregation already bounds the reducer for
+    * algebraic aggregates (sum/count/min/max combine map-side); the
+    * un-bounded case is collect_list/collect_set, where every value of a
+    * hot key otherwise lands in ONE reduce task. Two phases: pre-collect
+    * on (key, salt) — nSalts parallel reduce tasks per hot key — then
+    * combine the ≤nSalts partial arrays per key in a second, tiny
+    * aggregate.
+    *
+    * The salt derives from the VALUE (hash % nSalts): deterministic
+    * across retries (same doctrine as [[saltedJoin]]), and for the set
+    * variant it makes per-salt dedup globally correct — equal values
+    * share a salt, so distinct-within-bucket IS distinct-overall.
+    * Output arrays are sorted: plain collect_list's partition-order
+    * nondeterminism is a bug surface this engine refuses everywhere else
+    * (hash-derived draws, sorted sink bytes). Null values are dropped,
+    * as by the underlying collectors.
+    *
+    * Output: one row per key, array column named `<value>_list` /
+    * `<value>_set`.
+    */
+  def saltedCollectList(df: DataFrame, key: String, value: String,
+      nSalts: Int): DataFrame =
+    saltedCollect(df, key, value, nSalts, distinct = false)
+
+  /** See [[saltedCollectList]]; distinct values, same two-phase shape. */
+  def saltedCollectSet(df: DataFrame, key: String, value: String,
+      nSalts: Int): DataFrame =
+    saltedCollect(df, key, value, nSalts, distinct = true)
+
+  private def saltedCollect(df: DataFrame, key: String, value: String,
+      nSalts: Int, distinct: Boolean): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    require(!df.columns.contains("_salt") && !df.columns.contains("_part"),
+      "saltedCollect reserves the _salt/_part column names")
+    val suffix = if (distinct) "_set" else "_list"
+    val partial =
+      if (distinct) collect_set(col(value)) else collect_list(col(value))
+    df.select(col(key), col(value))
+      .withColumn("_salt", pmod(xxhash64(col(value)), lit(nSalts.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(partial.as("_part"))
+      .groupBy(col(key))
+      .agg(array_sort(flatten(collect_list(col("_part"))))
+        .as(value + suffix))
+  }
+
   /** Chunk width for the occurrence-index re-expansion: bounds any single
     * `sequence` array at 2^20 longs (8 MB) no matter how hot a duplicate
     * row is, while one level of chunking covers counts up to 2^40.

@@ -158,4 +158,28 @@ class SkewSpec extends SparkSpec {
       operators.Skew.saltedJoin(fact, other, "k", 8, "full_outer")
     }
   }
+
+  test("saltedCollectList/Set equal the plain collectors, sorted") {
+    // The hot key holds 150k values (with duplicates via % 50000); the
+    // two-phase salted collect must equal sort(collect_list) per key,
+    // and the set variant sort(collect_set) — per-salt distinct is
+    // globally distinct because equal values share a salt.
+    val df = fact.select($"k", ($"v" % 50000L).as("v"))
+    def asMap(out: DataFrame, c: String): Map[Long, Seq[Long]] =
+      out.select(col("k"), col(c)).as[(Long, Seq[Long])]
+        .collect().toMap
+    val plainList = df.groupBy($"k")
+      .agg(sort_array(collect_list($"v")).as("l"))
+    assert(asMap(operators.Skew.saltedCollectList(df, "k", "v", 8), "v_list")
+      == asMap(plainList, "l"))
+    val plainSet = df.groupBy($"k")
+      .agg(sort_array(collect_set($"v")).as("s"))
+    assert(asMap(operators.Skew.saltedCollectSet(df, "k", "v", 8), "v_set")
+      == asMap(plainSet, "s"))
+    // The hot key's values really spread over the salt space in phase 1.
+    val spread = df.filter($"k" === 0L)
+      .select(pmod(xxhash64($"v"), lit(8L)).as("_salt"))
+      .distinct().count()
+    assert(spread == 8L)
+  }
 }
