@@ -163,4 +163,15 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("q79 rides q59's cached band signatures (same threshold+geometry)") {
+    // q79 deliberately pins q59's (minCos, bands, planes) so its pair
+    // subtree canonicalizes to the SAME plan — any default-arg or
+    // geometry drift between the two queries silently rebuilds the LSH
+    // index instead of sharing it, which this pin catches.
+    run("q59_cosine_neardups").count()
+    val p = run("q79_cosine_neardup_clusters")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }
