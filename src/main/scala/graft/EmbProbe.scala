@@ -37,6 +37,14 @@ object EmbProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"EMBPROBE dir=$sfDir n=$n geom=($b,$p) " +
       f"sec=$sec%.3f rows=$rows")
+    // Cluster closure at the same geometry: rides the pair/band caches
+    // the run above materialized, so this delta isolates closure cost.
+    val t1 = System.nanoTime()
+    val kept = operators.Similarity
+      .cosineNearDupClusters(emb, 0.8, b, p)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    val csec = (System.nanoTime() - t1) / 1e9
+    println(f"EMBPROBE-CLUSTERS dir=$sfDir n=$n sec=$csec%.3f keep=$kept")
     spark.stop()
   }
 }
