@@ -237,6 +237,123 @@ case class HyperplaneSig(child: Expression, planes: Seq[Seq[Long]],
     copy(child = newChild)
 }
 
+/** Banded MinHash signature of a distinct-shingle set (array<long>):
+  * band b's value is the xxhash64 chain over its `rowsPerBand`
+  * permutation minima, where permutation p's value for shingle s is
+  * xxhash64(p, s) — BIT-FOR-BIT the previous formulation's
+  * `bands×rowsPerBand` separate `min(xxhash64(lit(p), s64))` aggregates
+  * followed by `xxhash64(m_0..m_{R-1})` per band, so LSH dedup state
+  * persisted by either formulation interoperates (the state contract of
+  * Dedup.incrementalNearDups). Parity comes from chaining Spark's own
+  * XXH64 exactly as the XxHash64 expression does: seed 42, IntegerType
+  * permutation index via hashInt, LongType values via hashLong.
+  *
+  * Why an expression instead of the aggregates: the old shape paid a
+  * SECOND full shuffle of the shingle index (the 64-aggregate groupBy,
+  * beside the sets groupBy the exact verify needs anyway) and 64
+  * codegen'd agg-buffer updates per shingle row; this computes the same
+  * minima in one tight loop over the per-doc set array the sets table
+  * already carries — signature work becomes map-side over a cache.
+  * Empty sets hash the Long.MaxValue identity minima (such docs never
+  * occur via shingleRows, which emits no row for shingle-less docs, but
+  * persisted state must not crash on them).
+  */
+case class MinhashBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"bands/rowsPerBand must be >= 1, got $bands x $rowsPerBand")
+
+  private def perms = bands * rowsPerBand
+
+  /** Permutation seeds: xxhash64's hash of the Int permutation index at
+    * the function's default seed 42, hoisted out of the per-row loop.
+    */
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(perms)(p =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = v.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(s, seeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(mins(b * rowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sd = ctx.addReferenceObj("seeds", seeds, "long[]")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n")
+      val mins = ctx.freshName("mins")
+      val out = ctx.freshName("bandhash")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$perms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $s = $a.getLong($i);
+         |  for (int $p = 0; $p < $perms; $p++) {
+         |    long $h = $xxh.hashLong($s, $sd[$p]);
+         |    if ($h < $mins[$p]) $mins[$p] = $h;
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 42L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $h = $xxh.hashLong($mins[$b * $rowsPerBand + $r], $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExprs {
 
   /** Exact integer dot product of two array<long> columns. */
@@ -259,5 +376,14 @@ object VecExprs {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(IntersectCountSorted(GraftSqlBridge.expression(a),
       GraftSqlBridge.expression(b)))
+  }
+
+  /** Banded MinHash band hashes (array<long>, one per band) over a
+    * distinct-shingle array<long> column.
+    */
+  def minhashBands(ss: Column, bands: Int, rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(MinhashBands(GraftSqlBridge.expression(ss),
+      bands, rowsPerBand))
   }
 }

@@ -225,15 +225,18 @@ object Dedup {
   private def bandedSignatures(shingleRows: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     import shingleRows.sparkSession.implicits._
-    val perms = bands * rowsPerBand
-    val mins = (0 until perms).map(p => min(xxhash64(lit(p), $"s64")).as(s"m$p"))
-    val agg = shingleRows.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    agg.select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
-      .select($"doc_id", col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // One native expression (functions.MinhashBands) over the per-doc
+    // sorted set arrays — the SAME cached sets table the exact verify
+    // builds — instead of bands×rowsPerBand separate min(xxhash64)
+    // aggregates. That formulation paid a second full shuffle of the
+    // shingle index beside the sets groupBy; now signatures are map-side
+    // over the shared cache, bit-for-bit identical output (persisted
+    // state interoperates — pinned by DedupSpec's parity test).
+    val sets = cacheIndex(shingleRows.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s64")).as("ss")))
+    sets.select($"doc_id",
+      posexplode(graft.functions.VecExprs.minhashBands(
+        $"ss", bands, rowsPerBand)).as(Seq("band", "bh")))
   }
 
   /** LSH-bucketed near-dup join with exact-Jaccard verification of the

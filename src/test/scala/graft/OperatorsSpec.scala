@@ -121,6 +121,35 @@ class TextDedupSpec extends SparkSpec {
     assert(run("q28_simhash").collect()
       .forall(r => { val s = r.getLong(1); s >= 0 && s < 65536 }))
   }
+
+  test("MinhashBands equals the aggregate minhash formulation bit-for-bit") {
+    // The persisted-state contract: LSH state written by the pre-r10
+    // 64-aggregate formulation must interoperate with signatures computed
+    // by the native expression. Rebuild the old formulation inline and
+    // assert identical (doc_id, band, bh) rows over the real corpus.
+    import spark.implicits._
+    val sh = Dedup.shingleIndex(tables.documents)
+    val (bands, rows) = (16, 4)
+    val mins = (0 until bands * rows).map(p =>
+      min(xxhash64(lit(p), $"s64")).as(s"m$p"))
+    val agg = sh.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val legacy = agg
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bh")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = sh.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"s64")).as("ss"))
+      .select($"doc_id", posexplode(
+        graft.functions.VecExprs.minhashBands($"ss", bands, rows))
+        .as(Seq("band", "bh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == legacy)
+    assert(native.nonEmpty)
+  }
 }
 
 class SamplingSpec extends SparkSpec {
