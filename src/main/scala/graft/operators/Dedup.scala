@@ -200,23 +200,24 @@ object Dedup {
       .filter($"jaccard" >= minJ)
   }
 
-  /** (doc_id, band, bandHash) rows straight off the MinHash aggregate:
-    * one min(xxhash64(p, s)) aggregate per permutation, band hashes as
-    * plain `xxhash64(m_i..m_j)` columns over those aggregate columns.
+  /** (doc_id, band, bandHash) rows from ONE native codegen expression
+    * ([[graft.functions.MinhashBands]]) over the per-doc sorted
+    * shingle-set arrays — the SAME cached sets table the exact verify
+    * builds — bit-for-bit equal to the pre-r10 formulation of
+    * bands×rowsPerBand separate `min(xxhash64(p, s64))` aggregates
+    * followed by `xxhash64(m_i..m_j)` per band (so persisted LSH dedup
+    * state interoperates; DedupSpec's parity test pins it). That
+    * aggregate shape paid a second full shuffle of the shingle index
+    * beside the sets groupBy; this one is map-side over the shared
+    * cache (q27 4.4 → 1.2 s, q77 build 5.5 → 1.0 s at sf0.1).
     *
-    * Why an aggregate over exploded (doc, shingle) rows and not a per-row
-    * nested-transform over a shingle-array column? Catalyst's project
-    * collapsing inlines the shingle-building expression (which contains a
-    * quadratic array_distinct) into every one of the 64 permutation
-    * lambdas, re-evaluating it 64× per row — that shape measured 520+ s
-    * at sf0.1 vs seconds for this aggregate. A hash-aggregate with 64
-    * partial mins is also the right distributed shape: map-side combine
-    * keeps the shuffle at one row per doc.
-    *
-    * Why plain multi-arg xxhash64 for the band hash (and not slicing an
-    * assembled array column)? The slice/concat_ws/transform form ran
-    * interpreted per element and converted every signature long to text:
-    * 8.6 s at sf0.1 vs sub-second for whole-stage-codegen'd long hashing.
+    * Why not a per-row nested-transform over a shingle-array column
+    * built inline? Catalyst's project collapsing inlines the
+    * shingle-building expression (which contains a quadratic
+    * array_distinct) into every one of the 64 permutation lambdas,
+    * re-evaluating it 64× per row — measured 520+ s at sf0.1. The
+    * cached sets table sidesteps that: the array is materialized once,
+    * and the expression loops over it in generated Java.
     *
     * xxhash64 (not md5): signatures only drive candidate generation — the
     * exact-Jaccard verify defines the output — so only within-Spark
