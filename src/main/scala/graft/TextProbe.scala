@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch scale-probe main for the text near-dup family — NOT part of
+  * the driver contract. Replicates [[Bench]]'s semantics (same session
+  * config, same sorted execution order, so intra-family cache sharing
+  * matches the bench capture) restricted to the queries
+  * bench/bench_r10_sf1.json tracks at 1× (sf0.1) and 10× (bench/sf1)
+  * scale. One timing set per JVM run; medians are taken across 3 runs,
+  * as in the r9 probe.
+  *
+  *   SPARK_GRAFT_SF_DIR=bench/sf1 tools/run.sh graft.TextProbe
+  */
+object TextProbe {
+  private val family = Seq(
+    "q26_neardup_jaccard", "q27_neardup_lsh", "q47_simhash_pairs",
+    "q70_source_overlap", "q77_dedup_state_build",
+    "q77_incremental_neardups")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "bench/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Warmup as in Bench: JVM/codegen/scan setup uncounted.
+    try {
+      val t = Tables.load(spark, sfDir)
+      Seq(t.documents, t.embeddings).foreach(_.count())
+    } catch { case _: Throwable => () }
+    family.foreach { name =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"TEXTPROBE dir=$sfDir q=$name sec=$sec%.3f rows=$rows")
+    }
+    spark.stop()
+  }
+}

@@ -171,14 +171,23 @@ object Dedup {
     * intermediate that dominated q26/q27 runtime.
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame,
-      minJ: Double): DataFrame = {
-    import cand.sparkSession.implicits._
-    // Sorted sets + native two-pointer merge (graft.functions
-    // .IntersectCountSorted): array_intersect's per-pair hash set build
-    // was ~100 CPU-s over the sf0.1 candidates.
-    val sets = cacheIndex(sh.groupBy($"doc_id")
+      minJ: Double): DataFrame =
+    verifyJaccardSets(cand, sortedSets(sh), minJ)
+
+  /** The ONE (doc_id, ss) sorted shingle-set formulation — shared by the
+    * exact verify, the MinhashBands signature stage, and the persisted
+    * state builder. A single definition, not three copies: CacheManager
+    * shares cached plans only when they canonicalize identically, so any
+    * drift between the sites (an added distinct, a changed sort) would
+    * silently double-build the table instead of sharing one copy.
+    * Sorted because the native two-pointer intersect
+    * (graft.functions.IntersectCountSorted) requires it — array_intersect's
+    * per-pair hash set build was ~100 CPU-s over the sf0.1 candidates.
+    */
+  private def sortedSets(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    cacheIndex(sh.groupBy($"doc_id")
       .agg(sort_array(collect_list($"s64")).as("ss")))
-    verifyJaccardSets(cand, sets, minJ)
   }
 
   /** As [[verifyJaccard]], but against pre-built (doc_id, ss) sorted
@@ -233,8 +242,7 @@ object Dedup {
     // shingle index beside the sets groupBy; now signatures are map-side
     // over the shared cache, bit-for-bit identical output (persisted
     // state interoperates — pinned by DedupSpec's parity test).
-    val sets = cacheIndex(shingleRows.groupBy($"doc_id")
-      .agg(sort_array(collect_list($"s64")).as("ss")))
+    val sets = sortedSets(shingleRows)
     sets.select($"doc_id",
       posexplode(graft.functions.VecExprs.minhashBands(
         $"ss", bands, rowsPerBand)).as(Seq("band", "bh")))
