@@ -165,10 +165,11 @@ object Similarity {
     * the hash key (rank-K, no global sort); iteration count fixed.
     */
   def cosineTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val cents = trainIvfCentroids(e, nlist, iters)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
     if (cents.isEmpty) {
       // Empty corpus: no centroids to train — return the empty result with
       // the operator's schema instead of failing at construction time.
@@ -188,6 +189,37 @@ object Similarity {
     * collect. All arithmetic is exact-integer, so the index — and the
     * DuckDB oracle replay — is deterministic bit-for-bit.
     */
+  /** Hash cap for `trainFrac` as an exact integer bound on the 32-bit
+    * draw: the training-set membership test is an INTEGER comparison
+    * (detHash32 < frac·2^32), identically replayable in DuckDB, with no
+    * float-threshold edge to drift between engines.
+    */
+  private def trainHashCap(trainFrac: Double): Long =
+    (trainFrac * 4294967296.0).toLong
+
+  /** Train the coarse quantizer on a deterministic hash-derived subsample
+    * of the corpus — the 100 TB index-build shape. Lloyd's cost is
+    * iters × |train| × nlist distance evaluations; at full scale the
+    * corpus-sized factor must be a bounded sample (FAISS trains IVF coarse
+    * quantizers on ~max(10k, 256·nlist) points the same way), while the
+    * one assignment pass over ALL points is inherent to building the
+    * index. Membership = detHash32("ivftrain", vec_id) < trainFrac·2^32:
+    * a pure map-side filter (no rank shuffle), deterministic across
+    * retries and engines. If the sample is empty while the corpus is not
+    * (tiny corpus × tiny fraction), training silently falls back to the
+    * full corpus — the oracle (q80) exercises the non-degenerate regime.
+    */
+  private def trainCentroidsSampled(e: DataFrame, nlist: Int, iters: Int,
+      trainFrac: Double): Seq[(Long, Array[Long])] = {
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      s"trainFrac must be in (0, 1], got $trainFrac")
+    if (trainFrac >= 1.0) return trainIvfCentroids(e, nlist, iters)
+    val sample = e.filter(
+      detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(trainFrac)))
+    val cents = trainIvfCentroids(sample, nlist, iters)
+    if (cents.isEmpty) trainIvfCentroids(e, nlist, iters) else cents
+  }
+
   private def trainIvfCentroids(e: DataFrame, nlist: Int,
       iters: Int): Seq[(Long, Array[Long])] = {
     import e.sparkSession.implicits._
@@ -255,10 +287,10 @@ object Similarity {
     * stored index without touching raw embeddings or re-training.
     */
   def ivfIndex(embeddings: DataFrame, nlist: Int = 16,
-      iters: Int = 2): (DataFrame, DataFrame) = {
+      iters: Int = 2, trainFrac: Double = 1.0): (DataFrame, DataFrame) = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val cents = trainIvfCentroids(e, nlist, iters)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
     val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
     val assigned =
@@ -422,14 +454,24 @@ object Similarity {
     * CTE chains over the unnested (vec_id, i, val) relation.
     */
   private def ivfOracleSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
-      iters: Int): String = {
+      iters: Int, trainFrac: Double = 1.0): String = {
     val seedU = detUniformSql("ivfseed", "vec_id")
+    val sampled = trainFrac < 1.0
+    // Training rows: the SAME integer hash-cap membership test as
+    // trainCentroidsSampled — seeds and Lloyd iterations see only `ut`,
+    // the final assignment (dtF/asgF) sees all of `u`.
+    val trainCtes = if (!sampled) Nil else Seq(
+      s"""tr AS (SELECT vec_id FROM e
+         |  WHERE ${detHash32Sql("ivftrain", "vec_id")} < ${trainHashCap(trainFrac)})""".stripMargin,
+      "ut AS (SELECT u.* FROM u JOIN tr USING (vec_id))")
+    val seedSrc = if (sampled) "tr" else "e"
+    val trainSrc = if (sampled) "ut" else "u"
     def cn(t: Int) =
       s"cn$t AS (SELECT cid, CAST(SUM(cval * cval) AS BIGINT) AS cnsq FROM c$t GROUP BY cid)"
-    def dt(t: Int) =
+    def dt(t: Int, src: String = "u") =
       s"""dt$t AS (
          |  SELECT u.vec_id, c.cid, CAST(SUM(u.val * c.cval) AS BIGINT) AS dot
-         |  FROM u JOIN c$t c ON c.i = u.i GROUP BY 1, 2)""".stripMargin
+         |  FROM $src u JOIN c$t c ON c.i = u.i GROUP BY 1, 2)""".stripMargin
     def asg(t: Int, name: String) =
       s"""$name AS (
          |  SELECT vec_id, cid FROM (
@@ -447,9 +489,11 @@ object Similarity {
          |  FROM asg${t + 1} a JOIN u ON u.vec_id = a.vec_id
          |  GROUP BY a.cid, u.i)""".stripMargin
     val iterCtes = (0 until iters).flatMap { t =>
-      Seq(cn(t), dt(t), asg(t, s"asg${t + 1}"), cNext(t))
+      Seq(cn(t), dt(t, trainSrc), asg(t, s"asg${t + 1}"), cNext(t))
     }
     val f = iters // final centroid table index
+    val trainPrefix =
+      if (sampled) trainCtes.mkString("", ",\n", ",\n") else ""
     s"""WITH e AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
@@ -458,11 +502,11 @@ object Similarity {
        |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
        |n AS (
        |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
-       |seed AS (
+       |${trainPrefix}seed AS (
        |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
        |    SELECT vec_id,
        |      ROW_NUMBER() OVER (ORDER BY $seedU ASC, vec_id ASC) AS rn
-       |    FROM e) WHERE rn <= $nlist),
+       |    FROM $seedSrc) WHERE rn <= $nlist),
        |c0 AS (
        |  SELECT s.cid, u.i, u.val AS cval
        |  FROM seed s JOIN u ON u.vec_id = s.vec_id),
@@ -526,6 +570,12 @@ object Similarity {
       cosineTopKLsh(Tables.load(s, d).embeddings, 20, 3)),
     "q51_cosine_topk_ivf" -> ((s, d) =>
       cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3)),
+    // Sampled-training IVF: Lloyd over the hash-derived half of the
+    // corpus, assignment over all of it — the bounded-training-cost
+    // index build that holds at 100 TB (see trainCentroidsSampled).
+    "q80_cosine_topk_ivf_sampled" -> ((s, d) =>
+      cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3,
+        trainFrac = 0.5)),
     "q59_cosine_neardups" -> ((s, d) =>
       cosineNearDups(Tables.load(s, d).embeddings, 0.35, q59Bands, q59Planes)),
     "q78_cosine_neardups_auto" -> ((s, d) =>
@@ -653,6 +703,8 @@ object Similarity {
     // plan by construction; recall vs brute force is checked in IvfSpec.
     "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2),
+    "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,
+      nlist = 16, nprobe = 4, iters = 2, trainFrac = 0.5),
     "q59_cosine_neardups" ->
       cosineNearDupsOracleSql(q59Bands, q59Planes, "0.35"),
     "q78_cosine_neardups_auto" ->

@@ -28,6 +28,33 @@ class IvfSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == ivf.map(_.toSeq).toSet)
   }
 
+  test("sampled-training IVF: well-formed results, exact cosines, empty-sample fallback") {
+    import spark.implicits._
+    val sampled = Similarity.cosineTopKIvf(tables.embeddings, 10, 3,
+      trainFrac = 0.5).collect()
+    assert(sampled.nonEmpty)
+    // The sample changes only WHICH centroids get trained — scored
+    // cosines still agree exactly with brute force on the same pairs.
+    val brute = Similarity.cosineTopK(tables.embeddings, 10, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sampled.forall { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .forall(_ == r.getDouble(r.fieldIndex("cos")))
+    })
+    // Deterministic across runs: the training set is a pure hash of ids.
+    val again = Similarity.cosineTopKIvf(tables.embeddings, 10, 3,
+      trainFrac = 0.5).collect()
+    assert(again.map(_.toSeq).toSet == sampled.map(_.toSeq).toSet)
+    // A fraction so small the 500-vector sample is empty falls back to
+    // full-corpus training: identical rows to trainFrac = 1.
+    val tiny = Similarity.cosineTopKIvf(tables.embeddings, 10, 3,
+      trainFrac = 1e-9).collect().map(_.toSeq).toSet
+    val full = Similarity.cosineTopKIvf(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(tiny == full)
+  }
+
   test("serving from a stored IVF index matches the one-shot operator") {
     import spark.implicits._
     // Build once, persist as parquet (the serving contract), query many.
