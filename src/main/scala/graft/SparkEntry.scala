@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Sessions.queries ++ Rules.queries ++ Sampling.queries ++
       Similarity.queries ++ UrlOps.queries ++ VectorStats.queries ++
-      Catalog.queries ++ Pairing.queries ++ AsOf.queries ++ Reporting.queries
+      Catalog.queries ++ Pairing.queries ++ AsOf.queries ++
+      Reporting.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
     Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Sessions.oracles ++ Rules.oracles ++ Sampling.oracles ++
       Similarity.oracles ++ UrlOps.oracles ++ VectorStats.oracles ++
-      Catalog.oracles ++ Pairing.oracles ++ AsOf.oracles ++ Reporting.oracles
+      Catalog.oracles ++ Pairing.oracles ++ AsOf.oracles ++
+      Reporting.oracles ++ Skew.oracles
 }

@@ -153,4 +153,49 @@ object Skew {
         .drop("_n", "_chunk", "_i")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Driver bindings: the salted paths hash-compared against the PLAIN
+  // semantics they must equal (the whole point of the rewrite: salting
+  // chooses WHERE work happens, never WHAT the result is).
+  // -------------------------------------------------------------------
+
+  type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Two-phase salted collect_set vs a plain grouped DISTINCT list:
+    // per-salt partials flattened + sorted must equal the one-reducer
+    // answer. Array serialized to CSV like the other array oracles.
+    "q81_salted_collect_set" -> ((s, d) => {
+      val ev = graft.Tables.load(s, d).events
+        .select(col("event_type"), col("user_id"))
+      saltedCollectSet(ev, "event_type", "user_id", 8)
+        .select(col("event_type"),
+          array_join(col("user_id_set").cast("array<string>"), ",")
+            .as("user_ids"))
+    }),
+    // Occurrence-index salted join (the default, no-unique-key path:
+    // full-row collapse + chunked re-expansion) vs the plain equi-join.
+    // lineitem has genuine duplicate (orderkey, quantity) rows, so the
+    // deterministic ordinal machinery is exercised on real collisions.
+    "q82_salted_join" -> ((s, d) => {
+      val t = graft.Tables.load(s, d)
+      val skewed = t.lineitem.select(
+        col("l_orderkey").as("orderkey"), col("l_quantity").as("quantity"))
+      val dim = t.orders.select(
+        col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"))
+      saltedJoin(skewed, dim, "orderkey", 8)
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q81_salted_collect_set" ->
+      """SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_ids
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q82_salted_join" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_quantity AS quantity,
+        |  o.o_custkey AS custkey
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey""".stripMargin
+  )
 }
