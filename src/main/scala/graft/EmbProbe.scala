@@ -35,8 +35,10 @@ object EmbProbe {
     val t0 = System.nanoTime()
     val rows = operators.Similarity.cosineNearDupsAuto(emb, 0.8).count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"EMBPROBE dir=$sfDir n=$n geom=($b,$p) " +
-      f"sec=$sec%.3f rows=$rows")
+    // Locale.ROOT like Bench: comma-decimal locales must not change output.
+    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    println(s"EMBPROBE dir=$sfDir n=$n geom=($b,$p) " +
+      s"sec=${s3(sec)} rows=$rows")
     // Cluster closure at the same geometry: rides the pair/band caches
     // the run above materialized, so this delta isolates closure cost.
     val t1 = System.nanoTime()
@@ -44,7 +46,7 @@ object EmbProbe {
       .cosineNearDupClusters(emb, 0.8, b, p)
       .filter(org.apache.spark.sql.functions.col("keep")).count()
     val csec = (System.nanoTime() - t1) / 1e9
-    println(f"EMBPROBE-CLUSTERS dir=$sfDir n=$n sec=$csec%.3f keep=$kept")
+    println(s"EMBPROBE-CLUSTERS dir=$sfDir n=$n sec=${s3(csec)} keep=$kept")
     spark.stop()
   }
 }

@@ -40,7 +40,9 @@ object TextProbe {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"TEXTPROBE dir=$sfDir q=$name sec=$sec%.3f rows=$rows")
+      // Locale.ROOT like Bench: comma-decimal locales must not change output.
+      val s3 = String.format(java.util.Locale.ROOT, "%.3f", sec)
+      println(s"TEXTPROBE dir=$sfDir q=$name sec=$s3 rows=$rows")
     }
     spark.stop()
   }
