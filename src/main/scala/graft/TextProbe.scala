@@ -13,12 +13,16 @@ import org.apache.spark.sql.SparkSession
   *   SPARK_GRAFT_SF_DIR=bench/sf1 tools/run.sh graft.TextProbe
   */
 object TextProbe {
-  private val family = Seq(
+  private val defaultFamily = Seq(
     "q26_neardup_jaccard", "q27_neardup_lsh", "q47_simhash_pairs",
     "q70_source_overlap", "q77_dedup_state_build",
     "q77_incremental_neardups")
 
   def main(args: Array[String]): Unit = {
+    // Any SparkEntry query names as args override the text family —
+    // the same timing harness serves ad-hoc probes (e.g. the ANN/IVF
+    // family) without another scratch main.
+    val family = if (args.nonEmpty) args.toSeq else defaultFamily
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "bench/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
