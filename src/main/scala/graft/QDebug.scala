@@ -44,7 +44,12 @@ object QDebug {
           Option(starts.remove(je.jobId)).foreach { case (t0, name) =>
             val sec = (System.nanoTime() - t0) / 1e9
             if (sec > 0.2)
-              println(f"  JOB ${je.jobId}%4d ${sec}%7.2f s  $name")
+              // Locale.ROOT like Bench: comma-decimal locales must not
+              // change diagnostic output.
+              println(String.format(java.util.Locale.ROOT,
+                "  JOB %4d %7.2f s  %s",
+                Integer.valueOf(je.jobId), java.lang.Double.valueOf(sec),
+                name))
           }
       })
     try {
@@ -57,7 +62,10 @@ object QDebug {
     args.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"QDEBUG $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      println(String.format(java.util.Locale.ROOT,
+        "QDEBUG %-30s %8.3f s  rows=%d",
+        name, java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
+        java.lang.Long.valueOf(n)))
     }
     spark.stop()
   }
