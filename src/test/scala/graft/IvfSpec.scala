@@ -69,5 +69,18 @@ class IvfSpec extends SparkSpec {
     val oneShot = Similarity.cosineTopKIvf(tables.embeddings, 10, 3)
       .collect().map(_.toSeq).toSet
     assert(served == oneShot && served.nonEmpty)
+    // The serving split composes with sampled training the same way:
+    // an index built at trainFrac serves the one-shot sampled answer.
+    val (cs, as) = Similarity.ivfIndex(tables.embeddings, trainFrac = 0.5)
+    cs.write.parquet(s"$dir/cents_s")
+    as.write.parquet(s"$dir/assigned_s")
+    val servedS = Similarity.cosineTopKIvfFromIndex(
+        spark.read.parquet(s"$dir/cents_s"),
+        spark.read.parquet(s"$dir/assigned_s"),
+        tables.embeddings.filter($"vec_id" < 10), 3)
+      .collect().map(_.toSeq).toSet
+    val oneShotS = Similarity.cosineTopKIvf(tables.embeddings, 10, 3,
+      trainFrac = 0.5).collect().map(_.toSeq).toSet
+    assert(servedS == oneShotS && servedS.nonEmpty)
   }
 }
