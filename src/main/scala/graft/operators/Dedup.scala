@@ -486,6 +486,32 @@ object Dedup {
       registry)
   }
 
+  /** Leakage-safe train/val/test split: membership is a pure function of
+    * the near-dup CLUSTER label, not the document id, so near-duplicates
+    * can never straddle train and test — the per-document hash split
+    * (q62) leaks mutated copies of training documents into the test set,
+    * which near-dup clustering exists to catch. Same "split" tag and
+    * 0.8/0.9 thresholds as [[Sampling.splitCensus]], and a singleton's
+    * cluster label IS its doc_id — so un-duplicated documents keep
+    * exactly the split the per-document operator would give them; only
+    * clustered documents get coalesced (to the split of their minimum
+    * member).
+    *
+    * Scale shape: the cluster step is [[nearDupClusters]] (banded index,
+    * bounded closure — identical plan, so a session that already queried
+    * clusters shares the cached labels); the split itself is one
+    * map-side hash, no extra shuffle.
+    */
+  def leakageSafeSplit(docs: DataFrame, minJ: Double,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    import docs.sparkSession.implicits._
+    val u = detUniform("split", $"cluster_id")
+    nearDupClusters(docs, minJ, maxDf = maxDf)
+      .select($"doc_id", $"cluster_id")
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+  }
+
   /** Benchmark decontamination — the standard training-data hygiene pass:
     * for every training document, the number of 3-gram shingles it shares
     * with ANY document of the held-out source, and a contamination flag at
@@ -629,7 +655,11 @@ object Dedup {
     "q64_decontaminate" -> ((s, d) =>
       decontaminate(Tables.load(s, d).documents, "src0", 5)),
     "q67_neardup_clusters" -> ((s, d) =>
-      nearDupClusters(Tables.load(s, d).documents, 0.6))
+      nearDupClusters(Tables.load(s, d).documents, 0.6)),
+    // Same minJ as q67 ON PURPOSE: the cluster plan is identical, so in
+    // a shared session the split rides q67's cached labels and pair set.
+    "q83_leakage_safe_split" -> ((s, d) =>
+      leakageSafeSplit(Tables.load(s, d).documents, 0.6))
   )
 
   private[operators] val shingleCte =
@@ -683,6 +713,32 @@ object Dedup {
        |JOIN sizes na ON doc_a = na.doc_id
        |JOIN sizes nb ON doc_b = nb.doc_id
        |WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= CAST($minJ AS DOUBLE)""".stripMargin
+
+  /** Shared CTE chain ending in lbl(doc_id, cluster_id): the near-dup
+    * pair graph at minJ=0.6 / the default stop-shingle cut (mirroring
+    * [[nearDupClusters]]' defaults), transitively closed by recursive
+    * CTE with min-reachable label per node — the oracle core of q67 and
+    * q83.
+    */
+  private def clusterLblCte: String =
+    s"""${shingleCteCut(defaultMaxDf)
+           .replaceFirst("WITH tok", "WITH RECURSIVE tok")},
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS j
+       |  FROM inter
+       |  JOIN sizes na ON doc_a = na.doc_id
+       |  JOIN sizes nb ON doc_b = nb.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE j >= CAST(0.6 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs WHERE j >= CAST(0.6 AS DOUBLE)),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS peer FROM documents
+       |  UNION
+       |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+       |lbl AS (SELECT node AS doc_id, MIN(peer) AS cluster_id
+       |        FROM reach GROUP BY node)""".stripMargin
 
   /** Shared CTE chain ending in sig(doc_id, simhash), mirroring
     * [[simhashes]] (shingle features, md5-derived bit hashes).
@@ -770,29 +826,23 @@ object Dedup {
     // set — tiny at oracle scale), then min-reachable label per node.
     // Same stop-shingle cut as q26 — mirrors nearDupClusters' default.
     "q67_neardup_clusters" ->
-      s"""${shingleCteCut(defaultMaxDf)
-             .replaceFirst("WITH tok", "WITH RECURSIVE tok")},
-         |pairs AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(c AS DOUBLE) / (na.n + nb.n - c) AS j
-         |  FROM inter
-         |  JOIN sizes na ON doc_a = na.doc_id
-         |  JOIN sizes nb ON doc_b = nb.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE j >= CAST(0.6 AS DOUBLE)
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs WHERE j >= CAST(0.6 AS DOUBLE)),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS peer FROM documents
-         |  UNION
-         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
-         |lbl AS (SELECT node AS doc_id, MIN(peer) AS cluster_id
-         |        FROM reach GROUP BY node),
+      s"""$clusterLblCte,
          |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |       FROM lbl GROUP BY cluster_id)
          |SELECT l.doc_id, l.cluster_id, sz.cluster_size,
          |  l.doc_id = l.cluster_id AS keep
          |FROM lbl l JOIN sz USING (cluster_id)""".stripMargin,
+    // The same lbl closure, split-assigned on the CLUSTER label with the
+    // identical detUniform("split", ·) draw q62 uses per-document.
+    "q83_leakage_safe_split" -> {
+      val u = detUniformSql("split", "cluster_id")
+      s"""$clusterLblCte
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN $u < CAST(0.8 AS DOUBLE) THEN 'train'
+         |       WHEN $u < CAST(0.9 AS DOUBLE) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lbl""".stripMargin
+    },
     "q64_decontaminate" ->
       s"""$shingleCte,
          |ev AS (

@@ -239,6 +239,43 @@ class SessionsSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: near-dup pairs never straddle splits; singletons match q62") {
+    import spark.implicits._
+    val docs = tables.documents
+    val split = operators.Dedup.leakageSafeSplit(docs, 0.6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size == docs.count())
+    // The leakage guarantee: every near-dup pair lands in ONE split.
+    operators.Dedup.jaccardNearDups(docs, 0.6)
+      .select($"doc_a", $"doc_b").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles splits")
+      }
+    // Clusters do get coalesced: at least one doc's cluster-keyed split
+    // exists, and the split is a function of the cluster label.
+    split.values.groupBy(_._1).foreach { case (_, members) =>
+      assert(members.map(_._2).toSet.size == 1)
+    }
+    // A singleton's cluster label is its own doc_id, so it gets exactly
+    // the split the per-document operator (q62's detUniform("split", ·))
+    // assigns.
+    val singletons = split.filter { case (id, (label, _)) => id == label }
+    assert(singletons.nonEmpty)
+    val perDoc = docs.select($"doc_id",
+        when(graft.functions.Fp.detUniform("split", $"doc_id") < 0.8, "train")
+          .when(graft.functions.Fp.detUniform("split", $"doc_id") < 0.9, "val")
+          .otherwise("test").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Only true singletons (label == own id AND cluster of size 1) must
+    // match; a min-member of a larger cluster also has label == id but
+    // its split is still keyed on the same value, so equality holds for
+    // all label==id docs by construction.
+    singletons.foreach { case (id, (_, s)) =>
+      assert(perDoc(id) == s, s"singleton $id split drifted from q62's")
+    }
+  }
+
   test("distributed cluster fixpoint matches the union-find fast path") {
     // Force the distributed min-label propagation branch (the 100 TB
     // path, otherwise unreachable at test scale) and require identical
