@@ -259,6 +259,42 @@ object Sampling {
       .filter($"cum_before" < budget)
   }
 
+  /** Sequence packing: assign every document to a fixed-budget pack —
+    * the batch-construction step that turns a curated corpus into
+    * training sequences. Documents are ordered by a stable hash draw
+    * (same doctrine as [[tokenBudgetMixture]]: reruns pack identically,
+    * corpus growth only perturbs packs after the insertion point) and
+    * chunked by cumulative size: pack = cum_chars_before div budget, so
+    * each pack's payload is ≤ budget plus at most one document's
+    * overflow — the standard streaming-greedy approximation of bin
+    * packing, expressible as one window.
+    *
+    * Scale shape: a GLOBAL running sum would serialize on one task (the
+    * WindowExec all-to-one-partition trap), so packing is bucketed: a
+    * deterministic hash of doc_id scatters documents over `nBuckets`
+    * independent packing streams, the window partitions by bucket, and
+    * parallelism = nBuckets (set it to the cluster's task budget at
+    * scale; packs are (bucket, pack) pairs, never global ordinals).
+    */
+  def packDocuments(docs: DataFrame, budget: Long,
+      nBuckets: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = Window.partitionBy($"bucket")
+      .orderBy(detUniform("pack", $"doc_id").asc, $"doc_id".asc)
+    docs.select($"doc_id", $"n_chars")
+      // detHash32 is in [0, 2^32): plain mod IS pmod, in both engines.
+      .withColumn("bucket",
+        pmod(detHash32("packb", $"doc_id"), lit(nBuckets.toLong)))
+      .withColumn("cum_before",
+        coalesce(sum($"n_chars").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // Integer div, not floor(double /): exact at any cumulative size.
+      .withColumn("pack", expr(s"cum_before div ${budget}L"))
+      .select($"doc_id", $"bucket", $"pack")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -275,10 +311,25 @@ object Sampling {
       deterministicShuffle(Tables.load(s, d).documents)),
     "q62_split_census" -> ((s, d) => splitCensus(Tables.load(s, d).documents)),
     "q66_token_budget_mixture" -> ((s, d) =>
-      tokenBudgetMixture(Tables.load(s, d).documents, 3000))
+      tokenBudgetMixture(Tables.load(s, d).documents, 3000)),
+    // Budget ~4 documents' chars, 8 buckets: multiple packs per bucket
+    // at verify scale, so the chunking arithmetic is actually exercised.
+    "q84_doc_packing" -> ((s, d) =>
+      packDocuments(Tables.load(s, d).documents, 2000, nBuckets = 8))
   )
 
   def oracles: Map[String, String] = Map(
+    "q84_doc_packing" -> {
+      val u = detUniformSql("pack", "doc_id")
+      val b = s"(${detHash32Sql("packb", "doc_id")} % 8)"
+      s"""SELECT doc_id, bucket, cum_before // 2000 AS pack FROM (
+         |  SELECT doc_id, $b AS bucket,
+         |    CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY $b
+         |      ORDER BY $u ASC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM documents)""".stripMargin
+    },
     "q66_token_budget_mixture" -> {
       val u = detUniformSql("mix", "doc_id")
       s"""SELECT doc_id, source, n_chars, cum_before FROM (

@@ -184,6 +184,38 @@ class SamplingSpec extends SparkSpec {
     assert(run("q35_hierarchical_sample").collect()
       .forall(r => valid(r.getString(1)).contains(r.getString(2))))
   }
+
+  test("doc packing: every doc packed once, packs bounded, repartition-invariant") {
+    import spark.implicits._
+    val budget = 2000L
+    val docs = tables.documents
+    val packed = Sampling.packDocuments(docs, budget, nBuckets = 8)
+    val rows = packed.join(docs.select($"doc_id", $"n_chars"), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("bucket")),
+        r.getLong(r.fieldIndex("pack")), r.getLong(r.fieldIndex("n_chars"))))
+    // One assignment per document.
+    assert(rows.length == docs.count() && rows.map(_._1).distinct.length == rows.length)
+    val byPack = rows.groupBy(r => (r._2, r._3))
+    assert(byPack.size > 8, "budget should force multiple packs per bucket")
+    byPack.foreach { case ((b, p), members) =>
+      // Chunking bound: a pack's payload is < budget + its largest member
+      // (the cum-div rule admits at most one overflowing document).
+      val total = members.map(_._4).sum
+      assert(total < budget + members.map(_._4).max,
+        s"pack ($b,$p) holds $total chars")
+    }
+    // Pack ids are contiguous 0..max within each bucket.
+    byPack.keys.groupBy(_._1).foreach { case (_, ps) =>
+      val ids = ps.map(_._2).toSeq.sorted
+      assert(ids == (0L to ids.max))
+    }
+    // Doctrine: assignment is a pure function of the data, not of input
+    // partitioning.
+    val again = Sampling.packDocuments(docs.repartition(7), budget, 8)
+      .collect().map(_.toSeq).toSet
+    assert(again == packed.collect().map(_.toSeq).toSet)
+  }
 }
 
 class SessionsSimilaritySpec extends SparkSpec {
