@@ -295,6 +295,74 @@ object Sampling {
       .select($"doc_id", $"bucket", $"pack")
   }
 
+  /** Temperature-scaled source mixing at α = 0.5 — the multilingual /
+    * multi-source rebalancing step (the p_s ∝ mass_s^α schedule of
+    * XLM-R/mT5): low-resource sources are upsampled relative to their
+    * natural share, high-resource sources downsampled, and α = 0.5 is the
+    * standard setting — also the only exponent with a cross-engine-exact
+    * implementation, since IEEE sqrt is correctly rounded everywhere
+    * while pow/exp/ln are not. Weights are quantized to 1e-6 fixed point
+    * before normalization so the per-source quota is a deterministic
+    * integer in any engine.
+    *
+    * Each source's quota is floor(budget · w_s/Σw), filled by the first
+    * quota documents under the hash-draw order — the same stateless draw
+    * as every sampler here, so reruns, retries, and the oracle agree.
+    *
+    * Scale shape: the weight table is one row per source (broadcast
+    * back); quota fill is rank-within-source — one shuffle on source,
+    * the same R4-quota window shape as q31. A severely skewed source
+    * histogram would funnel the dominant source through one task; that
+    * is the regime [[Skew.saltedJoin]]'s two-phase trick covers, and at
+    * α = 0.5 the dominant source's QUOTA is already sublinear in its
+    * mass, so the selected output cannot be source-skewed even when the
+    * input is.
+    */
+  def temperatureSample(docs: DataFrame, budget: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    // One row per source: the all-to-one window normalization is over
+    // the tiny aggregate, never the corpus.
+    val quotas = docs.groupBy($"source")
+      .agg(sum($"n_chars").as("mass"))
+      .withColumn("wgt", floor(sqrt($"mass".cast("double")) * 1e6).cast("long"))
+      .withColumn("n_take",
+        floor(lit(budget.toDouble) *
+          ($"wgt".cast("double") /
+            sum($"wgt").over(Window.partitionBy()).cast("double")))
+          .cast("long"))
+      .select($"source", $"n_take")
+    val w = Window.partitionBy($"source")
+      .orderBy(detUniform("temp", $"doc_id").asc, $"doc_id".asc)
+    docs.select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter($"rk" <= $"n_take")
+      .select($"doc_id", $"source", $"rk")
+  }
+
+  def temperatureSampleSql(budget: Long): String = {
+    val u = detUniformSql("temp", "doc_id")
+    s"""WITH m AS (
+       |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source,
+       |    CAST(FLOOR(SQRT(CAST(mass AS DOUBLE)) * 1000000.0) AS BIGINT) AS wgt
+       |  FROM m),
+       |n AS (
+       |  SELECT source, CAST(FLOOR($budget.0 * (CAST(wgt AS DOUBLE)
+       |    / CAST(CAST(SUM(wgt) OVER () AS BIGINT) AS DOUBLE))) AS BIGINT) AS n_take
+       |  FROM w),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY $u ASC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.doc_id, r.source, r.rk
+       |FROM r JOIN n USING (source) WHERE rk <= n_take""".stripMargin
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -315,10 +383,15 @@ object Sampling {
     // Budget ~4 documents' chars, 8 buckets: multiple packs per bucket
     // at verify scale, so the chunking arithmetic is actually exercised.
     "q84_doc_packing" -> ((s, d) =>
-      packDocuments(Tables.load(s, d).documents, 2000, nBuckets = 8))
+      packDocuments(Tables.load(s, d).documents, 2000, nBuckets = 8)),
+    // Budget 300 of 500 docs: every source's quota binds (uniform doc
+    // counts but varying char mass, so quotas differ source-to-source).
+    "q86_temperature_mix" -> ((s, d) =>
+      temperatureSample(Tables.load(s, d).documents, 300))
   )
 
   def oracles: Map[String, String] = Map(
+    "q86_temperature_mix" -> temperatureSampleSql(300),
     "q84_doc_packing" -> {
       val u = detUniformSql("pack", "doc_id")
       val b = s"(${detHash32Sql("packb", "doc_id")} % 8)"

@@ -296,6 +296,50 @@ object TextAnalysis {
         when($"doc_id" % 7 === 0, lit("call 555-123-4567"))).as("text"))
   }
 
+  /** Token-window chunking with overlap — the unit-of-embedding step that
+    * turns curated documents into fixed-size passages (RAG indexing,
+    * embedding-model input, long-context splitting). Chunk i covers
+    * tokens [i·stride, i·stride + window); stride < window yields
+    * overlapping chunks so no span longer than (window − stride) tokens
+    * is ever split across a chunk boundary without also appearing whole
+    * in one chunk.
+    *
+    * Scale shape: one generator (explode over the start sequence) fused
+    * into the scan stage — zero shuffle, whole-stage codegen, output
+    * volume a fixed window/stride multiple of input. The start sequence
+    * is ≤ n_tokens/stride elements, so the transient array is bounded by
+    * the document's own token count; no document ever materializes more
+    * than its own chunks on one task.
+    */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    docs
+      .select($"doc_id", tokens($"text").as("toks"))
+      // sequence(0, n-1) needs n >= 1: a start above the stop with the
+      // positive step would throw, so empty documents yield no chunks.
+      .filter(size($"toks") >= 1)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), (size($"toks") - 1).cast("long"),
+          lit(stride.toLong))).as("s"))
+      .select($"doc_id",
+        expr(s"s div ${stride}L").as("chunk_id"),
+        array_join(slice($"toks", ($"s" + 1L).cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  def chunkDocsSql(window: Int, stride: Int): String =
+    // toks[a:b] is 1-based inclusive and clamps at the list end — the
+    // same semantics as Spark's slice(toks, a, window) for a tail chunk.
+    s"""SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_id,
+       |  array_to_string(toks[CAST(s + 1 AS INT):CAST(s + $window AS INT)], ' ') AS chunk_text
+       |FROM (SELECT doc_id, toks, UNNEST(range(0, len(toks), $stride)) AS s
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents)
+       |      WHERE len(toks) >= 1)""".stripMargin
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -307,10 +351,15 @@ object TextAnalysis {
     "q61_top_terms" -> ((s, d) => topTerms(Tables.load(s, d).documents, 3)),
     "q63_bpe_tokens" -> ((s, d) => bpeTokenStats(Tables.load(s, d).documents)),
     "q65_repetition" -> ((s, d) => repetitionStats(Tables.load(s, d).documents)),
-    "q75_pii_scan" -> ((s, d) => piiScan(piiSeeded(Tables.load(s, d).documents)))
+    "q75_pii_scan" -> ((s, d) => piiScan(piiSeeded(Tables.load(s, d).documents))),
+    // window 32 / stride 24: multi-chunk docs at verify scale with short
+    // clamped tail chunks, so both the overlap and the clamp are exercised.
+    "q85_doc_chunks" -> ((s, d) =>
+      chunkDocs(Tables.load(s, d).documents, window = 32, stride = 24))
   )
 
   def oracles: Map[String, String] = Map(
+    "q85_doc_chunks" -> chunkDocsSql(window = 32, stride = 24),
     "q20_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -216,6 +216,71 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again == packed.collect().map(_.toSeq).toSet)
   }
+
+  test("temperature mix: quotas track sqrt-mass, fill is exact and repartition-invariant") {
+    import spark.implicits._
+    val docs = tables.documents
+    val n = docs.count()
+    val budget = n / 2
+    val taken = Sampling.temperatureSample(docs, budget)
+    val rows = taken.collect()
+    // Budget respected; floor loses < 1 doc per source.
+    val nSources = docs.select($"source").distinct().count()
+    assert(rows.length <= budget && rows.length >= budget - nSources)
+    // No document sampled twice; ranks are a contiguous 1..quota prefix.
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val rks = rs.map(_.getLong(2)).sorted
+      assert(rks.toSeq == (1L to rks.last))
+    }
+    // α = 0.5 flattens the mixture: realized per-source takes must be
+    // monotone in source char mass (the quota is sqrt-mass-proportional,
+    // and every quota binds at budget = n/2 in this corpus).
+    val mass = docs.groupBy($"source").agg(sum($"n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val takes = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val bySrc = mass.toSeq.sortBy(_._2).map { case (s, _) => takes.getOrElse(s, 0) }
+    assert(bySrc.zip(bySrc.tail).forall { case (a, b) => a <= b })
+    val again = Sampling.temperatureSample(docs.repartition(5), budget)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+}
+
+class ChunkingSpec extends SparkSpec {
+  import operators.TextAnalysis
+
+  test("chunking: counts, overlap, clamped tails, and lossless reconstruction") {
+    import spark.implicits._
+    val (win, stride) = (32, 24)
+    val docs = tables.documents
+    val chunks = TextAnalysis.chunkDocs(docs, win, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val toks = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val t = toks(id)
+      val byId = cs.sortBy(_._2)
+      // ceil(n / stride) chunks, ids contiguous from 0.
+      assert(byId.map(_._2).toSeq == (0L until ((t.length - 1) / stride + 1)))
+      byId.foreach { case (_, i, text) =>
+        // Chunk i is exactly tokens [i*stride, i*stride + win), clamped.
+        val want = t.slice(i.toInt * stride, i.toInt * stride + win)
+        assert(text == want.mkString(" "))
+      }
+      // Reconstruction: each chunk's first `stride` tokens, concatenated,
+      // plus the last chunk's overhang, is the whole document — so no
+      // token is lost and overlap is exactly win - stride.
+      val rebuilt = byId.flatMap { case (_, i, text) =>
+        val ts = text.split(" ", -1).toSeq
+        if (i == byId.last._2) ts else ts.take(stride)
+      }
+      assert(rebuilt.toSeq == t)
+    }
+    // Multi-chunk docs exist at this SF (longest docs exceed one window).
+    assert(chunks.groupBy(_._1).exists(_._2.length > 1))
+  }
 }
 
 class SessionsSimilaritySpec extends SparkSpec {
