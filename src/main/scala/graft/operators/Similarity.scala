@@ -323,6 +323,171 @@ object Similarity {
     probeAndScore(assigned, q, cents, k, nprobe)
   }
 
+  /** Product-quantization ADC cosine top-k — the compressed-residency ANN
+    * path. The corpus vector is split into `m` subspaces; each subspace
+    * gets its own `ksub`-centroid codebook (the SAME exact-integer Lloyd
+    * as [[cosineTopKIvf]], run per subspace), and every vector is encoded
+    * as m small codes. Serving is asymmetric distance computation: the
+    * query stays full-precision, a per-query lookup table of
+    * <query-subvector, codebook-centroid> dots is built once (m×ksub
+    * integer dots on the QUERY side only), and a corpus row's approximate
+    * dot is m map lookups — no per-pair d-dim arithmetic at all.
+    *
+    * Why this is the 100 TB shape: a 64-dim float embedding is 256 B; the
+    * m=4/ksub≤256 code is 4 B — a 64× compression, which is the difference
+    * between an ANN index that fits executor memory and one that
+    * re-reads parquet per query batch (FAISS IVF-PQ stores exactly these
+    * codes). The scan side is embarrassingly parallel over codes with the
+    * query LUTs broadcast; nothing shuffles.
+    *
+    * Approximate cosine = adot / (‖q‖ · ‖x̂‖) with x̂ the reconstruction
+    * (per-subspace centroid): both numerator and ‖x̂‖² are exact integer
+    * sums over codebook entries, so the whole result — codebooks, codes,
+    * scores — is bit-deterministic and carries a DuckDB oracle
+    * ([[pqOracleSql]]) like the rest of the ANN family.
+    */
+  def cosineTopKPq(embeddings: DataFrame, nQueries: Int, k: Int,
+      m: Int = 4, ksub: Int = 8, iters: Int = 2, dims: Int = 64): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val books = pqTrain(e, m, ksub, iters, dims)
+    if (books.exists(_.isEmpty))
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val corpus = pqEncode(e, books, dims)
+    pqScore(corpus, e.filter($"vec_id" < nQueries), books, k, dims)
+  }
+
+  /** Per-subspace codebooks: the shared integer-Lloyd trainer over the
+    * sliced subvectors. Seeds rank on detUniform("ivfseed", vec_id) —
+    * vec_id only — so all m subspaces train from the same seed ROWS
+    * (one seed CTE in the oracle), while iterating independently.
+    */
+  private def pqTrain(e: DataFrame, m: Int, ksub: Int, iters: Int,
+      dims: Int): Seq[Seq[(Long, Array[Long])]] = {
+    import e.sparkSession.implicits._
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val len = dims / m
+    (0 until m).map { s =>
+      val sub = e.select($"vec_id", slice($"v", s * len + 1, len).as("v"))
+        .withColumn("nsq", normSqQ($"v"))
+      trainIvfCentroids(sub, ksub, iters)
+    }
+  }
+
+  /** Lloyd can leave a centroid empty (its cid then has no row in the
+    * update aggregate), so cids are not guaranteed contiguous — look up
+    * by MAP key, never by array position.
+    */
+  private def cnsqMap(cs: Seq[(Long, Array[Long])]): Map[Long, Long] =
+    cs.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
+
+  /** Encoder: argmin over (cnsq − 2·dot, cid) — the squared-L2 argmin
+    * with the row-constant ‖sub‖² term dropped (it cannot change the
+    * winner or the tiebreak); same array_min-over-structs shape as
+    * [[assignExpr]].
+    */
+  private def pqEncodeSub(subv: Column,
+      cs: Seq[(Long, Array[Long])]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val nsqs = cnsqMap(cs)
+    array_min(array(cs.map { case (cid, cv) =>
+      struct((lit(nsqs(cid)) - lit(2L) * dotQ(subv, typedlit(cv.toSeq)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+  }
+
+  /** Corpus → (vec_id, c0..c_{m-1}, rnsq): the compressed rows the scan
+    * side touches. rnsq = ‖reconstruction‖² (integer, from codebook
+    * norms) — stored with the codes so serving never reopens vectors.
+    */
+  private def pqEncode(e: DataFrame, books: Seq[Seq[(Long, Array[Long])]],
+      dims: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val m = books.size
+    val len = dims / m
+    val codeCols = (0 until m).map(s =>
+      pqEncodeSub(slice($"v", s * len + 1, len), books(s)).as(s"c$s"))
+    val rnsq = (0 until m).map(s =>
+      element_at(typedlit(cnsqMap(books(s))), col(s"c$s"))).reduce(_ + _)
+    e.select(($"vec_id" +: codeCols): _*).withColumn("rnsq", rnsq)
+  }
+
+  /** ADC scoring: per-query LUTs map cid → <q_sub, centroid> (integer;
+    * m×ksub dots evaluated on the query rows — the entire full-precision
+    * work), broadcast against the code rows; a corpus row costs m map
+    * lookups.
+    */
+  private def pqScore(corpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[(Long, Array[Long])]], k: Int, dims: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val m = books.size
+    val len = dims / m
+    def lut(qsub: Column, cs: Seq[(Long, Array[Long])]): Column =
+      map_from_arrays(typedlit(cs.map(_._1)),
+        array(cs.map { case (_, cv) => dotQ(qsub, typedlit(cv.toSeq)) }: _*))
+    val qq = queries
+      .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
+        (0 until m).map(s => lut(slice($"v", s * len + 1, len), books(s))
+          .as(s"lut$s"))): _*)
+    val adot = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
+    val scored = corpus.join(broadcast(qq), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (adot.cast("double") / sqrt($"qnsq".cast("double")) /
+          sqrt($"rnsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  /** Build the PQ index persistably: codebooks as rows (s, cid, cv) and
+    * the corpus as compressed code rows (vec_id, c0.., rnsq) — both plain
+    * parquet. This is the residency story at 100 TB: the code table is
+    * ~64× smaller than the raw embeddings (4 bytes of codes vs 256 bytes
+    * of floats at 64 dims), so the SERVING working set fits where the
+    * corpus never could; raw vectors are only read at build time.
+    */
+  def pqIndex(embeddings: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, dims: Int = 64): (DataFrame, DataFrame) = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val books = pqTrain(e, m, ksub, iters, dims)
+    val bookDf = books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.map { case (cid, cv) => (s, cid, cv.toSeq) }
+    }.toDF("s", "cid", "cv")
+    val codes =
+      if (books.exists(_.isEmpty))
+        pqEncode(e, Seq.fill(books.size)(Seq((0L, Array(0L)))), dims)
+          .filter(lit(false))
+      else pqEncode(e, books, dims)
+    (bookDf, codes)
+  }
+
+  /** Serve cosine top-k from a stored [[pqIndex]]: the ≤m×ksub codebook
+    * rows collect to the driver (same driver-literal shape as training)
+    * and scoring proceeds exactly as in [[cosineTopKPq]] — with identical
+    * index parameters the results match the one-shot operator's.
+    */
+  def cosineTopKPqFromIndex(codebooks: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, dims: Int = 64): DataFrame = {
+    import queries.sparkSession.implicits._
+    val books = codebooks.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1).toSeq }
+    val q = queries
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (books.isEmpty || books.exists(_.isEmpty))
+      return q.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    pqScore(codes, q, books, k, dims)
+  }
+
   /** Per-vector banded hyperplane signatures as an array of per-band
     * buckets: element b packs the sign bits of planesPerBand hyperplane
     * dots (global plane index b·P+p, so band 0 with P planes equals
@@ -544,6 +709,96 @@ object Similarity {
        |  FROM cosv) WHERE rk <= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[cosineTopKPq]]: the per-subspace Lloyd chains
+    * unrolled like [[ivfOracleSql]], then ADC scoring as joins of the
+    * corpus code table against per-query per-subspace dot tables. One
+    * shared seed CTE (seeds rank on vec_id's hash only); training
+    * assignment orders by (cnsq − 2·dot, cid) — the same argmin as the
+    * full squared-L2 because the per-vector norm term is rank-constant.
+    */
+  private def pqOracleSql(nQueries: Int, k: Int, m: Int, ksub: Int,
+      iters: Int, dims: Int): String = {
+    val len = dims / m
+    val seedU = detUniformSql("ivfseed", "vec_id")
+    def sub(s: Int): Seq[String] = {
+      val off = s * len
+      def cn(t: Int) =
+        s"cn${s}_$t AS (SELECT cid, CAST(SUM(cval * cval) AS BIGINT) AS cnsq FROM c${s}_$t GROUP BY cid)"
+      def dt(t: Int) =
+        s"""dt${s}_$t AS (
+           |  SELECT u.vec_id, c.cid, CAST(SUM(u.val * c.cval) AS BIGINT) AS dot
+           |  FROM u$s u JOIN c${s}_$t c ON c.i = u.i GROUP BY 1, 2)""".stripMargin
+      def asg(t: Int, name: String) =
+        s"""$name AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT d.vec_id, d.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+           |        ORDER BY (cn.cnsq - 2 * d.dot) ASC, d.cid ASC) AS arn
+           |    FROM dt${s}_$t d JOIN cn${s}_$t cn ON cn.cid = d.cid)
+           |  WHERE arn = 1)""".stripMargin
+      def cNext(t: Int) =
+        s"""c${s}_${t + 1} AS (
+           |  SELECT a.cid, u.i,
+           |    CAST(FLOOR(CAST(SUM(u.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
+           |  FROM asg${s}_${t + 1} a JOIN u$s u ON u.vec_id = a.vec_id
+           |  GROUP BY a.cid, u.i)""".stripMargin
+      val head = Seq(
+        s"u$s AS (SELECT vec_id, val, i - $off AS i FROM u WHERE i > $off AND i <= ${off + len})",
+        s"""c${s}_0 AS (
+           |  SELECT sd.cid, u.i, u.val AS cval
+           |  FROM seed sd JOIN u$s u ON u.vec_id = sd.vec_id)""".stripMargin)
+      val its = (0 until iters).flatMap(t =>
+        Seq(cn(t), dt(t), asg(t, s"asg${s}_${t + 1}"), cNext(t)))
+      val f = iters
+      head ++ its ++ Seq(cn(f), dt(f), asg(f, s"asgF$s"))
+    }
+    val codeJoin = (1 until m).map(s =>
+      s"JOIN asgF$s a$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"a$s.cid AS c$s").mkString(", ")
+    val qdCtes = (0 until m).map(s =>
+      s"qd$s AS (SELECT vec_id AS qid, cid, dot FROM dt${s}_$iters WHERE vec_id < $nQueries)")
+    val dJoins = (1 until m).map(s =>
+      s"JOIN qd$s d$s ON d$s.qid = d0.qid AND d$s.cid = x.c$s").mkString("\n  ")
+    val rJoins = (0 until m).map(s =>
+      s"JOIN cn${s}_$iters r$s ON r$s.cid = x.c$s").mkString("\n  ")
+    val adot = (0 until m).map(s => s"d$s.dot").mkString(" + ")
+    val rn = (0 until m).map(s => s"r$s.cnsq").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e),
+       |n AS (
+       |  SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS nsq FROM u GROUP BY vec_id),
+       |seed AS (
+       |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+       |    SELECT vec_id,
+       |      ROW_NUMBER() OVER (ORDER BY $seedU ASC, vec_id ASC) AS rn
+       |    FROM e) WHERE rn <= $ksub),
+       |${(0 until m).flatMap(sub).mkString(",\n")},
+       |${qdCtes.mkString(",\n")},
+       |codes AS (
+       |  SELECT a0.vec_id, $codeCols
+       |  FROM asgF0 a0 $codeJoin),
+       |scored AS (
+       |  SELECT d0.qid, x.vec_id AS nid,
+       |    CAST(($adot) AS DOUBLE)
+       |      / sqrt(CAST(qn.nsq AS DOUBLE))
+       |      / sqrt(CAST(($rn) AS DOUBLE)) AS cos
+       |  FROM codes x
+       |  JOIN qd0 d0 ON d0.cid = x.c0
+       |  $dJoins
+       |  $rJoins
+       |  JOIN n qn ON qn.vec_id = d0.qid
+       |  WHERE x.vec_id <> d0.qid)
+       |SELECT qid, nid, cos, rk FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $k""".stripMargin
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q59's pinned LSH geometry = [[lshParams]] at the verify-corpus scale
@@ -576,6 +831,10 @@ object Similarity {
     "q80_cosine_topk_ivf_sampled" -> ((s, d) =>
       cosineTopKIvf(Tables.load(s, d).embeddings, 10, 3,
         trainFrac = 0.5)),
+    // PQ ADC: the compressed-codes serving path — full-precision work is
+    // m×ksub dots on the query side; the corpus scan touches 4-byte codes.
+    "q87_cosine_topk_pq" -> ((s, d) =>
+      cosineTopKPq(Tables.load(s, d).embeddings, 10, 3)),
     "q59_cosine_neardups" -> ((s, d) =>
       cosineNearDups(Tables.load(s, d).embeddings, 0.35, q59Bands, q59Planes)),
     "q78_cosine_neardups_auto" -> ((s, d) =>
@@ -703,6 +962,8 @@ object Similarity {
     // plan by construction; recall vs brute force is checked in IvfSpec.
     "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2),
+    "q87_cosine_topk_pq" -> pqOracleSql(nQueries = 10, k = 3,
+      m = 4, ksub = 8, iters = 2, dims = 64),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2, trainFrac = 0.5),
     "q59_cosine_neardups" ->

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.Fp
+
+class PqSpec extends SparkSpec {
+
+  test("PQ top-k: well-formed, deterministic across runs and partitionings") {
+    import spark.implicits._
+    val pq = Similarity.cosineTopKPq(tables.embeddings, 10, 3).collect()
+    assert(pq.nonEmpty)
+    // Dense 1..k ranks per query.
+    pq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rks = rows.map(r => r.getLong(r.fieldIndex("rk"))).sorted.toSeq
+      assert(rks == (1L to rks.size).toSeq)
+    }
+    // Deterministic: codebooks are hash-seeded integer Lloyd, codes and
+    // ADC sums are exact integers — a second run and a differently
+    // partitioned input give byte-identical rows.
+    val again = Similarity.cosineTopKPq(tables.embeddings, 10, 3).collect()
+    assert(again.map(_.toSeq).toSet == pq.map(_.toSeq).toSet)
+    val repart = Similarity.cosineTopKPq(tables.embeddings.repartition(7), 10, 3)
+      .collect()
+    assert(repart.map(_.toSeq).toSet == pq.map(_.toSeq).toSet)
+  }
+
+  test("PQ retrieves within-cluster neighbors on clustered data") {
+    import spark.implicits._
+    // 8 well-separated clusters of 25 vectors: center c is hot on block c
+    // (dims 8c..8c+7) with small deterministic per-member noise. PQ's
+    // codebooks (8 centroids per 16-dim subspace) recover the cluster
+    // structure, so ADC top-1 must come from the query's own cluster.
+    def noise(id: Int, i: Int): Float =
+      (((id * 31 + i * 17) % 7).toFloat - 3f) / 100f
+    val rows = (0 until 200).map { id =>
+      val c = id % 8
+      val emb = Array.tabulate(64) { i =>
+        (if (i / 8 == c) 1f else 0f) + noise(id, i)
+      }
+      (id.toLong, emb.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopKPq(df, 8, 1).collect()
+    assert(got.length == 8)
+    got.foreach { r =>
+      val qid = r.getLong(r.fieldIndex("qid"))
+      val nid = r.getLong(r.fieldIndex("nid"))
+      assert(nid % 8 == qid % 8,
+        s"top-1 for query $qid came from cluster ${nid % 8}, not ${qid % 8}")
+    }
+    Similarity.releaseIndexes()
+  }
+
+  test("ADC approximation error is bounded vs exact cosine") {
+    import spark.implicits._
+    val pq = Similarity.cosineTopKPq(tables.embeddings, 10, 3)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // Exact cosines for every (query, corpus) pair via the brute scorer.
+    val exact = Similarity.cosineTopK(tables.embeddings, 10, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // iid 64-dim data is PQ's worst case (nothing clusters), so the
+    // bound is loose — but it still separates "lossy quantization" from
+    // "broken arithmetic" (a sign/offset bug shows errors near 1).
+    val errs = pq.map { case (k, c) => math.abs(c - exact(k)) }
+    assert(errs.max <= 0.6, s"max ADC error ${errs.max}")
+    assert(errs.sum / errs.length <= 0.3,
+      s"mean ADC error ${errs.sum / errs.length}")
+  }
+
+  test("pqIndex: duplicates share codes, the code table is compressed, serving matches one-shot") {
+    import spark.implicits._
+    // Two exact copies of each of 50 hash-derived vectors: identical
+    // inputs MUST encode to identical code rows (the encoder is a pure
+    // function of the vector and the codebooks).
+    def comp(id: Int, i: Int): Float =
+      (((id * 131 + i * 29) % 2001).toFloat - 1000f) / 1000f
+    val rows = (0 until 50).flatMap { b =>
+      val emb = Array.tabulate(64)(i => comp(b, i)).toSeq
+      Seq((b.toLong, emb), (b.toLong + 1000L, emb))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (books, codes) = Similarity.pqIndex(df)
+    val byVec = codes.collect().map { r =>
+      r.getLong(0) -> (1 to 4).map(r.getLong(_))
+    }.toMap
+    (0L until 50L).foreach { b =>
+      assert(byVec(b) == byVec(b + 1000L),
+        s"duplicate of $b encoded differently: ${byVec(b)} vs ${byVec(b + 1000L)}")
+    }
+    // Compression shape: the whole codebook is m×ksub rows, and the code
+    // table's row payload is 4 codes + 1 norm — nothing vector-sized
+    // survives into the serving set.
+    assert(books.count() <= 4 * 8)
+    assert(codes.columns.toSeq ==
+      Seq("vec_id", "c0", "c1", "c2", "c3", "rnsq"))
+    Similarity.releaseIndexes()
+
+    // Serving from the persisted index reproduces the one-shot operator
+    // bit-for-bit (same parquet round-trip contract as the IVF index).
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val (b2, c2) = Similarity.pqIndex(tables.embeddings)
+    b2.write.mode("overwrite").parquet(s"$dir/books")
+    c2.write.mode("overwrite").parquet(s"$dir/codes")
+    val served = Similarity.cosineTopKPqFromIndex(
+      spark.read.parquet(s"$dir/books"), spark.read.parquet(s"$dir/codes"),
+      tables.embeddings.filter($"vec_id" < 10), 3).collect()
+    val oneShot = Similarity.cosineTopKPq(tables.embeddings, 10, 3).collect()
+    assert(served.map(_.toSeq).toSet == oneShot.map(_.toSeq).toSet)
+  }
+}
