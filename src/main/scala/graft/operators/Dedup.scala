@@ -594,6 +594,44 @@ object Dedup {
       .withColumn("boilerplate", $"dup_ratio" > maxRatio)
   }
 
+  /** Cross-document EXACT substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" unit):
+    * every k-token window that occurs verbatim in ≥2 distinct documents
+    * is a shared span, and each document reports how much of it is made
+    * of them. Longer than the 3-gram shingles on purpose — a k=8 window
+    * is a memorization-length span, not a phrase — and counted per
+    * OCCURRENCE, not per distinct shingle: a doc that repeats a shared
+    * license block five times carries five spans of contamination.
+    *
+    * Spark shape: the same posexplode + element_at window build as
+    * [[shingleRows]] (map-side, no lambda-over-split re-evaluation),
+    * spans keyed by hash60 so the shuffle moves 8-byte keys instead of
+    * k-token strings. One aggregate on h (count-distinct doc_id, two
+    * phase with map-side partials), one join back on h to attribute
+    * occurrences — both AQE-skew-safe: the popular-span hot keys that
+    * make boilerplate boilerplate are exactly what AQE skew handling
+    * splits. Docs with < k tokens contribute no spans and no row (the
+    * same contract as the shingle family).
+    */
+  def sharedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spanCols = col("w") +: (2 to k).map(j =>
+      element_at($"toks", $"i" + j))
+    val occ = cacheIndex(docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
+      .filter($"i" <= size($"toks") - k)
+      .select($"doc_id", hash60(concat_ws(" ", spanCols: _*)).as("h")))
+    val shared = occ.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= 2)
+      .select($"h")
+    occ.join(shared, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared"),
+        countDistinct($"h").as("n_distinct_shared"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** The q77 corpus-growth boundary: 90% of the id space is the standing
@@ -659,7 +697,9 @@ object Dedup {
     // Same minJ as q67 ON PURPOSE: the cluster plan is identical, so in
     // a shared session the split rides q67's cached labels and pair set.
     "q83_leakage_safe_split" -> ((s, d) =>
-      leakageSafeSplit(Tables.load(s, d).documents, 0.6))
+      leakageSafeSplit(Tables.load(s, d).documents, 0.6)),
+    "q88_shared_spans" -> ((s, d) =>
+      sharedSpans(Tables.load(s, d).documents))
   )
 
   private[operators] val shingleCte =
@@ -843,6 +883,26 @@ object Dedup {
          |       ELSE 'test' END AS split
          |FROM lbl""".stripMargin
     },
+    // Spans compare by the SAME hash60 both sides (hash60Sql) — unlike
+    // the shingle oracles there is no string fallback here, because the
+    // Spark side counts occurrences per hashed span and the oracle must
+    // group identically.
+    "q88_shared_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks) - 6),
+         |      i -> ${hash60Sql("array_to_string(list_slice(toks, i, i + 7), ' ')")})) AS h
+         |  FROM t WHERE len(toks) >= 8),
+         |shared AS (
+         |  SELECT h FROM occ GROUP BY h
+         |  HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT occ.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |  CAST(COUNT(DISTINCT occ.h) AS BIGINT) AS n_distinct_shared
+         |FROM occ JOIN shared USING (h)
+         |GROUP BY occ.doc_id""".stripMargin,
     "q64_decontaminate" ->
       s"""$shingleCte,
          |ev AS (

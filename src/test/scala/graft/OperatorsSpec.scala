@@ -69,6 +69,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) == 1.0 && out(2L) == 1.0 && out(3L) == 0.0)
   }
 
+  test("shared spans: planted block counted per occurrence, within-doc repeats excluded") {
+    import spark.implicits._
+    val block = (1 to 8).map(i => s"lic$i").mkString(" ")
+    def filler(id: Int, n: Int) = (0 until n).map(j => s"u${id}_$j").mkString(" ")
+    val own = (1 to 8).map(i => s"own$i").mkString(" ")
+    val docs = Seq(
+      (1L, block + " " + filler(1, 8)),                    // block once
+      (2L, block + " " + filler(2, 8) + " " + block),      // block twice
+      (3L, filler(3, 20)),                                 // clean
+      (4L, own + " " + filler(4, 8) + " " + own)           // self-repeat only
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // The only cross-doc 8-token window is the block itself: doc 2 carries
+    // two occurrences of one distinct span; doc 3 is clean; doc 4's
+    // internal repeat spans one distinct doc and must NOT count.
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L))))
+    // Occurrence attribution is partitioning-invariant.
+    val again = Dedup.sharedSpans(docs.repartition(5), 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == got)
+    Dedup.releaseIndexes()
+  }
+
   test("incremental near-dup equals the full run restricted to the batch") {
     import spark.implicits._
     val docs = tables.documents
