@@ -340,6 +340,47 @@ object TextAnalysis {
        |            FROM documents)
        |      WHERE len(toks) >= 1)""".stripMargin
 
+  /** Corpus-LM familiarity score — the engine's analog of CCNet-style
+    * n-gram-LM perplexity filtering (low-perplexity ≈ fluent/common,
+    * high ≈ rare/garbled): train bigram counts on the corpus itself, then
+    * score each document by the mean floor(log₂ count) of its bigram
+    * OCCURRENCES. Documents built from corpus-common constructions score
+    * high; documents of rare bigrams (noise, wrong language, mojibake)
+    * score low — the same ranking a unigram-backoff log-probability
+    * produces, shifted by the corpus-size constant that cancels when
+    * thresholding on quantiles.
+    *
+    * floor(log₂ n) is computed as length(bin(n)) − 1 — a pure
+    * integer/string identity. That is deliberate: Spark's log2 is
+    * log(x)/log(2) while DuckDB's is std::log2, and the two can differ in
+    * the last ulp exactly at the integer boundaries floor() reads, so a
+    * float formulation is NOT cross-engine deterministic, but bit length
+    * is. The one float op is the final mean (exact-integer sum / exact
+    * count), the same single-division contract as the rest of Fp.
+    *
+    * Shape: map-side bigram build (same posexplode idiom as the shingle
+    * index), one count aggregate on the 60-bit bigram hash, one join
+    * back to attribute occurrences — both map-side-partial and
+    * AQE-skew-safe (the stop-bigram hot keys split). Docs with < 2
+    * tokens have no bigrams and no row.
+    */
+  def lmFamiliarity(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val occ = docs
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
+      .filter($"i" <= size($"toks") - 2)
+      .select($"doc_id",
+        hash60(concat_ws(" ", $"w", element_at($"toks", $"i" + 2))).as("h"))
+    val counts = occ.groupBy($"h").agg(count(lit(1)).as("cnt"))
+    occ.join(counts, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((length(bin($"cnt")) - 1).cast("long")).as("lm_score"))
+      .select($"doc_id", $"n_bigrams", $"lm_score",
+        ($"lm_score".cast("double") / $"n_bigrams").as("familiarity"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -355,11 +396,30 @@ object TextAnalysis {
     // window 32 / stride 24: multi-chunk docs at verify scale with short
     // clamped tail chunks, so both the overlap and the clamp are exercised.
     "q85_doc_chunks" -> ((s, d) =>
-      chunkDocs(Tables.load(s, d).documents, window = 32, stride = 24))
+      chunkDocs(Tables.load(s, d).documents, window = 32, stride = 24)),
+    "q89_lm_familiarity" -> ((s, d) =>
+      lmFamiliarity(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
     "q85_doc_chunks" -> chunkDocsSql(window = 32, stride = 24),
+    // floor(log2 cnt) as length(bin(cnt)) - 1 on BOTH sides — see the
+    // lmFamiliarity scaladoc for why a float log2 would not replay.
+    "q89_lm_familiarity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> ${graft.functions.Fp.hash60Sql("array_to_string(list_slice(toks, i, i + 1), ' ')")})) AS h
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT h, COUNT(*) AS cnt FROM occ GROUP BY h)
+         |SELECT occ.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(length(bin(c.cnt)) - 1) AS BIGINT) AS lm_score,
+         |  CAST(SUM(length(bin(c.cnt)) - 1) AS DOUBLE) / COUNT(*) AS familiarity
+         |FROM occ JOIN c USING (h)
+         |GROUP BY occ.doc_id""".stripMargin,
     "q20_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

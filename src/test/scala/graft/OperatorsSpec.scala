@@ -41,7 +41,7 @@ class RelationalSpec extends SparkSpec {
 }
 
 class TextDedupSpec extends SparkSpec {
-  import operators.Dedup
+  import operators.{Dedup, TextAnalysis}
 
   test("fingerprints are 32-hex and unique per distinct content") {
     val fps = run("q23_fingerprints").collect()
@@ -123,6 +123,23 @@ class TextDedupSpec extends SparkSpec {
       q >= 0.0 && q <= 1.0 &&
         r.getBoolean(r.fieldIndex("accept")) == (q >= 0.75)
     })
+  }
+
+  test("LM familiarity: common-bigram docs outrank rare-bigram docs exactly") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1 to 10).map(i => (i.toLong, common)) :+
+      (99L, "zxq wvu tsr qpo nml")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmFamiliarity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // Every bigram of the repeated sentence occurs in all 10 copies:
+    // cnt = 10, floor(log2 10) = 3 per occurrence, so familiarity is
+    // exactly 3.0; the gibberish doc's bigrams are singletons → 0.0.
+    assert(got(1L) == ((8L, 24L, 3.0)))
+    assert(got(99L) == ((4L, 0L, 0.0)))
+    // familiarity is exactly the integer score over the integer count.
+    assert(got.values.forall { case (n, s, f) => f == s.toDouble / n })
   }
 
   test("exact jaccard pairs are ordered, thresholded, and symmetric-free") {
