@@ -44,16 +44,28 @@ object Tables {
   def invalidate(spark: SparkSession): Unit =
     cache.keys.filter(_._1 eq spark).foreach(cache.remove)
 
+  /** Normalize events.ts to TimestampType (UTC micros) across the schema
+    * variants the driver's generator has emitted: parquet TIMESTAMP(NANOS)
+    * (read as raw nanos via nanosAsLong — integer div, a double division
+    * would lose precision above 2^53 ns), TIMESTAMP_NTZ (cast reads the
+    * wall time in the session zone, pinned UTC), or already TIMESTAMP.
+    * DuckDB's `epoch_ns(ts) // 1000` truncates identically for all three,
+    * so the oracles are representation-independent.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   private def doLoad(spark: SparkSession, sfDir: String): Tables = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    // read it as raw nanos and truncate to microseconds (integer div — a
-    // double division would lose precision above 2^53 ns). DuckDB reads the
-    // same column as TIMESTAMP_NS; oracles use `epoch_ns(ts) // 1000` for
-    // the identical truncation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def t(n: String): DataFrame = spark.read.parquet(s"$sfDir/$n.parquet")
-    val events = t("events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val events = normalizeTs(t("events"))
     Tables(
       region = t("region"), nation = t("nation"), customer = t("customer"),
       supplier = t("supplier"), part = t("part"), orders = t("orders"),

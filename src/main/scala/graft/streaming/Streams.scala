@@ -28,13 +28,16 @@ object Streams {
     */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // readStream needs an explicit schema; take it from the files already
+    // present (one footer read at plan time) so the generator's ts
+    // representation — raw nanos, NTZ, or UTC — is whatever arrives, then
+    // normalize exactly like the batch loader.
+    val schema = spark.read.parquet(eventsDir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(eventsDir))
   }
 
   /** Watermarked tumbling-window rollup — the streaming form of
