@@ -381,6 +381,40 @@ object TextAnalysis {
         ($"lm_score".cast("double") / $"n_bigrams").as("familiarity"))
   }
 
+  /** Corpus-vocabulary OOV profile (q90): build the top-`vocabSize`
+    * token vocabulary by corpus frequency, then score every document by
+    * its out-of-vocabulary token rate — the tokenizer-prep / coverage
+    * gate a training pipeline runs before freezing a vocab (the
+    * corpus-level analog of the reference's indicator-based quality
+    * predicates, robust_scraper.py quality filters). High-OOV documents
+    * are exactly the ones a fixed tokenizer will shred into bytes.
+    *
+    * Ties at the frequency cut break by token ascending, so the vocab is
+    * a total order and the DuckDB oracle replays it exactly.
+    *
+    * Shape: token counts are one hash aggregate over exploded tokens
+    * (map-side combined); the top-V cut is a TakeOrdered over the
+    * DISTINCT-token set — bounded by vocabulary cardinality, not corpus
+    * rows. The scoring pass joins the exploded tokens against the
+    * broadcast vocab map-side (V is a hyperparameter, always tiny), then
+    * one groupBy(doc_id) with partial aggregation. At 100 TB the only
+    * corpus-wide shuffle is the vocab count itself; scoring adds one
+    * doc_id shuffle of (doc_id, two longs) partials.
+    */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w".asc).limit(vocabSize)
+      .select($"w", lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_v".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"doc_id", $"n_tokens", $"n_oov",
+        ($"n_oov".cast("double") / $"n_tokens").as("oov_rate"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -398,11 +432,28 @@ object TextAnalysis {
     "q85_doc_chunks" -> ((s, d) =>
       chunkDocs(Tables.load(s, d).documents, window = 32, stride = 24)),
     "q89_lm_familiarity" -> ((s, d) =>
-      lmFamiliarity(Tables.load(s, d).documents))
+      lmFamiliarity(Tables.load(s, d).documents)),
+    // V=16 against the corpus's 31-token synthetic vocabulary: the cut
+    // bites (roughly half the tokens land OOV) at every verify scale.
+    "q90_vocab_oov" -> ((s, d) =>
+      vocabOov(Tables.load(s, d).documents, vocabSize = 16))
   )
 
   def oracles: Map[String, String] = Map(
     "q85_doc_chunks" -> chunkDocsSql(window = 32, stride = 24),
+    "q90_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)
+        |  ORDER BY cnt DESC, w ASC LIMIT 16)
+        |SELECT t.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id""".stripMargin,
     // floor(log2 cnt) as length(bin(cnt)) - 1 on BOTH sides — see the
     // lmFamiliarity scaladoc for why a float log2 would not replay.
     "q89_lm_familiarity" ->

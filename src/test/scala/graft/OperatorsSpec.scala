@@ -142,6 +142,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got.values.forall { case (n, s, f) => f == s.toDouble / n })
   }
 
+  test("vocab OOV: the frequency cut is exact and ties break by token") {
+    import spark.implicits._
+    // "b" and "c" tie at 2 occurrences for the last vocab slot (V=2 with
+    // "a" at 3): ascending-token tiebreak keeps "b", so "c" is OOV.
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a b c"), (3L, "c x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabOov(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    // Partitioning must not move the cut: the vocab is a total order.
+    val again = TextAnalysis.vocabOov(docs.repartition(7), vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("exact jaccard pairs are ordered, thresholded, and symmetric-free") {
     val rows = run("q26_neardup_jaccard").collect()
     assert(rows.nonEmpty, "testdata contains planted near-dups")
