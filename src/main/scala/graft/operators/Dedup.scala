@@ -162,6 +162,55 @@ object Dedup {
     cacheIndex(verifyJaccard(cand, shSets, minJ).distinct())
   }
 
+  /** Asymmetric containment join (q91): ordered pairs (doc_a, doc_b)
+    * where doc_a's shingle set is mostly inside doc_b's —
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ minC. Jaccard misses exactly this case:
+    * a paragraph quoted inside a much larger page has tiny j but
+    * containment ≈ 1, and a training pipeline wants the quoted copy
+    * found (cross-doc quotation/boilerplate, the asymmetric cousin of
+    * the reference's in-page dedup D1). Both directions are emitted
+    * independently — containment is not symmetric.
+    *
+    * Prefix filtering only constrains the CONTAINED side: if
+    * C(a→b) ≥ t then the overlap is ≥ ⌈t·na⌉, so doc_a must share at
+    * least one of its first na − ⌈t·na⌉ + 1 df-ordered shingles with
+    * doc_b (else all shared shingles would fit in the ⌈t·na⌉ − 1
+    * suffix). The container side has no size bound and stays fully
+    * indexed — the join cost is Σ over prefix (i.e. rare-first) shingles
+    * of their df, which the stop-shingle cut bounds exactly like q26's
+    * Σ df². The cut subtree is built expression-identical to
+    * [[jaccardNearDups]]'s so CacheManager shares one copy per session.
+    */
+  def containmentDups(docs: DataFrame, minC: Double,
+      maxDf: Long = defaultMaxDf): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh0 = shingleRows(docs)
+    val withDf = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s64")))
+    val cut = cacheIndex(withDf.filter($"df" <= maxDf))
+    val prefix = cacheIndex(cut
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s64".asc)))
+      .filter($"rn" <= $"n" - ceil(lit(minC) * $"n") + 1)
+      .select($"doc_id", $"s64"))
+    val cand = prefix.as("x").join(cut.as("y"),
+        col("x.s64") === col("y.s64") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val sets = sortedSets(cut)
+    cacheIndex(cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        graft.functions.VecExprs.intersectCountSorted(
+          col("sa.ss"), col("sb.ss")).as("c"),
+        size(col("sa.ss")).cast("long").as("na"))
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / $"na").as("containment"))
+      .filter($"containment" >= minC)
+      .distinct())
+  }
+
   /** Exact-Jaccard verification of candidate pairs against compact
     * per-doc shingle-set arrays: two joins on doc_id (each moving one
     * ~|shingles| array row per doc — broadcastable for small corpora,
@@ -699,7 +748,9 @@ object Dedup {
     "q83_leakage_safe_split" -> ((s, d) =>
       leakageSafeSplit(Tables.load(s, d).documents, 0.6)),
     "q88_shared_spans" -> ((s, d) =>
-      sharedSpans(Tables.load(s, d).documents))
+      sharedSpans(Tables.load(s, d).documents)),
+    "q91_containment" -> ((s, d) =>
+      containmentDups(Tables.load(s, d).documents, 0.8))
   )
 
   private[operators] val shingleCte =
@@ -830,6 +881,18 @@ object Dedup {
         |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS rk
         |  FROM events) WHERE rk = 1""".stripMargin,
     "q26_neardup_jaccard" -> jaccardSql(0.6, shingleCteCut(defaultMaxDf)),
+    // The oracle is the full exact answer (no prefix machinery): prefix
+    // filtering is completeness-preserving, so the sets must be equal.
+    "q91_containment" ->
+      s"""${shingleCteCut(defaultMaxDf)},
+         |dirs AS (
+         |  SELECT i.doc_a, i.doc_b, CAST(c AS DOUBLE) / na.n AS containment
+         |  FROM inter i JOIN sizes na ON i.doc_a = na.doc_id
+         |  UNION ALL
+         |  SELECT i.doc_b, i.doc_a, CAST(c AS DOUBLE) / nb.n
+         |  FROM inter i JOIN sizes nb ON i.doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, containment FROM dirs
+         |WHERE containment >= CAST(0.8 AS DOUBLE)""".stripMargin,
     // Brute-force O(n^2) oracle; the Spark side is the pigeonhole-blocked
     // exact search, so the result sets must be identical.
     "q47_simhash_pairs" ->

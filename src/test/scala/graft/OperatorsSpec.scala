@@ -93,6 +93,29 @@ class TextDedupSpec extends SparkSpec {
     Dedup.releaseIndexes()
   }
 
+  test("containment finds a quote inside a larger page that jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 60).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                                  // contained verbatim
+      (2L, page),                                   // the container
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))// unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentDups(docs, 0.8, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Only the quote→page direction clears 0.8: every quote shingle is in
+    // the page (containment 1.0), while page→quote is 10/70 and the
+    // symmetric jaccard 10/70 would never flag this pair at any useful
+    // threshold.
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    val again = Dedup.containmentDups(docs.repartition(5), 0.8,
+      maxDf = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+    Dedup.releaseIndexes()
+  }
+
   test("incremental near-dup equals the full run restricted to the batch") {
     import spark.implicits._
     val docs = tables.documents
