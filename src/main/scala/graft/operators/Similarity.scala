@@ -615,11 +615,58 @@ object Similarity {
       unionFindMaxEdges, registry)
   }
 
+  /** SemDeDup-style semantic dedup (q92, after Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with the IVF coarse quantizer
+    * (broadcast k-means, [[trainIvfCentroids]]), then WITHIN each
+    * cluster drop every vector that has a ≥ minCos neighbor with a
+    * smaller vec_id — a deterministic keep-lowest-id variant of the
+    * paper's keep-one-per-group rule. Returns every vector with its
+    * cluster and verdict: (vec_id, list_id, kept).
+    *
+    * This is the scale path near-dup when no LSH geometry fits: the
+    * pairwise work is Σ |cluster|² — bounded by making nlist track
+    * corpus size (n / target cluster size, the FAISS sizing rule), so
+    * per-cluster pair counts stay constant as the corpus grows. The
+    * self-join shuffles on list_id; a skewed (hot) cluster is exactly
+    * the AQE skew-join case, and the quantized vectors it moves are
+    * compact longs. All arithmetic is exact-integer (dot, norms) with
+    * one final double division — the identical contract as the rest of
+    * the family, so the Lloyd replay + EXISTS oracle matches
+    * bit-for-bit.
+    */
+  def semanticDedup(embeddings: DataFrame, minCos: Double,
+      nlist: Int = 64, iters: Int = 2): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val cents = trainIvfCentroids(e, nlist, iters)
+    if (cents.isEmpty)
+      return e.filter(lit(false)).select($"vec_id",
+        lit(0L).as("list_id"), lit(true).as("kept"))
+    val assigned = registry.cache(
+      e.withColumn("list_id", assignExpr(cents)))
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.list_id") === col("y.list_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter((dotQ(col("x.v"), col("y.v")).cast("double") /
+        sqrt(col("x.nsq").cast("double")) /
+        sqrt(col("y.nsq").cast("double"))) >= minCos)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"list_id", $"hit".isNull.as("kept"))
+  }
+
   /** DuckDB replay of [[cosineTopKIvf]]: the Lloyd iterations unrolled as
     * CTE chains over the unnested (vec_id, i, val) relation.
     */
-  private def ivfOracleSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
-      iters: Int, trainFrac: Double = 1.0): String = {
+  /** The WITH-chain shared by every oracle that replays the broadcast
+    * k-means assignment ([[ivfOracleSql]], [[semanticDedupOracleSql]]):
+    * quantized vectors `e`/`u`/`n`, optional hash-cap training sample,
+    * seeds, `iters` unrolled Lloyd iterations, and the final tables
+    * `cn<iters>`/`dt<iters>`/`asgF` (assignment of every vector).
+    */
+  private def ivfAssignCtes(nlist: Int, iters: Int,
+      trainFrac: Double): String = {
     val seedU = detUniformSql("ivfseed", "vec_id")
     val sampled = trainFrac < 1.0
     // Training rows: the SAME integer hash-cap membership test as
@@ -678,7 +725,40 @@ object Similarity {
        |${iterCtes.mkString(",\n")},
        |${cn(f)},
        |${dt(f)},
-       |${asg(f, "asgF")},
+       |${asg(f, "asgF")}""".stripMargin
+  }
+
+  /** DuckDB replay of [[semanticDedup]]: the shared Lloyd chain to
+    * `asgF`, then intra-cluster pair dots and the keep-lowest-id rule
+    * as a LEFT JOIN against the dropped set. The oracle enumerates ALL
+    * intra-cluster pairs — the Spark side does the same (no prefix or
+    * LSH pruning inside a cluster), so the sets are identical, not
+    * merely recall-equivalent.
+    */
+  private def semanticDedupOracleSql(minCos: String, nlist: Int,
+      iters: Int): String =
+    s"""${ivfAssignCtes(nlist, iters, 1.0)},
+       |pr AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM asgF a JOIN asgF b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |pd AS (
+       |  SELECT p.va, p.vb, CAST(SUM(x.val * y.val) AS BIGINT) AS dot
+       |  FROM pr p
+       |  JOIN u x ON x.vec_id = p.va
+       |  JOIN u y ON y.vec_id = p.vb AND y.i = x.i
+       |  GROUP BY 1, 2),
+       |drp AS (
+       |  SELECT DISTINCT vb AS vec_id FROM pd
+       |  JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+       |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE))
+       |      / sqrt(CAST(nb.nsq AS DOUBLE)) >= CAST($minCos AS DOUBLE))
+       |SELECT a.vec_id, a.cid AS list_id, (d.vec_id IS NULL) AS kept
+       |FROM asgF a LEFT JOIN drp d ON d.vec_id = a.vec_id""".stripMargin
+
+  private def ivfOracleSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+      iters: Int, trainFrac: Double = 1.0): String = {
+    val f = iters
+    s"""${ivfAssignCtes(nlist, iters, trainFrac)},
        |probes AS (
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT d.vec_id, d.cid,
@@ -835,6 +915,8 @@ object Similarity {
     // m×ksub dots on the query side; the corpus scan touches 4-byte codes.
     "q87_cosine_topk_pq" -> ((s, d) =>
       cosineTopKPq(Tables.load(s, d).embeddings, 10, 3)),
+    "q92_semantic_dedup" -> ((s, d) =>
+      semanticDedup(Tables.load(s, d).embeddings, 0.35)),
     "q59_cosine_neardups" -> ((s, d) =>
       cosineNearDups(Tables.load(s, d).embeddings, 0.35, q59Bands, q59Planes)),
     "q78_cosine_neardups_auto" -> ((s, d) =>
@@ -962,6 +1044,8 @@ object Similarity {
     // plan by construction; recall vs brute force is checked in IvfSpec.
     "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2),
+    "q92_semantic_dedup" -> semanticDedupOracleSql("0.35", nlist = 64,
+      iters = 2),
     "q87_cosine_topk_pq" -> pqOracleSql(nQueries = 10, k = 3,
       m = 4, ksub = 8, iters = 2, dims = 64),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

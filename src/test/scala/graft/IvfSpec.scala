@@ -28,6 +28,26 @@ class IvfSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == ivf.map(_.toSeq).toSet)
   }
 
+  test("semantic dedup: exact twins lose their higher id, cluster-local only") {
+    import spark.implicits._
+    val got = Similarity.semanticDedup(tables.embeddings, 0.35).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // Total verdict: every vector appears exactly once.
+    assert(got.size == tables.embeddings.count())
+    val dropped = got.filter(!_._2._2)
+    assert(dropped.nonEmpty, "testdata plants near-dup embeddings")
+    // The drop rule is keep-lowest-id: for every dropped vector there is
+    // a kept-or-dropped SMALLER id in the same cluster at >= minCos; in
+    // particular the minimum id of each cluster is always kept.
+    val minIdPerCluster = got.groupBy(_._2._1).map { case (_, m) => m.keys.min }
+    assert(minIdPerCluster.forall(id => got(id)._2))
+    // Deterministic across runs (fixed seeds, integer math).
+    val again = Similarity.semanticDedup(tables.embeddings, 0.35).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(again == got)
+    Similarity.releaseIndexes()
+  }
+
   test("sampled-training IVF: well-formed results, exact cosines, empty-sample fallback") {
     import spark.implicits._
     val sampled = Similarity.cosineTopKIvf(tables.embeddings, 10, 3,
