@@ -415,6 +415,50 @@ object TextAnalysis {
         ($"n_oov".cast("double") / $"n_tokens").as("oov_rate"))
   }
 
+  /** DSIR-style domain-targeted selection (q93, after Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much its hashed-token distribution
+    * looks like a target domain's (one source) versus the raw corpus,
+    * and select the top-k. The per-token log-likelihood ratio
+    * log P_target(bucket) − log P_raw(bucket) is quantized to integer
+    * bit lengths (floor-log2 of the smoothed counts — the q89 trick),
+    * because float logs are not cross-engine deterministic; the paper's
+    * Gumbel resampling becomes a deterministic top-k on the mean ratio
+    * (ties by doc_id), which keeps the selection a pure function of the
+    * corpus.
+    *
+    * Shape: bucket counts are two hash aggregates over the hashed
+    * tokens, both bounded at `buckets` rows — they broadcast to the
+    * scoring join, so scoring is map-side plus one doc_id partial-agg
+    * shuffle. Selection is TakeOrdered (parallel partial top-k, no
+    * global sort) and the k-row winner set broadcasts back for the
+    * flag join. No corpus-sized structure ever sits on the driver.
+    */
+  def dsirSelect(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 256, k: Int = 100): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bitlen = (c: Column) => (length(bin(c)) - 1).cast("long")
+    val f = docs
+      .select($"doc_id", $"source", explode(tokens($"text")).as("w"))
+      .select($"doc_id", $"source", pmod(hash60($"w"), lit(buckets.toLong)).as("b"))
+    val cr = f.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val ct = f.filter($"source" === targetSource)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val scored = f.join(broadcast(cr), "b")
+      .join(broadcast(ct), Seq("b"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(bitlen(coalesce($"ct", lit(0L)) + 1L) - bitlen($"cr" + 1L))
+          .as("dsir_score"))
+      .withColumn("mean_lr",
+        $"dsir_score".cast("double") / $"n_tokens")
+    val sel = scored.orderBy($"mean_lr".desc, $"doc_id".asc).limit(k)
+      .select($"doc_id", lit(true).as("hit"))
+    scored.join(broadcast(sel), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"dsir_score", $"mean_lr",
+        $"hit".isNotNull.as("selected"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -436,11 +480,37 @@ object TextAnalysis {
     // V=16 against the corpus's 31-token synthetic vocabulary: the cut
     // bites (roughly half the tokens land OOV) at every verify scale.
     "q90_vocab_oov" -> ((s, d) =>
-      vocabOov(Tables.load(s, d).documents, vocabSize = 16))
+      vocabOov(Tables.load(s, d).documents, vocabSize = 16)),
+    "q93_dsir_select" -> ((s, d) =>
+      dsirSelect(Tables.load(s, d).documents))
   )
 
   def oracles: Map[String, String] = Map(
     "q85_doc_chunks" -> chunkDocsSql(window = 32, stride = 24),
+    "q93_dsir_select" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    ${graft.functions.Fp.hash60Sql("w")} % 256 AS b
+         |  FROM (SELECT doc_id, source,
+         |          unnest(string_split(text, ' ')) AS w FROM documents)),
+         |cr AS (SELECT b, COUNT(*) AS cr FROM f GROUP BY b),
+         |ct AS (SELECT b, COUNT(*) AS ct FROM f
+         |       WHERE source = 'src0' GROUP BY b),
+         |sc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM((length(bin(COALESCE(ct, 0) + 1)) - 1)
+         |           - (length(bin(cr + 1)) - 1)) AS BIGINT) AS dsir_score
+         |  FROM f JOIN cr USING (b) LEFT JOIN ct USING (b)
+         |  GROUP BY doc_id),
+         |rk AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY CAST(dsir_score AS DOUBLE) / n_tokens DESC,
+         |             doc_id ASC) AS r
+         |  FROM sc)
+         |SELECT sc.doc_id, n_tokens, dsir_score,
+         |  CAST(dsir_score AS DOUBLE) / n_tokens AS mean_lr,
+         |  (rk.r <= 100) AS selected
+         |FROM sc JOIN rk ON sc.doc_id = rk.doc_id""".stripMargin,
     "q90_vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

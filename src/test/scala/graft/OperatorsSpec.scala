@@ -183,6 +183,34 @@ class TextDedupSpec extends SparkSpec {
     assert(again == got.map { case (k, v) => k -> v._2 })
   }
 
+  test("DSIR selection prefers docs that look like the target domain") {
+    import spark.implicits._
+    // Target domain (src0) speaks "alpha beta"; the wider corpus speaks
+    // "gamma delta". A src1 doc written in target language must outscore
+    // a src1 doc written in corpus language and win the k=2 cut.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "src0"),
+      (2L, "alpha beta alpha beta", "src0"),
+      (3L, "alpha beta alpha beta", "src1"),
+      (4L, "gamma delta gamma delta", "src1"),
+      (5L, "gamma delta gamma delta", "src1"),
+      (6L, "gamma delta gamma delta", "src1")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.dsirSelect(docs, "src0", buckets = 256, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got.size == 6)
+    // Target-language docs (1,2,3) all share the same positive-ish score
+    // and beat the corpus-language docs; k=3 selects exactly them.
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2))
+    assert(Seq(4L, 5L, 6L).forall(!got(_)._2))
+    assert(got(3L)._1 > got(4L)._1)
+    val again = TextAnalysis.dsirSelect(docs.repartition(5), "src0",
+      buckets = 256, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(again == got.map { case (i, v) => i -> v._2 })
+  }
+
   test("exact jaccard pairs are ordered, thresholded, and symmetric-free") {
     val rows = run("q26_neardup_jaccard").collect()
     assert(rows.nonEmpty, "testdata contains planted near-dups")
