@@ -40,9 +40,18 @@ object TextProbe {
       val t = Tables.load(spark, sfDir)
       Seq(t.documents, t.embeddings).foreach(_.count())
     } catch { case _: Throwable => () }
+    // "q92@<nlist>" probes semanticDedup with a scaled cluster count —
+    // the FAISS-sizing experiment (nlist tracks corpus size) without
+    // changing the driver-contract query's fixed geometry.
+    def run(name: String) = name.split("@") match {
+      case Array("q92", nlist) =>
+        graft.operators.Similarity.semanticDedup(
+          Tables.load(spark, sfDir).embeddings, 0.35, nlist.toInt)
+      case _ => SparkEntry.queries(name)(spark, sfDir)
+    }
     family.foreach { name =>
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(name)(spark, sfDir).count()
+      val rows = run(name).count()
       val sec = (System.nanoTime() - t0) / 1e9
       // Locale.ROOT like Bench: comma-decimal locales must not change output.
       val s3 = String.format(java.util.Locale.ROOT, "%.3f", sec)
