@@ -43,9 +43,12 @@ object TextProbe {
     // "q92@<nlist>" probes semanticDedup with a scaled cluster count —
     // the FAISS-sizing experiment (nlist tracks corpus size) without
     // changing the driver-contract query's fixed geometry.
+    // Malformed probe names (q92@, q92@abc, a future query containing @)
+    // fall through to the registry lookup and fail with its unknown-query
+    // error instead of a bare NumberFormatException mid-loop.
     def run(name: String) = name.split("@") match {
-      case Array("q92", nlist) =>
-        graft.operators.Similarity.semanticDedup(
+      case Array("q92", nlist) if scala.util.Try(nlist.toInt).isSuccess =>
+        graft.operators.Similarity.semanticDedupAt(
           Tables.load(spark, sfDir).embeddings, 0.35, nlist.toInt)
       case _ => SparkEntry.queries(name)(spark, sfDir)
     }

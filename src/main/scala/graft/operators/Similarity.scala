@@ -402,7 +402,7 @@ object Similarity {
     * norms) — stored with the codes so serving never reopens vectors.
     */
   private def pqEncode(e: DataFrame, books: Seq[Seq[(Long, Array[Long])]],
-      dims: Int): DataFrame = {
+      dims: Int, extra: Seq[String] = Nil): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.functions.typedlit
     val m = books.size
@@ -411,7 +411,8 @@ object Similarity {
       pqEncodeSub(slice($"v", s * len + 1, len), books(s)).as(s"c$s"))
     val rnsq = (0 until m).map(s =>
       element_at(typedlit(cnsqMap(books(s))), col(s"c$s"))).reduce(_ + _)
-    e.select(($"vec_id" +: codeCols): _*).withColumn("rnsq", rnsq)
+    e.select((($"vec_id" +: codeCols) ++ extra.map(col)): _*)
+      .withColumn("rnsq", rnsq)
   }
 
   /** ADC scoring: per-query LUTs map cid → <q_sub, centroid> (integer;
@@ -419,18 +420,23 @@ object Similarity {
     * work), broadcast against the code rows; a corpus row costs m map
     * lookups.
     */
+  /** Per-query per-subspace ADC lookup table: cid → <q_sub, centroid>
+    * (integer dots — the full-precision work, all on the query side).
+    */
+  private def pqLut(qsub: Column, cs: Seq[(Long, Array[Long])]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    map_from_arrays(typedlit(cs.map(_._1)),
+      array(cs.map { case (_, cv) => dotQ(qsub, typedlit(cv.toSeq)) }: _*))
+  }
+
   private def pqScore(corpus: DataFrame, queries: DataFrame,
       books: Seq[Seq[(Long, Array[Long])]], k: Int, dims: Int): DataFrame = {
     import corpus.sparkSession.implicits._
-    import org.apache.spark.sql.functions.typedlit
     val m = books.size
     val len = dims / m
-    def lut(qsub: Column, cs: Seq[(Long, Array[Long])]): Column =
-      map_from_arrays(typedlit(cs.map(_._1)),
-        array(cs.map { case (_, cv) => dotQ(qsub, typedlit(cv.toSeq)) }: _*))
     val qq = queries
       .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
-        (0 until m).map(s => lut(slice($"v", s * len + 1, len), books(s))
+        (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
     val adot = (0 until m).map(s =>
       element_at(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
@@ -486,6 +492,77 @@ object Similarity {
       return q.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
     pqScore(codes, q, books, k, dims)
+  }
+
+  /** IVF-PQ cosine top-k — the composed 100 TB ANN shape (FAISS
+    * IndexIVFPQ): the coarse quantizer of [[cosineTopKIvf]] prunes the
+    * corpus to the query's `nprobe` nearest lists, and within those lists
+    * scoring is [[cosineTopKPq]]'s ADC over 4-byte codes. Flat PQ scans
+    * every code per query (linear, cheap per row but still corpus-sized);
+    * this touches only ~nprobe/nlist of the code table per query, and the
+    * codes it does touch are the compressed residency story — neither
+    * half alone gives both properties.
+    *
+    * Codes encode the RAW vector, not the residual (FAISS
+    * `by_residual=false`): the m codebooks stay list-independent, the ADC
+    * tables are built once per query (not once per probed list), and at
+    * nprobe=nlist the result is EXACTLY flat PQ's (PqSpec proves this) —
+    * residual encoding would buy precision at the cost of per-list LUTs
+    * and an oracle that no longer shares [[pqOracleSql]]'s chains.
+    *
+    * Everything is the families' shared exact-integer arithmetic, so the
+    * composition carries a DuckDB oracle ([[ivfPqOracleSql]]) like both
+    * halves. Scale shape: coarse train/assign as in [[cosineTopKIvf]]
+    * (map-side assignment, one bounded aggregate per Lloyd iteration);
+    * PQ train/encode as in [[cosineTopKPq]]; serving joins the broadcast
+    * (query × probed-list, LUT) rows against the code table on list_id —
+    * the only scan, pruned by the coarse index, nothing shuffles.
+    */
+  def cosineTopKIvfPq(embeddings: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, dims: Int = 64): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val cents = trainIvfCentroids(e, nlist, iters)
+    val books = pqTrain(e, m, ksub, iters, dims)
+    if (cents.isEmpty || books.exists(_.isEmpty))
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val codes = pqEncode(e.withColumn("list_id", assignExpr(cents)),
+      books, dims, extra = Seq("list_id"))
+    pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents, books,
+      k, nprobe, dims)
+  }
+
+  /** The IVF-PQ serving join: each query row explodes into its nprobe
+    * (list_id, LUT…) probe rows (same array_sort+slice probing as
+    * [[probeAndScore]]), broadcast against the code table keyed on
+    * list_id; a candidate costs m map lookups, exactly [[pqScore]]'s ADC.
+    */
+  private def pqScoreProbed(codes: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Array[Long])], books: Seq[Seq[(Long, Array[Long])]],
+      k: Int, nprobe: Int, dims: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    val m = books.size
+    val len = dims / m
+    val probeArr = array_sort(centStructs(cents))
+    val qq = queries
+      .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
+        explode(slice(probeArr, 1, nprobe)).as("pp") +:
+        (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
+          .as(s"lut$s"))): _*)
+      .select(($"qid" +: $"qnsq" +: col("pp.cid").as("list_id") +:
+        (0 until m).map(s => col(s"lut$s"))): _*)
+    val adot = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
+    val scored = codes.join(broadcast(qq), Seq("list_id"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (adot.cast("double") / sqrt($"qnsq".cast("double")) /
+          sqrt($"rnsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
   }
 
   /** Per-vector banded hyperplane signatures as an array of per-band
@@ -636,10 +713,34 @@ object Similarity {
     * bit-for-bit.
     */
   def semanticDedup(embeddings: DataFrame, minCos: Double,
-      nlist: Int = 64, iters: Int = 2): DataFrame = {
+      targetCluster: Long = 16, iters: Int = 2,
+      trainFrac: Double = 0.5): DataFrame = {
+    val nlist = semanticNlist(quantized(embeddings).count(), targetCluster)
+    semanticDedupAt(embeddings, minCos, nlist, iters, trainFrac)
+  }
+
+  /** FAISS-style cluster-count sizing for [[semanticDedup]]: nlist tracks
+    * corpus size so expected cluster occupancy stays ≈ targetCluster as
+    * the corpus grows — intra-cluster pair work is then Σ|cluster|² ≈
+    * n·targetCluster, linear in n, never quadratic. The same
+    * derive-geometry-from-n pattern as [[lshParams]]; the static oracle
+    * pins the value this returns at the verify corpus size.
+    */
+  def semanticNlist(n: Long, targetCluster: Long = 16): Int =
+    math.max(1L, math.min(1L << 18,
+      math.ceil(n.toDouble / targetCluster).toLong)).toInt
+
+  /** [[semanticDedup]] at an explicit cluster count — the core both the
+    * auto-sized entry point and the nlist-sweep probes call. Training is
+    * hash-cap sampled ([[trainCentroidsSampled]]) so index-build cost is
+    * bounded by the sample, not the corpus; assignment and the
+    * intra-cluster prune still see every vector.
+    */
+  def semanticDedupAt(embeddings: DataFrame, minCos: Double,
+      nlist: Int, iters: Int = 2, trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val cents = trainIvfCentroids(e, nlist, iters)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
     if (cents.isEmpty)
       return e.filter(lit(false)).select($"vec_id",
         lit(0L).as("list_id"), lit(true).as("kept"))
@@ -736,8 +837,8 @@ object Similarity {
     * merely recall-equivalent.
     */
   private def semanticDedupOracleSql(minCos: String, nlist: Int,
-      iters: Int): String =
-    s"""${ivfAssignCtes(nlist, iters, 1.0)},
+      iters: Int, trainFrac: Double = 1.0): String =
+    s"""${ivfAssignCtes(nlist, iters, trainFrac)},
        |pr AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb
        |  FROM asgF a JOIN asgF b ON a.cid = b.cid AND a.vec_id < b.vec_id),
@@ -796,10 +897,15 @@ object Similarity {
     * assignment orders by (cnsq − 2·dot, cid) — the same argmin as the
     * full squared-L2 because the per-vector norm term is rank-constant.
     */
-  private def pqOracleSql(nQueries: Int, k: Int, m: Int, ksub: Int,
-      iters: Int, dims: Int): String = {
+  /** The per-subspace Lloyd chains shared by [[pqOracleSql]] and
+    * [[ivfPqOracleSql]]: for each subspace s, the sliced relation u$s,
+    * seed centroids c${s}_0 (joining `seedName` — the ≤ksub seed rows),
+    * `iters` unrolled iterations, and the finals cn${s}_f / dt${s}_f /
+    * asgF$s (every vector's code in subspace s).
+    */
+  private def pqSubCtes(m: Int, ksub: Int, iters: Int, dims: Int,
+      seedName: String): String = {
     val len = dims / m
-    val seedU = detUniformSql("ivfseed", "vec_id")
     def sub(s: Int): Seq[String] = {
       val off = s * len
       def cn(t: Int) =
@@ -826,12 +932,18 @@ object Similarity {
         s"u$s AS (SELECT vec_id, val, i - $off AS i FROM u WHERE i > $off AND i <= ${off + len})",
         s"""c${s}_0 AS (
            |  SELECT sd.cid, u.i, u.val AS cval
-           |  FROM seed sd JOIN u$s u ON u.vec_id = sd.vec_id)""".stripMargin)
+           |  FROM $seedName sd JOIN u$s u ON u.vec_id = sd.vec_id)""".stripMargin)
       val its = (0 until iters).flatMap(t =>
         Seq(cn(t), dt(t), asg(t, s"asg${s}_${t + 1}"), cNext(t)))
       val f = iters
       head ++ its ++ Seq(cn(f), dt(f), asg(f, s"asgF$s"))
     }
+    (0 until m).flatMap(sub).mkString(",\n")
+  }
+
+  private def pqOracleSql(nQueries: Int, k: Int, m: Int, ksub: Int,
+      iters: Int, dims: Int): String = {
+    val seedU = detUniformSql("ivfseed", "vec_id")
     val codeJoin = (1 until m).map(s =>
       s"JOIN asgF$s a$s USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(s => s"a$s.cid AS c$s").mkString(", ")
@@ -856,7 +968,7 @@ object Similarity {
        |    SELECT vec_id,
        |      ROW_NUMBER() OVER (ORDER BY $seedU ASC, vec_id ASC) AS rn
        |    FROM e) WHERE rn <= $ksub),
-       |${(0 until m).flatMap(sub).mkString(",\n")},
+       |${pqSubCtes(m, ksub, iters, dims, "seed")},
        |${qdCtes.mkString(",\n")},
        |codes AS (
        |  SELECT a0.vec_id, $codeCols
@@ -868,6 +980,68 @@ object Similarity {
        |      / sqrt(CAST(($rn) AS DOUBLE)) AS cos
        |  FROM codes x
        |  JOIN qd0 d0 ON d0.cid = x.c0
+       |  $dJoins
+       |  $rJoins
+       |  JOIN n qn ON qn.vec_id = d0.qid
+       |  WHERE x.vec_id <> d0.qid)
+       |SELECT qid, nid, cos, rk FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[cosineTopKIvfPq]] — the composition of the two
+    * existing oracle builders: [[ivfAssignCtes]] supplies the coarse
+    * Lloyd chain (e/u/n/seed…asgF + the finals cn/dt the probe CTE
+    * reads), a second seed CTE `pseed` ranks the same hash order cut at
+    * ksub, [[pqSubCtes]] supplies the per-subspace chains, and scoring is
+    * [[pqOracleSql]]'s ADC joins restricted to each query's probed lists.
+    */
+  private def ivfPqOracleSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int, iters: Int, dims: Int): String = {
+    val f = iters
+    val seedU = detUniformSql("ivfseed", "vec_id")
+    val qdCtes = (0 until m).map(s =>
+      s"qd$s AS (SELECT vec_id AS qid, cid, dot FROM dt${s}_$iters WHERE vec_id < $nQueries)")
+    val codeJoin = (1 until m).map(s =>
+      s"JOIN asgF$s a$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"a$s.cid AS c$s").mkString(", ")
+    val dJoins = (1 until m).map(s =>
+      s"JOIN qd$s d$s ON d$s.qid = d0.qid AND d$s.cid = x.c$s").mkString("\n  ")
+    val rJoins = (0 until m).map(s =>
+      s"JOIN cn${s}_$iters r$s ON r$s.cid = x.c$s").mkString("\n  ")
+    val adot = (0 until m).map(s => s"d$s.dot").mkString(" + ")
+    val rn = (0 until m).map(s => s"r$s.cnsq").mkString(" + ")
+    s"""${ivfAssignCtes(nlist, iters, 1.0)},
+       |pseed AS (
+       |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+       |    SELECT vec_id,
+       |      ROW_NUMBER() OVER (ORDER BY $seedU ASC, vec_id ASC) AS rn
+       |    FROM e) WHERE rn <= $ksub),
+       |${pqSubCtes(m, ksub, iters, dims, "pseed")},
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY (n.nsq + cn.cnsq - 2 * d.dot) ASC, d.cid ASC) AS pr
+       |    FROM dt$f d
+       |    JOIN n ON n.vec_id = d.vec_id
+       |    JOIN cn$f cn ON cn.cid = d.cid
+       |    WHERE d.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |${qdCtes.mkString(",\n")},
+       |codes AS (
+       |  SELECT a0.vec_id, l.cid AS list_id, $codeCols
+       |  FROM asgF0 a0 $codeJoin JOIN asgF l USING (vec_id)),
+       |scored AS (
+       |  SELECT d0.qid, x.vec_id AS nid,
+       |    CAST(($adot) AS DOUBLE)
+       |      / sqrt(CAST(qn.nsq AS DOUBLE))
+       |      / sqrt(CAST(($rn) AS DOUBLE)) AS cos
+       |  FROM codes x
+       |  JOIN probes pb ON pb.cid = x.list_id
+       |  JOIN qd0 d0 ON d0.qid = pb.qid AND d0.cid = x.c0
        |  $dJoins
        |  $rJoins
        |  JOIN n qn ON qn.vec_id = d0.qid
@@ -899,6 +1073,14 @@ object Similarity {
     */
   private val (q78Bands, q78Planes) = lshParams(500, 0.5, targetRecall = 0.9)
 
+  /** q92's pinned cluster count = [[semanticNlist]] at the verify
+    * corpus's 500 vectors (32 at targetCluster=16). The RUNTIME side
+    * derives it from the actual corpus count, so — like q78's auto
+    * geometry — any drift in the count or the sizing math changes the
+    * clustering and hash-mismatches against this pinned replay.
+    */
+  private val q92Nlist = semanticNlist(500)
+
   def queries: Map[String, Q] = Map(
     "q37_cosine_topk" -> ((s, d) => cosineTopK(Tables.load(s, d).embeddings, 5, 5)),
     "q38_cosine_topk_lsh" -> ((s, d) =>
@@ -915,6 +1097,13 @@ object Similarity {
     // m×ksub dots on the query side; the corpus scan touches 4-byte codes.
     "q87_cosine_topk_pq" -> ((s, d) =>
       cosineTopKPq(Tables.load(s, d).embeddings, 10, 3)),
+    // IVF-PQ: coarse pruning over compressed codes — the composed ANN
+    // shape at 100 TB; same component geometry as q51 (coarse) + q87 (PQ).
+    "q94_cosine_topk_ivfpq" -> ((s, d) =>
+      cosineTopKIvfPq(Tables.load(s, d).embeddings, 10, 3)),
+    // Auto-sized semantic dedup: nlist derives from the runtime corpus
+    // count (semanticNlist) and Lloyd trains on the hash-cap half-sample —
+    // the oracle replays both at the pinned verify-corpus geometry.
     "q92_semantic_dedup" -> ((s, d) =>
       semanticDedup(Tables.load(s, d).embeddings, 0.35)),
     "q59_cosine_neardups" -> ((s, d) =>
@@ -1044,10 +1233,12 @@ object Similarity {
     // plan by construction; recall vs brute force is checked in IvfSpec.
     "q51_cosine_topk_ivf" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2),
-    "q92_semantic_dedup" -> semanticDedupOracleSql("0.35", nlist = 64,
-      iters = 2),
+    "q92_semantic_dedup" -> semanticDedupOracleSql("0.35", nlist = q92Nlist,
+      iters = 2, trainFrac = 0.5),
     "q87_cosine_topk_pq" -> pqOracleSql(nQueries = 10, k = 3,
       m = 4, ksub = 8, iters = 2, dims = 64),
+    "q94_cosine_topk_ivfpq" -> ivfPqOracleSql(nQueries = 10, k = 3,
+      nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 2, dims = 64),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2, trainFrac = 0.5),
     "q59_cosine_neardups" ->

@@ -24,6 +24,19 @@ import graft.functions.Fp._
   */
 object TextAnalysis {
 
+  /** Session-lifetime cache for the exploded-token relations the
+    * corpus-model operators ([[lmFamiliarity]], [[vocabOov]],
+    * [[dsirSelect]]) consume more than once — building the corpus model
+    * AND scoring documents against it. Without the cache each consumer
+    * re-tokenizes the whole corpus per action; with it the corpus pays
+    * one tokenize+shuffle, the same contract the Dedup/Similarity
+    * families keep for their shingle/quantized indexes.
+    */
+  private val registry = new graft.CacheRegistry
+
+  /** Unpersist the shared token relations — see [[graft.CacheRegistry]]. */
+  def releaseIndexes(): Unit = registry.release()
+
   /** Whitespace tokens. Single-space split keeps cross-engine parity with
     * DuckDB's string_split; documents are single-spaced.
     */
@@ -366,12 +379,12 @@ object TextAnalysis {
     */
   def lmFamiliarity(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val occ = docs
+    val occ = registry.cache(docs
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
       .filter($"i" <= size($"toks") - 2)
       .select($"doc_id",
-        hash60(concat_ws(" ", $"w", element_at($"toks", $"i" + 2))).as("h"))
+        hash60(concat_ws(" ", $"w", element_at($"toks", $"i" + 2))).as("h")))
     val counts = occ.groupBy($"h").agg(count(lit(1)).as("cnt"))
     occ.join(counts, "h")
       .groupBy($"doc_id")
@@ -403,7 +416,8 @@ object TextAnalysis {
     */
   def vocabOov(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
     import docs.sparkSession.implicits._
-    val toks = docs.select($"doc_id", explode(tokens($"text")).as("w"))
+    val toks = registry.cache(
+      docs.select($"doc_id", explode(tokens($"text")).as("w")))
     val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"w".asc).limit(vocabSize)
       .select($"w", lit(1L).as("in_v"))
@@ -438,9 +452,10 @@ object TextAnalysis {
       buckets: Int = 256, k: Int = 100): DataFrame = {
     import docs.sparkSession.implicits._
     val bitlen = (c: Column) => (length(bin(c)) - 1).cast("long")
-    val f = docs
+    val f = registry.cache(docs
       .select($"doc_id", $"source", explode(tokens($"text")).as("w"))
-      .select($"doc_id", $"source", pmod(hash60($"w"), lit(buckets.toLong)).as("b"))
+      .select($"doc_id", $"source",
+        pmod(hash60($"w"), lit(buckets.toLong)).as("b")))
     val cr = f.groupBy($"b").agg(count(lit(1)).as("cr"))
     val ct = f.filter($"source" === targetSource)
       .groupBy($"b").agg(count(lit(1)).as("ct"))

@@ -31,8 +31,16 @@ object Streams {
     // readStream needs an explicit schema; take it from the files already
     // present (one footer read at plan time) so the generator's ts
     // representation — raw nanos, NTZ, or UTC — is whatever arrives, then
-    // normalize exactly like the batch loader.
-    val schema = spark.read.parquet(eventsDir).schema
+    // normalize exactly like the batch loader. An EMPTY directory (stream
+    // created before the first file arrives — the file-arrival use case)
+    // can't be sniffed, so it falls back to the current generator's
+    // TIMESTAMP_NTZ shape. The schema is fixed at stream start either
+    // way, so all files one stream directory ever receives must share one
+    // ts encoding — a later file of a different vintage would be misread.
+    val schema = scala.util.Try(spark.read.parquet(eventsDir).schema)
+      .getOrElse(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"))
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(schema)

@@ -70,6 +70,41 @@ class PqSpec extends SparkSpec {
       s"mean ADC error ${errs.sum / errs.length}")
   }
 
+  test("IVF-PQ: equals flat PQ at nprobe=nlist, prunes to probed lists otherwise") {
+    import spark.implicits._
+    // Codes encode raw vectors (by_residual=false), so probing EVERY list
+    // makes the candidate set the whole corpus and the composed operator
+    // must reproduce flat PQ bit-for-bit — the equality that proves the
+    // coarse stage only prunes, never rescores.
+    val flat = Similarity.cosineTopKPq(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    val all = Similarity.cosineTopKIvfPq(tables.embeddings, 10, 3,
+      nlist = 16, nprobe = 16).collect().map(_.toSeq).toSet
+    assert(all == flat && all.nonEmpty)
+    // At nprobe < nlist results are well-formed (dense ranks) and every
+    // scored cosine matches the flat-PQ ADC value for the same pair —
+    // pruning changes the candidate set, not the arithmetic.
+    val pruned = Similarity.cosineTopKIvfPq(tables.embeddings, 10, 3)
+      .collect()
+    assert(pruned.nonEmpty)
+    pruned.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rks = rows.map(r => r.getLong(r.fieldIndex("rk"))).sorted.toSeq
+      assert(rks == (1L to rks.size).toSeq)
+    }
+    val flatCos = Similarity.cosineTopKPq(tables.embeddings, 10, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pruned.forall { r =>
+      flatCos.get((r.getLong(0), r.getLong(1)))
+        .forall(_ == r.getDouble(r.fieldIndex("cos")))
+    })
+    // Deterministic across runs and partitionings, like both halves.
+    val again = Similarity.cosineTopKIvfPq(tables.embeddings, 10, 3)
+      .collect()
+    assert(again.map(_.toSeq).toSet == pruned.map(_.toSeq).toSet)
+    Similarity.releaseIndexes()
+  }
+
   test("pqIndex: duplicates share codes, the code table is compressed, serving matches one-shot") {
     import spark.implicits._
     // Two exact copies of each of 50 hash-derived vectors: identical
