@@ -5,14 +5,15 @@ import graft.operators.{Dedup, Reporting, Sampling, TextAnalysis}
 
 /** One end-to-end run of the LLM training-data curation dataflow the
   * engine adds beyond the reference: PII scrub → quality gate → exact +
-  * near-dup + boilerplate dedup → token-budget mixture → corpus report.
+  * near-dup + boilerplate + containment dedup → token-budget mixture →
+  * corpus report.
   * Every hop is the library operator a real curation deployment would
   * chain, with no mocks anywhere — the flow itself is the assertion that
   * the operators compose on shared column contracts.
   */
 class CurationFlowSpec extends SparkSpec {
 
-  test("curation flow: pii -> quality -> dedup -> boilerplate -> mixture -> report") {
+  test("curation flow: pii -> quality -> dedup -> boilerplate -> containment -> mixture -> report") {
     import spark.implicits._
     val docs = tables.documents
     val n0 = docs.count()
@@ -50,10 +51,48 @@ class CurationFlowSpec extends SparkSpec {
     val n4 = kept.count()
     assert(n4 == n3 - boiler.count())
 
+    // 3d. Containment trim: a doc mostly quoted inside another surviving
+    // doc is redundant even when Jaccard missed it (the asymmetric case).
+    // Drop the CONTAINED side; mutual containment (near-identical sets,
+    // both directions >= minC) keeps the lower id — same survivor rule as
+    // every other dedup hop, so the stage is deterministic.
+    // localCheckpoint = the stage boundary a real pipeline materializes
+    // to parquet: without it the containment self-joins embed the whole
+    // upstream flow plan on BOTH sides and Catalyst optimization time
+    // explodes combinatorially (driver-CPU-bound, not an executor cost).
+    val keptM = kept.localCheckpoint()
+    val cont = Dedup.containmentDups(keptM, 0.8).select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val mutual = cont.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))
+      .withColumn("mut", lit(true))
+    val contLosers = cont.join(mutual, Seq("doc_a", "doc_b"), "left")
+      .filter($"mut".isNull || $"doc_a" > $"doc_b")
+      .select($"doc_a".as("doc_id")).distinct()
+    val trimmed = keptM.join(contLosers, Seq("doc_id"), "left_anti")
+    val nTrimmedAway = contLosers.count()
+    val n5 = trimmed.count()
+    assert(n5 == n4 - nTrimmedAway)
+    // The trim is complete: no containment pair survives with both ends
+    // kept (a non-mutual pair drops its contained side; a mutual pair
+    // drops the higher id — either way at most one end remains).
+    assert(cont
+      .join(trimmed.select($"doc_id".as("doc_a")), "doc_a")
+      .join(trimmed.select($"doc_id".as("doc_b")), "doc_b")
+      .count() == 0)
+
+    // The corpus report ACCOUNTS for the containment trim: totals over
+    // the trimmed corpus differ from the pre-trim corpus by exactly the
+    // number of containment-trimmed docs.
+    val preTrim = Reporting.corpusReport(keptM).collect()
+      .map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    val postTrim = Reporting.corpusReport(trimmed).collect()
+      .map(r => r.getLong(r.fieldIndex("n_docs"))).sum
+    assert(preTrim - postTrim == nTrimmedAway)
+
     // 4. Token-budget mixture: per-source char budget caps the final mix.
     val budget = 2000L
-    val mix = kept.join(
-      Sampling.tokenBudgetMixture(kept, budget).select($"doc_id"), "doc_id")
+    val mix = trimmed.join(
+      Sampling.tokenBudgetMixture(trimmed, budget).select($"doc_id"), "doc_id")
     val perSource = mix.groupBy($"source")
       .agg(sum($"n_chars").as("chars"), max($"n_chars").as("maxc")).collect()
     // The running-sum cut admits the first doc crossing the line, so a
@@ -68,8 +107,8 @@ class CurationFlowSpec extends SparkSpec {
     assert(reported == mix.count())
 
     // The whole flow is deterministic: a rerun selects the same ids.
-    val again = kept.join(
-      Sampling.tokenBudgetMixture(kept, budget).select($"doc_id"), "doc_id")
+    val again = trimmed.join(
+      Sampling.tokenBudgetMixture(trimmed, budget).select($"doc_id"), "doc_id")
     assert(again.select($"doc_id").collect().toSet ==
       mix.select($"doc_id").collect().toSet)
   }
