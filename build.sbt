@@ -31,3 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // many-small-tasks local[32] profile (bench A/B: ~40 s vs ~45 s).
   "-XX:+UseParallelGC",
 )
+
+// Optional Selenium adapter source set (SCALE.md "JS-rendered ingestion
+// needs a browser"): graft.stages.SeleniumRenderer compiles ONLY when a
+// deployment opts in with -Dgraft.selenium=true AND supplies selenium-java
+// jars via -Dgraft.selenium.jars=<dir>. The zero-egress build can't
+// resolve Selenium, so the default build skips the directory entirely;
+// deployments that ship it get a compile-checked adapter, not a snippet.
+Compile / unmanagedSourceDirectories ++= {
+  if (sys.props.get("graft.selenium").exists(_.equalsIgnoreCase("true")))
+    Seq(baseDirectory.value / "src" / "optional" / "selenium" / "scala")
+  else Seq.empty
+}
+Compile / unmanagedJars ++= sys.props.get("graft.selenium.jars")
+  .map(d => (file(d) ** "*.jar").classpath.toSeq).getOrElse(Seq.empty)
