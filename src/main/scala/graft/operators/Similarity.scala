@@ -565,6 +565,62 @@ object Similarity {
       .filter($"rk" <= k)
   }
 
+  /** Build the composed IVF-PQ index persistably: coarse centroids
+    * (cid, cv), per-subspace codebooks (s, cid, cv), and the corpus as
+    * (vec_id, c0.., list_id, rnsq) code rows — all plain parquet. The
+    * full 100 TB serving layout: the coarse index prunes which code rows
+    * a query batch touches, the codes keep the touched rows ~64× smaller
+    * than raw vectors, and raw embeddings are read only at build time.
+    */
+  def ivfPqIndex(embeddings: DataFrame, nlist: Int = 16, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2,
+      dims: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val cents = trainIvfCentroids(e, nlist, iters)
+    val books = pqTrain(e, m, ksub, iters, dims)
+    val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val bookDf = books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.map { case (cid, cv) => (s, cid, cv.toSeq) }
+    }.toDF("s", "cid", "cv")
+    val codes =
+      if (cents.isEmpty || books.exists(_.isEmpty))
+        pqEncode(e.withColumn("list_id", lit(0L)),
+          Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims,
+          extra = Seq("list_id")).filter(lit(false))
+      else pqEncode(e.withColumn("list_id", assignExpr(cents)), books, dims,
+        extra = Seq("list_id"))
+    (centDf, bookDf, codes)
+  }
+
+  /** Serve cosine top-k from a stored [[ivfPqIndex]]: the ≤nlist
+    * centroid and ≤m×ksub codebook rows collect to the driver (the same
+    * driver-literal shape as training) and probing/scoring proceed
+    * exactly as in [[cosineTopKIvfPq]] — with identical index parameters
+    * the results match the one-shot operator's.
+    */
+  def cosineTopKIvfPqFromIndex(centroids: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
+      dims: Int = 64): DataFrame = {
+    import queries.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val books = codebooks.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1).toSeq }
+    val q = queries
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return q.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    pqScoreProbed(codes, q, cents, books, k, nprobe, dims)
+  }
+
   /** Per-vector banded hyperplane signatures as an array of per-band
     * buckets: element b packs the sign bits of planesPerBand hyperplane
     * dots (global plane index b·P+p, so band 0 with P planes equals

@@ -105,6 +105,28 @@ class PqSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("ivfPqIndex: parquet round-trip serving matches the one-shot operator") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val (cents, books, codes) = Similarity.ivfPqIndex(tables.embeddings)
+    // The code table carries its list assignment — serving never touches
+    // raw vectors or re-runs assignment.
+    assert(codes.columns.toSeq ==
+      Seq("vec_id", "c0", "c1", "c2", "c3", "list_id", "rnsq"))
+    cents.write.parquet(s"$dir/cents")
+    books.write.parquet(s"$dir/books")
+    codes.write.parquet(s"$dir/codes")
+    val served = Similarity.cosineTopKIvfPqFromIndex(
+      spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/books"),
+      spark.read.parquet(s"$dir/codes"),
+      tables.embeddings.filter($"vec_id" < 10), 3)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Similarity.cosineTopKIvfPq(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == oneShot && served.nonEmpty)
+    Similarity.releaseIndexes()
+  }
+
   test("pqIndex: duplicates share codes, the code table is compressed, serving matches one-shot") {
     import spark.implicits._
     // Two exact copies of each of 50 hash-derived vectors: identical
