@@ -354,6 +354,110 @@ case class MinhashBands(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment of a quantized vector in ONE native
+  * expression: returns the cid minimizing (‖c‖² − 2·<v,c>, cid) — the
+  * squared-L2 argmin with the row-constant ‖v‖² term dropped (it cannot
+  * change the winner or the tiebreak), ties broken by cid ascending.
+  * Bit-identical to the `array_min(array(struct(dist, cid)…))` shape it
+  * replaces, so the DuckDB Lloyd-replay oracles are untouched.
+  *
+  * Why an expression: the struct-array shape materializes nlist structs
+  * per row and carries nlist separate 64-long literal arrays in the plan;
+  * with [[graft.operators.Similarity.semanticNlist]] sizing (nlist = √n,
+  * ~10² at probe scales, unbounded with n) the generated code blows past
+  * JIT limits and falls out of whole-stage codegen exactly where the
+  * per-row work peaks. Here the centroid matrix ships once as a reference
+  * object and one generated double loop does the argmin — the
+  * [[HyperplaneSig]]/[[MinhashBands]] treatment applied to k-means
+  * assignment, which every IVF-family operator (assign, Lloyd update,
+  * PQ encode) sits on.
+  *
+  * Seq fields (not Array) keep case-class equality structural for plan
+  * canonicalization / CacheManager sharing, as in [[HyperplaneSig]].
+  */
+case class ArgminCentroid(child: Expression, cids: Seq[Long],
+    cents: Seq[Seq[Long]], dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cids.length == cents.length &&
+    cents.forall(_.length == dims),
+    s"centroid matrix must be ${cids.length} x $dims")
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val cnsqArr: Array[Long] =
+    centArr.map(_.map(x => x * x).sum)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmin_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"argmin_centroid: expected $dims dims, got ${v.numElements()}")
+    var best = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var j = 0
+    while (j < centArr.length) {
+      val row = centArr(j)
+      var dot = 0L
+      var i = 0
+      while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+      val s = cnsqArr(j) - 2L * dot
+      if (s < best || (s == best && cidArr(j) < bestCid)) {
+        best = s; bestCid = cidArr(j)
+      }
+      j += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", centArr, "long[][]")
+      val cid = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val cnsq = ctx.addReferenceObj("cnsqs", cnsqArr, "long[]")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "argmin_centroid: expected $dims dims, got " + $a.numElements());
+         |}
+         |long $best = Long.MAX_VALUE;
+         |long $bestCid = Long.MAX_VALUE;
+         |for (int $j = 0; $j < ${centArr.length}; $j++) {
+         |  long[] $row = $m[$j];
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $dot += $a.getLong($i) * $row[$i];
+         |  }
+         |  long $s = $cnsq[$j] - 2L * $dot;
+         |  if ($s < $best || ($s == $best && $cid[$j] < $bestCid)) {
+         |    $best = $s; $bestCid = $cid[$j];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExprs {
 
   /** Exact integer dot product of two array<long> columns. */
@@ -385,5 +489,14 @@ object VecExprs {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(MinhashBands(GraftSqlBridge.expression(ss),
       bands, rowsPerBand))
+  }
+
+  /** Nearest-centroid cid for a quantized array<long> vector, ties by
+    * cid ascending — one native argmin over the (cid, centroid) list.
+    */
+  def argminCentroid(v: Column, cs: Seq[(Long, Array[Long])]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ArgminCentroid(GraftSqlBridge.expression(v),
+      cs.map(_._1), cs.map(_._2.toSeq), cs.head._2.length))
   }
 }

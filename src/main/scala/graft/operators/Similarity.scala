@@ -248,10 +248,11 @@ object Similarity {
     cents
   }
 
-  /** Per-row (squared-L2 dist, cid) struct per centroid — the single
-    * source for both assignment (array_min = lexicographic minimum,
-    * identical tiebreak to the window formulation it replaced) and
-    * query probing (array_sort + slice).
+  /** Per-row (squared-L2 dist, cid) struct per centroid — feeds query
+    * probing (array_sort + slice keeps the FULL per-centroid distance
+    * ranking, which an argmin can't provide). Queries are the small
+    * side, so the nlist-literal-structs plan cost stays bounded there;
+    * corpus-sized assignment uses the native [[assignExpr]] instead.
     */
   private def centStructs(cs: Seq[(Long, Array[Long])]): Column =
     array(cs.map { case (cid, cv) =>
@@ -260,8 +261,15 @@ object Similarity {
         .as("dist"), lit(cid).as("cid"))
     }: _*)
 
+  /** Corpus-side nearest-centroid assignment: ONE native codegen argmin
+    * (graft.functions.ArgminCentroid) instead of nlist literal-dot
+    * structs + array_min — same (dist, cid) ordering bit-for-bit (the
+    * row-constant ‖v‖² term drops out of the argmin), but the generated
+    * code no longer grows with nlist, which q92's √n-scaled cluster
+    * counts would otherwise push past JIT limits.
+    */
   private def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
-    array_min(centStructs(cs)).getField("cid")
+    graft.functions.VecExprs.argminCentroid(col("v"), cs)
 
   /** The serving half: each query probes its nprobe nearest centroid
     * lists (same integer squared-L2 metric as assignment) via a map-side
@@ -382,20 +390,13 @@ object Similarity {
   private def cnsqMap(cs: Seq[(Long, Array[Long])]): Map[Long, Long] =
     cs.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
 
-  /** Encoder: argmin over (cnsq − 2·dot, cid) — the squared-L2 argmin
-    * with the row-constant ‖sub‖² term dropped (it cannot change the
-    * winner or the tiebreak); same array_min-over-structs shape as
-    * [[assignExpr]].
+  /** Encoder: argmin over (cnsq − 2·dot, cid) — exactly
+    * [[assignExpr]]'s native argmin, applied to the sliced subvector
+    * against subspace s's codebook.
     */
   private def pqEncodeSub(subv: Column,
-      cs: Seq[(Long, Array[Long])]): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    val nsqs = cnsqMap(cs)
-    array_min(array(cs.map { case (cid, cv) =>
-      struct((lit(nsqs(cid)) - lit(2L) * dotQ(subv, typedlit(cv.toSeq)))
-        .as("dist"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
-  }
+      cs: Seq[(Long, Array[Long])]): Column =
+    graft.functions.VecExprs.argminCentroid(subv, cs)
 
   /** Corpus → (vec_id, c0..c_{m-1}, rnsq): the compressed rows the scan
     * side touches. rnsq = ‖reconstruction‖² (integer, from codebook
@@ -769,22 +770,24 @@ object Similarity {
     * bit-for-bit.
     */
   def semanticDedup(embeddings: DataFrame, minCos: Double,
-      targetCluster: Long = 16, iters: Int = 2,
-      trainFrac: Double = 0.5): DataFrame = {
-    val nlist = semanticNlist(quantized(embeddings).count(), targetCluster)
+      iters: Int = 2, trainFrac: Double = 0.5): DataFrame = {
+    val nlist = semanticNlist(quantized(embeddings).count())
     semanticDedupAt(embeddings, minCos, nlist, iters, trainFrac)
   }
 
-  /** FAISS-style cluster-count sizing for [[semanticDedup]]: nlist tracks
-    * corpus size so expected cluster occupancy stays ≈ targetCluster as
-    * the corpus grows — intra-cluster pair work is then Σ|cluster|² ≈
-    * n·targetCluster, linear in n, never quadratic. The same
-    * derive-geometry-from-n pattern as [[lshParams]]; the static oracle
-    * pins the value this returns at the verify corpus size.
+  /** FAISS-style cluster-count sizing for [[semanticDedup]]:
+    * nlist ≈ √n balances the two corpus-sized costs against each other —
+    * centroid ASSIGNMENT is n·nlist distance evaluations and the
+    * intra-cluster PRUNE is Σ|cluster|² ≈ n²/nlist pair dots, so √n makes
+    * both O(n^1.5); any sizing linear in n turns assignment quadratic
+    * (measured: n/16 sizing ran 14× at 10× data — the 81 s q92 probe —
+    * vs sublinear-in-output at √n). The same derive-geometry-from-n
+    * pattern as [[lshParams]]; the static oracle pins the value this
+    * returns at the verify corpus size.
     */
-  def semanticNlist(n: Long, targetCluster: Long = 16): Int =
-    math.max(1L, math.min(1L << 18,
-      math.ceil(n.toDouble / targetCluster).toLong)).toInt
+  def semanticNlist(n: Long): Int =
+    math.max(1L, math.min(1L << 16,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   /** [[semanticDedup]] at an explicit cluster count — the core both the
     * auto-sized entry point and the nlist-sweep probes call. Training is
@@ -1130,10 +1133,10 @@ object Similarity {
   private val (q78Bands, q78Planes) = lshParams(500, 0.5, targetRecall = 0.9)
 
   /** q92's pinned cluster count = [[semanticNlist]] at the verify
-    * corpus's 500 vectors (32 at targetCluster=16). The RUNTIME side
-    * derives it from the actual corpus count, so — like q78's auto
-    * geometry — any drift in the count or the sizing math changes the
-    * clustering and hash-mismatches against this pinned replay.
+    * corpus's 500 vectors (⌈√500⌉ = 23). The RUNTIME side derives it
+    * from the actual corpus count, so — like q78's auto geometry — any
+    * drift in the count or the sizing math changes the clustering and
+    * hash-mismatches against this pinned replay.
     */
   private val q92Nlist = semanticNlist(500)
 
