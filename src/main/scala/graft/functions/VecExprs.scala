@@ -458,6 +458,126 @@ case class ArgminCentroid(child: Expression, cids: Seq[Long],
     copy(child = newChild)
 }
 
+/** The `nprobe` nearest centroid cids of a quantized vector, ordered by
+  * (‖c‖² − 2·<v,c>, cid) ascending — [[ArgminCentroid]]'s ordering
+  * extended to a top-nprobe selection, bit-identical to the
+  * `slice(array_sort(array(struct(dist, cid)…)), 1, nprobe)` shape it
+  * replaces (the row-constant ‖v‖² term cannot change the ordering).
+  * Used on the query side of IVF probing, so per-row cost is
+  * nlist·(dims + nprobe) with constant-size generated code instead of an
+  * nlist-struct literal forest in the plan.
+  */
+case class ProbeCentroids(child: Expression, cids: Seq[Long],
+    cents: Seq[Seq[Long]], nprobe: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cids.length == cents.length &&
+    cents.forall(_.length == dims) && nprobe >= 1,
+    s"centroid matrix must be ${cids.length} x $dims with nprobe >= 1")
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val cnsqArr: Array[Long] =
+    centArr.map(_.map(x => x * x).sum)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "probe_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"probe_centroids: expected $dims dims, got ${v.numElements()}")
+    val n = centArr.length
+    val scores = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val row = centArr(j)
+      var dot = 0L
+      var i = 0
+      while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+      scores(j) = cnsqArr(j) - 2L * dot
+      j += 1
+    }
+    val take = math.min(nprobe, n)
+    val out = new Array[Long](take)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var p = 0
+      while (p < n) {
+        if (!taken(p) && (best < 0 || scores(p) < scores(best) ||
+          (scores(p) == scores(best) && cidArr(p) < cidArr(best)))) best = p
+        p += 1
+      }
+      taken(best) = true
+      out(r) = cidArr(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", centArr, "long[][]")
+      val cid = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val cnsq = ctx.addReferenceObj("cnsqs", cnsqArr, "long[]")
+      val n = centArr.length
+      val scores = ctx.freshName("scores")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("probes")
+      val take = ctx.freshName("take")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val p = ctx.freshName("p")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      val best = ctx.freshName("best")
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "probe_centroids: expected $dims dims, got " + $a.numElements());
+         |}
+         |long[] $scores = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long[] $row = $m[$j];
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $dot += $a.getLong($i) * $row[$i];
+         |  }
+         |  $scores[$j] = $cnsq[$j] - 2L * $dot;
+         |}
+         |int $take = java.lang.Math.min($nprobe, $n);
+         |long[] $out = new long[$take];
+         |boolean[] $taken = new boolean[$n];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1;
+         |  for (int $p = 0; $p < $n; $p++) {
+         |    if (!$taken[$p] && ($best < 0 || $scores[$p] < $scores[$best] ||
+         |        ($scores[$p] == $scores[$best] && $cid[$p] < $cid[$best]))) {
+         |      $best = $p;
+         |    }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$r] = $cid[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExprs {
 
   /** Exact integer dot product of two array<long> columns. */
@@ -498,5 +618,15 @@ object VecExprs {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(ArgminCentroid(GraftSqlBridge.expression(v),
       cs.map(_._1), cs.map(_._2.toSeq), cs.head._2.length))
+  }
+
+  /** The nprobe nearest centroid cids (array<long>, nearest first), same
+    * ordering and tiebreak as [[argminCentroid]].
+    */
+  def probeCentroids(v: Column, cs: Seq[(Long, Array[Long])],
+      nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ProbeCentroids(GraftSqlBridge.expression(v),
+      cs.map(_._1), cs.map(_._2.toSeq), nprobe, cs.head._2.length))
   }
 }

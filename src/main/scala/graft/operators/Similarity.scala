@@ -248,19 +248,6 @@ object Similarity {
     cents
   }
 
-  /** Per-row (squared-L2 dist, cid) struct per centroid — feeds query
-    * probing (array_sort + slice keeps the FULL per-centroid distance
-    * ranking, which an argmin can't provide). Queries are the small
-    * side, so the nlist-literal-structs plan cost stays bounded there;
-    * corpus-sized assignment uses the native [[assignExpr]] instead.
-    */
-  private def centStructs(cs: Seq[(Long, Array[Long])]): Column =
-    array(cs.map { case (cid, cv) =>
-      val cnsq = cv.map(x => x * x).sum
-      struct((col("nsq") + lit(cnsq) - lit(2L) * dotQ(col("v"), typedlit(cv.toSeq)))
-        .as("dist"), lit(cid).as("cid"))
-    }: _*)
-
   /** Corpus-side nearest-centroid assignment: ONE native codegen argmin
     * (graft.functions.ArgminCentroid) instead of nlist literal-dot
     * structs + array_min — same (dist, cid) ordering bit-for-bit (the
@@ -272,17 +259,17 @@ object Similarity {
     graft.functions.VecExprs.argminCentroid(col("v"), cs)
 
   /** The serving half: each query probes its nprobe nearest centroid
-    * lists (same integer squared-L2 metric as assignment) via a map-side
-    * array_sort + slice, then scores only those lists.
+    * lists (same integer squared-L2 metric and tiebreak as assignment —
+    * one native ProbeCentroids top-nprobe per query row), then scores
+    * only those lists.
     */
   private def probeAndScore(assigned: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Array[Long])], k: Int, nprobe: Int): DataFrame = {
     import assigned.sparkSession.implicits._
-    val probeArr = array_sort(centStructs(cents))
     val qProbes = queries
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
-        explode(slice(probeArr, 1, nprobe)).as("pp"))
-      .select($"qid", $"qv", $"qnsq", col("pp.cid").as("list_id"))
+        explode(graft.functions.VecExprs.probeCentroids($"v", cents, nprobe))
+          .as("list_id"))
     scoreTopK(assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter($"vec_id" =!= $"qid"), k)
   }
@@ -536,7 +523,7 @@ object Similarity {
   }
 
   /** The IVF-PQ serving join: each query row explodes into its nprobe
-    * (list_id, LUT…) probe rows (same array_sort+slice probing as
+    * (list_id, LUT…) probe rows (same native ProbeCentroids probing as
     * [[probeAndScore]]), broadcast against the code table keyed on
     * list_id; a candidate costs m map lookups, exactly [[pqScore]]'s ADC.
     */
@@ -546,14 +533,12 @@ object Similarity {
     import codes.sparkSession.implicits._
     val m = books.size
     val len = dims / m
-    val probeArr = array_sort(centStructs(cents))
     val qq = queries
       .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
-        explode(slice(probeArr, 1, nprobe)).as("pp") +:
+        explode(graft.functions.VecExprs.probeCentroids($"v", cents, nprobe))
+          .as("list_id") +:
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
-      .select(($"qid" +: $"qnsq" +: col("pp.cid").as("list_id") +:
-        (0 until m).map(s => col(s"lut$s"))): _*)
     val adot = (0 until m).map(s =>
       element_at(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
     val scored = codes.join(broadcast(qq), Seq("list_id"))
