@@ -59,7 +59,12 @@ object QDebug {
         t.lineitem, t.events, t.documents, t.embeddings)
         .foreach(_.count())
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_EXPLAIN=formatted|extended|codegen dumps each query's
+    // plan before timing it — the plan-shape audit loop (PushedFilters,
+    // broadcast vs shuffle joins, WholeStageCodegen spans).
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN")
     args.foreach { name =>
+      explain.foreach(SparkEntry.queries(name)(spark, sfDir).explain)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(String.format(java.util.Locale.ROOT,
