@@ -310,6 +310,31 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  test("eventsStream on an empty directory starts before any file arrives") {
+    // The file-arrival use case: the stream is created first, files land
+    // later. Schema sniffing has nothing to read, so the explicit
+    // NTZ-shape fallback must kick in and the stream must process files
+    // that arrive after start.
+    val dir = Files.createTempDirectory("events_empty").toString
+    val stream = Streams.eventsStream(spark, dir)
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // normalized like batch
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_arrival").start()
+    q.processAllAvailable()
+    assert(spark.table("late_arrival").count() == 0)
+    // A file arriving after stream start is picked up... but only when
+    // its ts vintage matches the stream's fixed schema, so write one
+    // through the SAME NTZ shape the fallback declares.
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("late_arrival").count() == tables.events.count())
+  }
+
   test("streaming hourly rollup equals the batch rollup") {
     val stream = Streams.eventsStream(spark, eventsDir)
     val agg = Streams.hourlyRollupStream(stream)
