@@ -743,13 +743,19 @@ object Similarity {
     * paper's keep-one-per-group rule. Returns every vector with its
     * cluster and verdict: (vec_id, list_id, kept).
     *
-    * This is the scale path near-dup when no LSH geometry fits: the
-    * pairwise work is Σ |cluster|² — bounded by making nlist track
-    * corpus size (n / target cluster size, the FAISS sizing rule), so
-    * per-cluster pair counts stay constant as the corpus grows. The
-    * self-join shuffles on list_id; a skewed (hot) cluster is exactly
-    * the AQE skew-join case, and the quantized vectors it moves are
-    * compact longs. All arithmetic is exact-integer (dot, norms) with
+    * This is the scale path near-dup when no LSH geometry fits. Two
+    * corpus-sized costs trade against each other: centroid ASSIGNMENT is
+    * n·nlist distance evaluations and the intra-cluster PRUNE is
+    * Σ|cluster|² ≈ n²/nlist pair dots — [[semanticNlist]]'s √n sizing
+    * makes both O(n^1.5) (measured: the linear-in-n sizing this replaced
+    * ran 14× at 10× data; √n + the native ArgminCentroid assignment runs
+    * 1.5× — bench_r11_sf1.json §q92). The self-join shuffles on list_id;
+    * a skewed (hot) cluster is exactly the AQE skew-join case, and the
+    * quantized vectors it moves are compact longs. Training runs on the
+    * hash-cap half-sample by default; at corpus scales where n/2 still
+    * dwarfs what Lloyd needs, pass the FAISS rule explicitly
+    * (trainFrac ≈ min(1, 256·nlist/n)) — the oracle machinery replays
+    * any fraction. All arithmetic is exact-integer (dot, norms) with
     * one final double division — the identical contract as the rest of
     * the family, so the Lloyd replay + EXISTS oracle matches
     * bit-for-bit.
