@@ -25,6 +25,49 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("a", "a", "b", "b"))
   }
 
+  test("ArgminCentroid/ProbeCentroids == the struct-array formulation, ties by cid") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.functions.VecExprs
+    val e = tables.embeddings
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+      .withColumn("nsq", Similarity.normSqQ($"v"))
+    // Centroids = the first 8 corpus vectors, PLUS an exact duplicate of
+    // centroid 0 under a higher cid — a guaranteed distance tie that the
+    // (dist, cid) tiebreak must resolve to the LOWER cid on both paths.
+    val base = e.orderBy($"vec_id").limit(8).collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    val cents: Seq[(Long, Array[Long])] =
+      base.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toSeq :+
+        (99L, base(0))
+    // The legacy shape ArgminCentroid replaced (round-11): one literal-dot
+    // struct per centroid, array_min over the (dist, cid) structs.
+    def legacyStructs = array(cents.map { case (cid, cv) =>
+      val cnsq = cv.map(x => x * x).sum
+      struct(($"nsq" + lit(cnsq) - lit(2L) * VecExprs.dotQ($"v", typedlit(cv.toSeq)))
+        .as("dist"), lit(cid).as("cid"))
+    }: _*)
+    val both = e.select($"vec_id",
+      VecExprs.argminCentroid($"v", cents).as("native"),
+      array_min(legacyStructs).getField("cid").as("legacy"),
+      VecExprs.probeCentroids($"v", cents, 3).as("nativeProbes"),
+      transform(slice(array_sort(legacyStructs), 1, 3), s => s.getField("cid"))
+        .as("legacyProbes"))
+    assert(both.filter($"native" =!= $"legacy").count() == 0)
+    assert(both.filter(!($"nativeProbes" === $"legacyProbes")).count() == 0)
+    // The planted tie never resolves to cid 99 (its twin cid 0 wins)...
+    assert(both.filter($"native" === 99L).count() == 0)
+    // ...and vec_id 0 — exactly centroid 0 — proves the tie was real:
+    // both 0 and 99 are at distance 0, and the probe list orders 0 first.
+    val v0 = both.filter($"vec_id" === 0L).collect()(0)
+    assert(v0.getAs[Long]("native") == 0L)
+    assert(v0.getSeq[Long](v0.fieldIndex("nativeProbes")).take(2) == Seq(0L, 99L))
+    // nprobe > nlist caps at nlist, preserving order.
+    val capped = e.select(
+      VecExprs.probeCentroids($"v", cents, 100).as("p")).collect()
+    assert(capped.forall(_.getSeq[Long](0).length == cents.length))
+  }
+
   test("WeightedReservoir equals the window formulation (same ES keys)") {
     import spark.implicits._
     val viaAgg = Sampling.weightedReservoirPerType(tables.events, 5)
