@@ -342,10 +342,11 @@ object Similarity {
     * ([[pqOracleSql]]) like the rest of the ANN family.
     */
   def cosineTopKPq(embeddings: DataFrame, nQueries: Int, k: Int,
-      m: Int = 4, ksub: Int = 8, iters: Int = 2, dims: Int = 64): DataFrame = {
+      m: Int = 4, ksub: Int = 8, iters: Int = 2, dims: Int = 64,
+      trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val books = pqTrain(e, m, ksub, iters, dims)
+    val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
@@ -357,16 +358,19 @@ object Similarity {
     * sliced subvectors. Seeds rank on detUniform("ivfseed", vec_id) —
     * vec_id only — so all m subspaces train from the same seed ROWS
     * (one seed CTE in the oracle), while iterating independently.
+    * trainFrac < 1 trains every codebook on the SAME hash-cap sample
+    * ("ivftrain" on vec_id, as [[trainCentroidsSampled]]) — the bounded
+    * index-build cost at corpus scale, composing with the q80 knob.
     */
   private def pqTrain(e: DataFrame, m: Int, ksub: Int, iters: Int,
-      dims: Int): Seq[Seq[(Long, Array[Long])]] = {
+      dims: Int, trainFrac: Double = 1.0): Seq[Seq[(Long, Array[Long])]] = {
     import e.sparkSession.implicits._
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val len = dims / m
     (0 until m).map { s =>
       val sub = e.select($"vec_id", slice($"v", s * len + 1, len).as("v"))
         .withColumn("nsq", normSqQ($"v"))
-      trainIvfCentroids(sub, ksub, iters)
+      trainCentroidsSampled(sub, ksub, iters, trainFrac)
     }
   }
 
@@ -445,10 +449,11 @@ object Similarity {
     * corpus never could; raw vectors are only read at build time.
     */
   def pqIndex(embeddings: DataFrame, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2, dims: Int = 64): (DataFrame, DataFrame) = {
+      iters: Int = 2, dims: Int = 64,
+      trainFrac: Double = 1.0): (DataFrame, DataFrame) = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val books = pqTrain(e, m, ksub, iters, dims)
+    val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
     val bookDf = books.zipWithIndex.flatMap { case (cs, s) =>
       cs.map { case (cid, cv) => (s, cid, cv.toSeq) }
     }.toDF("s", "cid", "cv")
@@ -508,11 +513,11 @@ object Similarity {
     */
   def cosineTopKIvfPq(embeddings: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2, dims: Int = 64): DataFrame = {
+      iters: Int = 2, dims: Int = 64, trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val cents = trainIvfCentroids(e, nlist, iters)
-    val books = pqTrain(e, m, ksub, iters, dims)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
     if (cents.isEmpty || books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
@@ -559,12 +564,12 @@ object Similarity {
     * than raw vectors, and raw embeddings are read only at build time.
     */
   def ivfPqIndex(embeddings: DataFrame, nlist: Int = 16, m: Int = 4,
-      ksub: Int = 8, iters: Int = 2,
-      dims: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+      ksub: Int = 8, iters: Int = 2, dims: Int = 64,
+      trainFrac: Double = 1.0): (DataFrame, DataFrame, DataFrame) = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
-    val cents = trainIvfCentroids(e, nlist, iters)
-    val books = pqTrain(e, m, ksub, iters, dims)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
     val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv")
     val bookDf = books.zipWithIndex.flatMap { case (cs, s) =>

@@ -105,6 +105,31 @@ class PqSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("sampled PQ training: deterministic, tiny-sample fallback, composes with IVF-PQ") {
+    // trainFrac is the q80 hash-cap knob applied to the PQ family: every
+    // codebook (and the coarse quantizer in the composed operator) trains
+    // on the same "ivftrain" half-sample, bounding index-build cost.
+    val sampled = Similarity.cosineTopKPq(tables.embeddings, 10, 3,
+      trainFrac = 0.5).collect()
+    assert(sampled.nonEmpty)
+    val again = Similarity.cosineTopKPq(tables.embeddings, 10, 3,
+      trainFrac = 0.5).collect()
+    assert(again.map(_.toSeq).toSet == sampled.map(_.toSeq).toSet)
+    // A fraction so small the sample is empty falls back to full-corpus
+    // training — identical rows to trainFrac = 1 (per subspace).
+    val tiny = Similarity.cosineTopKPq(tables.embeddings, 10, 3,
+      trainFrac = 1e-9).collect().map(_.toSeq).toSet
+    val full = Similarity.cosineTopKPq(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(tiny == full)
+    // The nprobe=nlist equality holds under sampled training too — the
+    // sample changes WHICH codebooks get trained, not the composition.
+    val ivfpq = Similarity.cosineTopKIvfPq(tables.embeddings, 10, 3,
+      nlist = 16, nprobe = 16, trainFrac = 0.5).collect().map(_.toSeq).toSet
+    assert(ivfpq == sampled.map(_.toSeq).toSet)
+    Similarity.releaseIndexes()
+  }
+
   test("ivfPqIndex: parquet round-trip serving matches the one-shot operator") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
