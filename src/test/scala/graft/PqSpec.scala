@@ -49,6 +49,18 @@ class PqSpec extends SparkSpec {
       assert(nid % 8 == qid % 8,
         s"top-1 for query $qid came from cluster ${nid % 8}, not ${qid % 8}")
     }
+    // The composed IVF-PQ must not lose the cluster either: the coarse
+    // quantizer's probed lists have to contain the query's own cluster
+    // for ADC to find it (8 centroids over 8 planted clusters, nprobe 2).
+    val ivfpq = Similarity.cosineTopKIvfPq(df, 8, 1,
+      nlist = 8, nprobe = 2, ksub = 8).collect()
+    assert(ivfpq.length == 8)
+    ivfpq.foreach { r =>
+      val qid = r.getLong(r.fieldIndex("qid"))
+      val nid = r.getLong(r.fieldIndex("nid"))
+      assert(nid % 8 == qid % 8,
+        s"IVF-PQ top-1 for query $qid came from cluster ${nid % 8}, not ${qid % 8}")
+    }
     Similarity.releaseIndexes()
   }
 
