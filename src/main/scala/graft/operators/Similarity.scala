@@ -556,6 +556,49 @@ object Similarity {
       .filter($"rk" <= k)
   }
 
+  /** Embedding near-dups of an INCOMING batch against a stored
+    * [[ivfIndex]] corpus — the serving-side embedding dedup an ingest
+    * pipeline runs per batch (the cosine counterpart of the text
+    * family's q77 incremental near-dup): each new vector probes its
+    * `nprobe` nearest lists and any indexed vector there at ≥ minCos is
+    * reported as (vec_id, dup_of, cos). Approximate with the same
+    * contract as every IVF path — recall is the probability the true
+    * neighbor's list is probed — but deterministic bit-for-bit, so q95
+    * carries a full DuckDB replay.
+    *
+    * Scale shape: the index is built once offline; per batch the work
+    * is |batch|·nlist probe evals (one native ProbeCentroids per row)
+    * plus a broadcast join of the batch's probe rows against the
+    * assigned corpus pruned to probed lists. Nothing corpus-sized
+    * shuffles at serve time, and each corpus vector lives in exactly
+    * one list, so no post-join dedup is needed.
+    */
+  def cosineNearDupsFromIndex(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, minCos: Double, nprobe: Int = 4): DataFrame = {
+    import queries.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val q = queries
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (cents.isEmpty)
+      return q.filter(lit(false)).select($"vec_id",
+        $"vec_id".as("dup_of"), lit(0d).as("cos"))
+    val qProbes = q.select($"vec_id".as("qid"), $"v".as("qv"),
+      $"nsq".as("qnsq"),
+      explode(graft.functions.VecExprs.probeCentroids($"v", cents, nprobe))
+        .as("list_id"))
+    assigned.join(broadcast(qProbes), Seq("list_id"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("dup_of"),
+        (dotQ($"qv", $"v").cast("double") /
+          sqrt($"qnsq".cast("double")) / sqrt($"nsq".cast("double")))
+          .as("cos"))
+      .filter($"cos" >= minCos)
+      .select($"qid".as("vec_id"), $"dup_of", $"cos")
+  }
+
   /** Build the composed IVF-PQ index persistably: coarse centroids
     * (cid, cv), per-subspace codebooks (s, cid, cv), and the corpus as
     * (vec_id, c0.., list_id, rnsq) code rows — all plain parquet. The
@@ -1046,6 +1089,42 @@ object Similarity {
        |  FROM scored) WHERE rk <= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[cosineNearDupsFromIndex]] over an [[ivfIndex]]
+    * built in the same statement: the shared Lloyd chain to asgF, the
+    * probes CTE for the batch (vec_id < nQueries), then pair dots with a
+    * threshold filter instead of a rank window.
+    */
+  private def ivfServeOracleSql(nQueries: Int, minCosSql: String,
+      nlist: Int, nprobe: Int, iters: Int): String = {
+    val f = iters
+    s"""${ivfAssignCtes(nlist, iters, 1.0)},
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY (n.nsq + cn.cnsq - 2 * d.dot) ASC, d.cid ASC) AS pr
+       |    FROM dt$f d
+       |    JOIN n ON n.vec_id = d.vec_id
+       |    JOIN cn$f cn ON cn.cid = d.cid
+       |    WHERE d.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN asgF a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |pd AS (
+       |  SELECT c.qid, c.nid, CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN u a ON a.vec_id = c.qid
+       |  JOIN u b ON b.vec_id = c.nid AND b.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT qid AS vec_id, nid AS dup_of, cos FROM (
+       |  SELECT qid, nid,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE))
+       |      / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
+       |  FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
+       |WHERE cos >= CAST($minCosSql AS DOUBLE)""".stripMargin
+  }
+
   /** DuckDB replay of [[cosineTopKIvfPq]] — the composition of the two
     * existing oracle builders: [[ivfAssignCtes]] supplies the coarse
     * Lloyd chain (e/u/n/seed…asgF + the finals cn/dt the probe CTE
@@ -1156,6 +1235,16 @@ object Similarity {
     // shape at 100 TB; same component geometry as q51 (coarse) + q87 (PQ).
     "q94_cosine_topk_ivfpq" -> ((s, d) =>
       cosineTopKIvfPq(Tables.load(s, d).embeddings, 10, 3)),
+    // Serving-side embedding near-dup: an incoming batch (the first 20
+    // vectors) probed against the ivfIndex of the whole corpus — the
+    // per-batch ingest dedup, cosine counterpart of q77's serve half.
+    "q95_cosine_neardup_serve" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.load(s, d).embeddings
+      val (cents, assigned) = ivfIndex(emb)
+      cosineNearDupsFromIndex(cents, assigned,
+        emb.filter($"vec_id" < 20), 0.35)
+    }),
     // Auto-sized semantic dedup: nlist derives from the runtime corpus
     // count (semanticNlist) and Lloyd trains on the hash-cap half-sample —
     // the oracle replays both at the pinned verify-corpus geometry.
@@ -1294,6 +1383,8 @@ object Similarity {
       m = 4, ksub = 8, iters = 2, dims = 64),
     "q94_cosine_topk_ivfpq" -> ivfPqOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 2, dims = 64),
+    "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
+      minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, iters = 2, trainFrac = 0.5),
     "q59_cosine_neardups" ->

@@ -75,6 +75,37 @@ class IvfSpec extends SparkSpec {
     assert(tiny == full)
   }
 
+  test("cosineNearDupsFromIndex: exact pairs only, parquet round-trip, deterministic") {
+    import spark.implicits._
+    val emb = tables.embeddings
+    val (cents, assigned) = Similarity.ivfIndex(emb)
+    val batch = emb.filter($"vec_id" < 20)
+    val served = Similarity.cosineNearDupsFromIndex(cents, assigned,
+      batch, 0.35).collect()
+    assert(served.nonEmpty, "testdata yields >= 0.35 pairs for the batch")
+    // Verification is exact on quantized vectors, so every reported pair
+    // must appear in the brute-force >= minCos set — zero false
+    // positives; only recall is approximate (unprobed lists).
+    val brute = Similarity.cosineTopK(emb, 20, 500)
+      .filter($"cos" >= 0.35)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    served.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute.get(key).contains(r.getDouble(2)),
+        s"served pair $key not in the exact >= minCos set")
+    }
+    // Parquet round-trip serving (the actual deployment contract).
+    val dir = java.nio.file.Files.createTempDirectory("servedup").toString
+    cents.write.parquet(s"$dir/cents")
+    assigned.write.parquet(s"$dir/assigned")
+    val roundTrip = Similarity.cosineNearDupsFromIndex(
+      spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/assigned"),
+      batch, 0.35).collect()
+    assert(roundTrip.map(_.toSeq).toSet == served.map(_.toSeq).toSet)
+    Similarity.releaseIndexes()
+  }
+
   test("serving from a stored IVF index matches the one-shot operator") {
     import spark.implicits._
     // Build once, persist as parquet (the serving contract), query many.
