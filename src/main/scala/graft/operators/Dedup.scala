@@ -472,6 +472,24 @@ object Dedup {
   def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, maxDist: Int): DataFrame = {
     import sigs.sparkSession.implicits._
+    val chunked = cacheIndex(chunkSigs(sigs, idCol, sigCol, bits, maxDist))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxDist)
+  }
+
+  /** (id, sig) → one row per pigeonhole chunk: (_id, _sig, c, v). Shared
+    * by the self-join ([[hammingNearPairs]]) and the serve-against-state
+    * join ([[hammingNearPairsAgainst]]) so both sides block identically.
+    */
+  private def chunkSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxDist: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
     require(bits >= 1 && bits <= 64 && maxDist < bits,
       s"need 1 <= bits <= 64 and maxDist < bits, got ($bits, $maxDist)")
     val chunks = maxDist + 1
@@ -485,19 +503,51 @@ object Dedup {
       struct(lit(c).as("c"),
         shiftright(col("_sig"), c * bitsPer).bitwiseAND(lit(mask)).as("v"))
     }: _*)
-    val chunked = cacheIndex(
-      sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
-        .select($"_id", $"_sig", explode(chunkArr).as("ch"))
-        .select($"_id", $"_sig", col("ch.c").as("c"), col("ch.v").as("v")))
-    chunked.as("x").join(chunked.as("y"),
+    sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+      .select($"_id", $"_sig", explode(chunkArr).as("ch"))
+      .select($"_id", $"_sig", col("ch.c").as("c"), col("ch.v").as("v"))
+  }
+
+  /** Hamming-≤maxDist pairs of an INCOMING batch against a stored
+    * signature state — the serving-side form of [[hammingNearPairs]],
+    * same pigeonhole blocking but two-sided: the state's chunk index is
+    * the persisted/cached side, the batch's chunks broadcast against it.
+    * Emits ordered (id, dup_of, hamming) — id from the batch, dup_of
+    * from the state — so a batch doc reports EVERY stored near-twin.
+    *
+    * Scale shape: serve-time work is |batch|·(maxDist+1) chunk rows
+    * joined map-side against the chunked state (broadcast the batch,
+    * never the state); exactness is inherited from the pigeonhole bound.
+    */
+  def hammingNearPairsAgainst(state: DataFrame, batch: DataFrame,
+      idCol: String, sigCol: String, bits: Int, maxDist: Int): DataFrame = {
+    import state.sparkSession.implicits._
+    val st = cacheIndex(chunkSigs(state, idCol, sigCol, bits, maxDist))
+    val bt = chunkSigs(batch, idCol, sigCol, bits, maxDist)
+    st.as("x").join(broadcast(bt.as("y")),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x._id") < col("y._id"))
-      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+          col("x._id") =!= col("y._id"))
+      .select(col("y._id").as("id"), col("x._id").as("dup_of"),
         bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter($"hamming" <= maxDist)
   }
+
+  /** Serving-side SimHash near-dup (q96): an incoming document batch
+    * signed with [[simhashes]] and probed against a stored signature
+    * state — the per-batch ingest dedup, the SimHash counterpart of
+    * q77's LSH serve half and q95's embedding serve. A signature is a
+    * pure function of its own document (no corpus-df dependence), so
+    * batch-local signing is exact, and the pigeonhole join is exact at
+    * the signature level — the whole serve path carries a brute-force
+    * DuckDB oracle like q47.
+    */
+  def simhashNearDupsFromState(state: DataFrame, batchDocs: DataFrame,
+      maxDist: Int): DataFrame =
+    hammingNearPairsAgainst(state, simhashes(batchDocs),
+      "doc_id", "simhash", 16, maxDist)
+      .select(col("id").as("doc_id"), col("dup_of"), col("hamming"))
 
   /** Diagnostic: banded-candidate count for the default LSH config. */
   def lshCandidateCount(docs: DataFrame): Long = {
@@ -739,6 +789,14 @@ object Dedup {
     "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
     "q47_simhash_pairs" -> ((s, d) =>
       simhashNearPairs(Tables.load(s, d).documents, 1)),
+    // Serving-side SimHash dedup: the first 20 docs as the incoming
+    // batch, the full corpus's signatures as the stored state.
+    "q96_simhash_serve" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d).documents
+      simhashNearDupsFromState(simhashes(docs),
+        docs.filter($"doc_id" < 20), 1)
+    }),
     "q64_decontaminate" -> ((s, d) =>
       decontaminate(Tables.load(s, d).documents, "src0", 5)),
     "q67_neardup_clusters" -> ((s, d) =>
@@ -901,6 +959,15 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
+    // Ordered batch-vs-state pairs: b = the batch (doc_id < 20), a = any
+    // stored doc; same brute-force-oracle argument as q47.
+    "q96_simhash_serve" ->
+      s"""WITH $simhashCte
+         |SELECT b.doc_id, a.doc_id AS dup_of,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig b JOIN sig a ON a.doc_id <> b.doc_id
+         |WHERE b.doc_id < 20
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
     // The LSH path is exact-verified; at 16×4 bands the candidate recall at
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),

@@ -232,6 +232,32 @@ class TextDedupSpec extends SparkSpec {
       .forall(r => { val s = r.getLong(1); s >= 0 && s < 65536 }))
   }
 
+  test("simhash serve: ordered pairs agree with the self-join, parquet state round-trips") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = tables.documents
+    val state = Dedup.simhashes(docs)
+    val batch = docs.filter($"doc_id" < 20)
+    val served = Dedup.simhashNearDupsFromState(state, batch, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // The self-join's unordered pairs, restricted to batch-involving ones
+    // and re-ordered batch-first, must equal the served set exactly —
+    // serve is the same pigeonhole search with a different blocking side.
+    val self = Dedup.simhashNearPairs(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = self.flatMap { case (a, b, h) =>
+      Seq((a, b, h), (b, a, h))
+    }.filter(_._1 < 20).toSet
+    assert(served == expected && served.nonEmpty)
+    // The state is plain parquet — the persisted-index serving contract.
+    val dir = java.nio.file.Files.createTempDirectory("simstate").toString
+    state.write.parquet(s"$dir/sigs")
+    val roundTrip = Dedup.simhashNearDupsFromState(
+      spark.read.parquet(s"$dir/sigs"), batch, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(roundTrip == served)
+  }
+
   test("MinhashBands equals the aggregate minhash formulation bit-for-bit") {
     // The persisted-state contract: LSH state written by the pre-r10
     // 64-aggregate formulation must interoperate with signatures computed
