@@ -556,6 +556,30 @@ object Similarity {
       .filter($"rk" <= k)
   }
 
+  /** Assign raw vectors to a stored [[ivfIndex]]'s lists WITHOUT
+    * retraining — the index-maintenance half of streaming ingest (the
+    * FAISS `add` analog): quantize, one native argmin per row against
+    * the collected centroids, emit rows append-compatible with the
+    * index's assigned table. Centroid drift under a shifting
+    * distribution is the standard operational caveat — rebuild the
+    * index periodically, exactly as FAISS deployments do.
+    */
+  def ivfAssign(centroids: DataFrame, vectors: DataFrame): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val q = vectors
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (cents.isEmpty)
+      q.filter(lit(false)).withColumn("list_id", lit(0L))
+        .select($"vec_id", $"v", $"nsq", $"list_id")
+    else
+      q.withColumn("list_id", assignExpr(cents))
+        .select($"vec_id", $"v", $"nsq", $"list_id")
+  }
+
   /** Embedding near-dups of an INCOMING batch against a stored
     * [[ivfIndex]] corpus — the serving-side embedding dedup an ingest
     * pipeline runs per batch (the cosine counterpart of the text

@@ -423,4 +423,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == full, s"streamed ${streamed.size}, full ${full.size}")
     assert(full.nonEmpty)
   }
+
+  test("streaming embedding ingest: serve against the IVF state, assign-append per batch") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // The q95 serve path driven the way an ingest deployment drives it:
+    // micro-batch 1 trains and persists the index; micro-batch 2 is
+    // deduped against that state, then assigned to the existing lists
+    // (ivfAssign — the FAISS `add` analog, no retraining) and appended.
+    val root = Files.createTempDirectory("embingst").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$root/in"))
+    def writeBatch(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val tmp = s"$root/tmp_$name"
+      tables.embeddings.filter(pred).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"))
+    }
+    writeBatch("b1", $"vec_id" < 250)
+    writeBatch("b2", $"vec_id" >= 250)
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in")
+    val q = Streams.toForeachBatchSink(stream, s"$root/ckpt") { (batch, _) =>
+      val s = batch.sparkSession
+      if (new java.io.File(s"$root/state/cents").exists()) {
+        val cents = s.read.parquet(s"$root/state/cents")
+        val assigned = s.read.parquet(s"$root/state/assigned")
+        Similarity.cosineNearDupsFromIndex(cents, assigned, batch, 0.35)
+          .write.mode("append").parquet(s"$root/pairs")
+        Similarity.ivfAssign(cents, batch)
+          .write.mode("append").parquet(s"$root/state/assigned")
+      } else {
+        val (cents, assigned) = Similarity.ivfIndex(batch)
+        // Assigned before cents: the state probe keys on cents existing,
+        // so cents present ⇒ assigned present even on a mid-write crash.
+        assigned.write.parquet(s"$root/state/assigned")
+        cents.write.parquet(s"$root/state/cents")
+      }
+      Similarity.releaseIndexes()
+    }
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$root/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // The streamed run must equal the manual two-step: index batch 1,
+    // serve batch 2 against it.
+    val (cents1, assigned1) = Similarity.ivfIndex(
+      tables.embeddings.filter($"vec_id" < 250))
+    val manual = Similarity.cosineNearDupsFromIndex(cents1, assigned1,
+      tables.embeddings.filter($"vec_id" >= 250), 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == manual && streamed.nonEmpty)
+    // Temporal correctness: every dup_of arrived in an earlier batch.
+    assert(streamed.forall { case (id, dupOf, _) => id >= 250 && dupOf < 250 })
+    // Exactness: every served cosine equals the brute-force value.
+    val brute = Similarity.cosineTopK(tables.embeddings, 500, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.forall { case (id, dupOf, cos) =>
+      brute.get((id, dupOf)).contains(cos) && cos >= 0.35 })
+    Similarity.releaseIndexes()
+  }
 }
