@@ -679,6 +679,81 @@ object Similarity {
     pqScoreProbed(codes, q, cents, books, k, nprobe, dims)
   }
 
+  /** Full-precision re-rank of an approximate candidate set (the FAISS
+    * `IndexRefineFlat` pattern, faiss/IndexRefine.h): `cand` holds
+    * (qid, nid) pairs an ADC scan selected; each is re-scored with the
+    * EXACT integer dot over the raw quantized vectors and the top-k by
+    * exact cosine is kept. The candidate set is nQueries·R rows —
+    * broadcast both ways — so the only corpus-sized work is one scan of
+    * `e` semi-joined to the candidates; nothing corpus-sized shuffles,
+    * and the refine cost is independent of corpus size.
+    */
+  private def refineExact(e: DataFrame, cand: DataFrame, nQueries: Int,
+      k: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val qv = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
+    val scored = e.select($"vec_id".as("nid"), $"v", $"nsq")
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .select($"qid", $"nid",
+        (dotQ($"qv", $"v").cast("double") /
+          sqrt($"qnsq".cast("double")) /
+          sqrt($"nsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  /** PQ top-k with a full-precision refine stage (FAISS
+    * `IndexRefineFlat` + `k_factor`): [[cosineTopKPq]]'s ADC scan
+    * selects each query's top k·kFactor candidates by approximate
+    * cosine, then [[refineExact]] re-ranks them with exact integer dots
+    * and keeps the top k. This closes the recall gap of the default
+    * 12-bit codes (m=4·ksub=8; recall measured in bench_r12_sf1.json)
+    * at a cost of nQueries·k·kFactor exact dots — corpus-size-
+    * independent, so the scale shape stays the ADC scan's. Exact-integer
+    * end-to-end: the DuckDB oracle is [[pqOracleSql]] with a refine
+    * tail, a full replay, not a rows-only check.
+    */
+  def cosineTopKPqRefined(embeddings: DataFrame, nQueries: Int, k: Int,
+      kFactor: Int = 8, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      dims: Int = 64, trainFrac: Double = 1.0): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
+    if (books.exists(_.isEmpty))
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val corpus = pqEncode(e, books, dims)
+    val cand = pqScore(corpus, e.filter($"vec_id" < nQueries), books,
+      k * kFactor, dims).select($"qid", $"nid")
+    refineExact(e, cand, nQueries, k)
+  }
+
+  /** [[cosineTopKIvfPq]] with the same full-precision refine stage as
+    * [[cosineTopKPqRefined]]: coarse pruning → ADC top k·kFactor →
+    * exact re-rank to top k. The composed 100 TB serving shape with the
+    * recall of a flat exact scan over the candidate set.
+    */
+  def cosineTopKIvfPqRefined(embeddings: DataFrame, nQueries: Int, k: Int,
+      kFactor: Int = 8, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2, dims: Int = 64,
+      trainFrac: Double = 1.0): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
+    if (cents.isEmpty || books.exists(_.isEmpty))
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val codes = pqEncode(e.withColumn("list_id", assignExpr(cents)),
+      books, dims, extra = Seq("list_id"))
+    val cand = pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents,
+      books, k * kFactor, nprobe, dims).select($"qid", $"nid")
+    refineExact(e, cand, nQueries, k)
+  }
+
   /** Per-vector banded hyperplane signatures as an array of per-band
     * buckets: element b packs the sign bits of planesPerBand hyperplane
     * dots (global plane index b·P+p, so band 0 with P planes equals
@@ -1063,8 +1138,50 @@ object Similarity {
     (0 until m).flatMap(sub).mkString(",\n")
   }
 
+  /** The shared final SELECT of the PQ-family oracles: rank `scored`'s
+    * ADC cosines and cut at k.
+    */
+  private def adcTopKTail(k: Int): String =
+    s"""SELECT qid, nid, cos, rk FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+       |  FROM scored) WHERE rk <= $k""".stripMargin
+
+  /** The refine tail ([[refineExact]]'s replay): cut `scored` at the
+    * candidate count r, re-score each pair with exact integer dots over
+    * `u`/`n` (the same CTEs every PQ oracle already carries), rank the
+    * exact cosines and cut at k. Starts with the continuation comma —
+    * appended where [[adcTopKTail]] would otherwise go.
+    */
+  private def refineTailSql(k: Int, r: Int): String =
+    s""",
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY cos DESC, nid ASC) AS crn
+       |    FROM scored) WHERE crn <= $r),
+       |rd AS (
+       |  SELECT c.qid, c.nid, CAST(SUM(a.val * b.val) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN u a ON a.vec_id = c.qid
+       |  JOIN u b ON b.vec_id = c.nid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rc AS (
+       |  SELECT rd.qid, rd.nid,
+       |    CAST(rd.dot AS DOUBLE) / sqrt(CAST(qn.nsq AS DOUBLE))
+       |      / sqrt(CAST(nn.nsq AS DOUBLE)) AS cos
+       |  FROM rd JOIN n qn ON qn.vec_id = rd.qid
+       |  JOIN n nn ON nn.vec_id = rd.nid)
+       |SELECT qid, nid, cos, rk FROM (
+       |  SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
+       |  FROM rc) WHERE rk <= $k""".stripMargin
+
   private def pqOracleSql(nQueries: Int, k: Int, m: Int, ksub: Int,
-      iters: Int, dims: Int): String = {
+      iters: Int, dims: Int, refine: Option[Int] = None): String = {
     val seedU = detUniformSql("ivfseed", "vec_id")
     val codeJoin = (1 until m).map(s =>
       s"JOIN asgF$s a$s USING (vec_id)").mkString(" ")
@@ -1105,12 +1222,8 @@ object Similarity {
        |  $dJoins
        |  $rJoins
        |  JOIN n qn ON qn.vec_id = d0.qid
-       |  WHERE x.vec_id <> d0.qid)
-       |SELECT qid, nid, cos, rk FROM (
-       |  SELECT qid, nid, cos,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
-       |  FROM scored) WHERE rk <= $k""".stripMargin
+       |  WHERE x.vec_id <> d0.qid)${refine.map(refineTailSql(k, _))
+        .getOrElse("\n" + adcTopKTail(k))}""".stripMargin
   }
 
   /** DuckDB replay of [[cosineNearDupsFromIndex]] over an [[ivfIndex]]
@@ -1157,7 +1270,8 @@ object Similarity {
     * [[pqOracleSql]]'s ADC joins restricted to each query's probed lists.
     */
   private def ivfPqOracleSql(nQueries: Int, k: Int, nlist: Int, nprobe: Int,
-      m: Int, ksub: Int, iters: Int, dims: Int): String = {
+      m: Int, ksub: Int, iters: Int, dims: Int,
+      refine: Option[Int] = None): String = {
     val f = iters
     val seedU = detUniformSql("ivfseed", "vec_id")
     val qdCtes = (0 until m).map(s =>
@@ -1203,12 +1317,8 @@ object Similarity {
        |  $dJoins
        |  $rJoins
        |  JOIN n qn ON qn.vec_id = d0.qid
-       |  WHERE x.vec_id <> d0.qid)
-       |SELECT qid, nid, cos, rk FROM (
-       |  SELECT qid, nid, cos,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, nid ASC) AS BIGINT) AS rk
-       |  FROM scored) WHERE rk <= $k""".stripMargin
+       |  WHERE x.vec_id <> d0.qid)${refine.map(refineTailSql(k, _))
+        .getOrElse("\n" + adcTopKTail(k))}""".stripMargin
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -1259,6 +1369,13 @@ object Similarity {
     // shape at 100 TB; same component geometry as q51 (coarse) + q87 (PQ).
     "q94_cosine_topk_ivfpq" -> ((s, d) =>
       cosineTopKIvfPq(Tables.load(s, d).embeddings, 10, 3)),
+    // Refined PQ/IVF-PQ: ADC top k·kFactor → exact re-rank to top k
+    // (kFactor=8, so R=24). Closes the 12-bit-code recall gap measured
+    // in bench_r12_sf1.json while keeping the compressed-scan shape.
+    "q97_cosine_topk_pq_refined" -> ((s, d) =>
+      cosineTopKPqRefined(Tables.load(s, d).embeddings, 10, 3)),
+    "q98_cosine_topk_ivfpq_refined" -> ((s, d) =>
+      cosineTopKIvfPqRefined(Tables.load(s, d).embeddings, 10, 3)),
     // Serving-side embedding near-dup: an incoming batch (the first 20
     // vectors) probed against the ivfIndex of the whole corpus — the
     // per-batch ingest dedup, cosine counterpart of q77's serve half.
@@ -1407,6 +1524,11 @@ object Similarity {
       m = 4, ksub = 8, iters = 2, dims = 64),
     "q94_cosine_topk_ivfpq" -> ivfPqOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 2, dims = 64),
+    "q97_cosine_topk_pq_refined" -> pqOracleSql(nQueries = 10, k = 3,
+      m = 4, ksub = 8, iters = 2, dims = 64, refine = Some(24)),
+    "q98_cosine_topk_ivfpq_refined" -> ivfPqOracleSql(nQueries = 10, k = 3,
+      nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 2, dims = 64,
+      refine = Some(24)),
     "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
       minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

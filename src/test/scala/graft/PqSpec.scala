@@ -117,6 +117,48 @@ class PqSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("refined PQ/IVF-PQ: equals brute-force when candidates cover the corpus; never below plain-PQ recall") {
+    import spark.implicits._
+    // With k·kFactor >= n−1 the ADC cut keeps EVERY candidate pair, so
+    // the refine stage re-ranks the whole corpus with exact integer dots
+    // — the result must equal the brute-force scan bit-for-bit (the
+    // degenerate-parameter identity, like IVF-PQ at nprobe=nlist).
+    val exact = Similarity.cosineTopK(tables.embeddings, 5, 3)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.cosineTopKPqRefined(tables.embeddings, 5, 3,
+      kFactor = 200).collect().map(_.toSeq).toSet
+    assert(full == exact && full.nonEmpty)
+    val fullIvf = Similarity.cosineTopKIvfPqRefined(tables.embeddings, 5, 3,
+      kFactor = 200, nlist = 16, nprobe = 16).collect().map(_.toSeq).toSet
+    assert(fullIvf == exact)
+    // At the default kFactor the refined result can only gain recall:
+    // a pair in both the ADC top-k and the exact top-k is in the ADC
+    // top-R (R >= k), and fewer than k candidates can outrank it by
+    // exact cosine (they'd be in the exact top-k too) — so it survives
+    // the re-rank. Deterministic, so assertable as a strict superset
+    // relation on the true-pair sets.
+    def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exactPairs)
+    lazy val exactPairs = Similarity.cosineTopK(tables.embeddings, 10, 3)
+      .select($"qid", $"nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plainHits = hits(Similarity.cosineTopKPq(tables.embeddings, 10, 3)
+      .select($"qid", $"nid").collect())
+    val refinedHits = hits(
+      Similarity.cosineTopKPqRefined(tables.embeddings, 10, 3)
+        .select($"qid", $"nid").collect())
+    assert(plainHits.subsetOf(refinedHits),
+      s"refine lost pairs: ${plainHits -- refinedHits}")
+    // Deterministic across runs, like the rest of the family.
+    val again = Similarity.cosineTopKPqRefined(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    val first = Similarity.cosineTopKPqRefined(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(again == first)
+    Similarity.releaseIndexes()
+  }
+
   test("sampled PQ training: deterministic, tiny-sample fallback, composes with IVF-PQ") {
     // trainFrac is the q80 hash-cap knob applied to the PQ family: every
     // codebook (and the coarse quantizer in the composed operator) trains
