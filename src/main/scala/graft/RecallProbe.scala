@@ -44,21 +44,52 @@ object RecallProbe {
 
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
 
-    val exact = pairs(operators.Similarity.cosineTopK(emb, nq, k))
+    // Geometry knobs so one binary sweeps the (m, ksub, kFactor) surface;
+    // defaults match the q87/q94/q97/q98 driver-contract entries.
+    val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "4").toInt
+    val ksub = sys.env.getOrElse("SPARK_GRAFT_PQ_KSUB", "8").toInt
+    val kf = sys.env.getOrElse("SPARK_GRAFT_PQ_KFACTOR", "8").toInt
+
+    // Exact ground truth once: all (qid, nid, cos, rk) rows. Two metrics:
+    //   recall@k   — |approx∩exact| / nq·k over every ranked pair. On iid
+    //                gaussian bulk the tail ranks differ by ~0.01 cosine,
+    //                so this is a resolution stress metric, not the task.
+    //   dup_recall — restricted to queries whose TRUE top-1 is a planted
+    //                near-dup (exact cos >= 0.8): did the operator put
+    //                that dup at rank 1? This is the retrieval task the
+    //                index exists for (find the duplicate, not re-rank
+    //                the random bulk).
+    val exactRows = operators.Similarity.cosineTopK(emb, nq, k)
+      .select("qid", "nid", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val exact = exactRows.map(r => (r._1, r._2)).toSet
+    val dupTop1: Map[Long, Long] = exactRows
+      .filter(r => r._4 == 1L && r._3 >= 0.8).map(r => r._1 -> r._2).toMap
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "pq" -> (() => operators.Similarity.cosineTopKPq(emb, nq, k)),
-      "ivfpq" -> (() => operators.Similarity.cosineTopKIvfPq(emb, nq, k)),
-      "pq_refined" -> (() =>
-        operators.Similarity.cosineTopKPqRefined(emb, nq, k)),
-      "ivfpq_refined" -> (() =>
-        operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k)))
+      s"pq[m=$m,ksub=$ksub]" -> (() =>
+        operators.Similarity.cosineTopKPq(emb, nq, k, m = m, ksub = ksub)),
+      s"ivfpq[m=$m,ksub=$ksub]" -> (() =>
+        operators.Similarity.cosineTopKIvfPq(emb, nq, k, m = m, ksub = ksub)),
+      s"pq_refined[m=$m,ksub=$ksub,kf=$kf]" -> (() =>
+        operators.Similarity.cosineTopKPqRefined(emb, nq, k,
+          kFactor = kf, m = m, ksub = ksub)),
+      s"ivfpq_refined[m=$m,ksub=$ksub,kf=$kf]" -> (() =>
+        operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
+          kFactor = kf, m = m, ksub = ksub)))
     variants.foreach { case (name, thunk) =>
       val t0 = System.nanoTime()
-      val got = pairs(thunk())
+      val res = thunk().select("qid", "nid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val sec = (System.nanoTime() - t0) / 1e9
+      val got = res.map(r => (r._1, r._2)).toSet
       val recall = (got & exact).size.toDouble / exact.size
+      val gotTop1 = res.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+      val dupHit = dupTop1.count { case (q, n) => gotTop1.get(q).contains(n) }
+      val dupR = if (dupTop1.isEmpty) Double.NaN
+        else dupHit.toDouble / dupTop1.size
       println(s"RECALLPROBE dir=$sfDir variant=$name nq=$nq k=$k " +
-        s"recall=${s3(recall)} sec=${s3(sec)} pairs=${got.size}")
+        s"recall=${s3(recall)} dup_recall=${s3(dupR)} dupq=${dupTop1.size} " +
+        s"sec=${s3(sec)} pairs=${got.size}")
     }
     spark.stop()
   }

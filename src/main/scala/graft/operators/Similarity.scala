@@ -715,9 +715,17 @@ object Similarity {
     * independent, so the scale shape stays the ADC scan's. Exact-integer
     * end-to-end: the DuckDB oracle is [[pqOracleSql]] with a refine
     * tail, a full replay, not a rows-only check.
+    *
+    * Defaults are the RETRIEVAL-grade geometry (m=8 × ksub=256 = 64-bit
+    * codes, the FAISS standard; kFactor=16), not [[cosineTopKPq]]'s
+    * 12-bit compression-primitive defaults: measured on the clustered
+    * corpora (bench_r12_sf1.json), 12-bit codes lose the planted
+    * duplicate 43% of the time at 20k vectors even WITH refine (the ADC
+    * ranking can't surface it into the candidate set), while 64-bit
+    * codes + refine hold dup-recall 1.0 at both scales.
     */
   def cosineTopKPqRefined(embeddings: DataFrame, nQueries: Int, k: Int,
-      kFactor: Int = 8, m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      kFactor: Int = 16, m: Int = 8, ksub: Int = 256, iters: Int = 2,
       dims: Int = 64, trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
@@ -737,8 +745,8 @@ object Similarity {
     * recall of a flat exact scan over the candidate set.
     */
   def cosineTopKIvfPqRefined(embeddings: DataFrame, nQueries: Int, k: Int,
-      kFactor: Int = 8, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
-      ksub: Int = 8, iters: Int = 2, dims: Int = 64,
+      kFactor: Int = 16, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 256, iters: Int = 2, dims: Int = 64,
       trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
     val e = quantized(embeddings)
@@ -907,10 +915,15 @@ object Similarity {
     * the family, so the Lloyd replay + EXISTS oracle matches
     * bit-for-bit.
     */
-  def semanticDedup(embeddings: DataFrame, minCos: Double,
-      iters: Int = 2, trainFrac: Double = 0.5): DataFrame = {
+  def semanticDedup(embeddings: DataFrame, minCos: Double): DataFrame = {
     val nlist = semanticNlist(quantized(embeddings).count())
-    semanticDedupAt(embeddings, minCos, nlist, iters, trainFrac)
+    // iters/trainFrac are fixed here ON PURPOSE (2 Lloyd passes, hash-cap
+    // half-sample training): the auto entry point deliberately takes NO
+    // defaulted Int/Double knobs after minCos, so a legacy positional
+    // call like semanticDedup(e, 0.35, 64) — which once meant nlist=64 —
+    // fails to compile instead of silently re-interpreting the argument.
+    // Explicit geometry goes through semanticDedupAt.
+    semanticDedupAt(embeddings, minCos, nlist, iters = 2, trainFrac = 0.5)
   }
 
   /** FAISS-style cluster-count sizing for [[semanticDedup]]:
@@ -932,24 +945,113 @@ object Similarity {
     * hash-cap sampled ([[trainCentroidsSampled]]) so index-build cost is
     * bounded by the sample, not the corpus; assignment and the
     * intra-cluster prune still see every vector.
+    *
+    * Hot-cluster guard (capFactor > 0): √n sizing balances EXPECTED
+    * costs, but a skewed corpus can put ~n vectors in one cluster and
+    * make the intra-cluster prune quadratic no matter what AQE does to
+    * the shuffle. Lists over capFactor × mean size are therefore split
+    * before the prune, hierarchically:
+    *   1. k-means rounds (≤3): members of all oversized lists are
+    *      re-clustered together with ⌈2·|hot|/cap⌉ fresh centroids
+    *      (same hash-seeded integer Lloyd; sub-list ids start above the
+    *      parent id space, so ids stay unique and deterministic).
+    *   2. Lists k-means cannot separate — near-identical mass, where
+    *      every seed collapses to the same centroid and the argmin ties
+    *      to one cid — are salted into ⌈size/cap⌉ chunks on vec_id
+    *      modulo (any chunking co-locates duplicates there, BECAUSE the
+    *      vectors are near-identical), and after the intra-list prune
+    *      the per-chunk survivors of each salted parent are compared in
+    *      one extra merge pass (≤ chunk-count survivors each for
+    *      near-identical mass), restoring the unsplit keep-set.
+    * Work is then Σ|list|² ≤ n·cap ≈ capFactor·n^1.5 at √n sizing — the
+    * designed budget — instead of n². The guard's driver state is one
+    * (list_id, count) aggregate per round, ≤ #lists rows. At the pinned
+    * q92 oracle geometry the guard never fires (cap = 8× mean; an iid
+    * corpus peaks near 2× mean), so the static replay stays valid;
+    * capFactor = 0 disables the guard outright. Split lists report
+    * their final (sub-list / chunk) id in the output's list_id.
     */
   def semanticDedupAt(embeddings: DataFrame, minCos: Double,
-      nlist: Int, iters: Int = 2, trainFrac: Double = 1.0): DataFrame = {
+      nlist: Int, iters: Int = 2, trainFrac: Double = 1.0,
+      capFactor: Int = 8): DataFrame = {
     import embeddings.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
     val e = quantized(embeddings)
     val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
     if (cents.isEmpty)
       return e.filter(lit(false)).select($"vec_id",
         lit(0L).as("list_id"), lit(true).as("kept"))
-    val assigned = registry.cache(
-      e.withColumn("list_id", assignExpr(cents)))
-    val dropped = assigned.as("x").join(assigned.as("y"),
-        col("x.list_id") === col("y.list_id") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .filter((dotQ(col("x.v"), col("y.v")).cast("double") /
-        sqrt(col("x.nsq").cast("double")) /
-        sqrt(col("y.nsq").cast("double"))) >= minCos)
-      .select(col("y.vec_id").as("vec_id")).distinct()
+    var asg = e.withColumn("list_id", assignExpr(cents))
+      .withColumn("parent_id", lit(null).cast("long"))
+    var saltedAny = false
+    if (capFactor > 0) {
+      def sizesOf(df: DataFrame): Array[(Long, Long)] =
+        df.groupBy("list_id").count().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var sizes = sizesOf(asg)
+      val n = sizes.map(_._2).sum
+      val cap = math.max(2L,
+        capFactor.toLong * math.max(1L, n / math.max(1, nlist)))
+      var hot = sizes.filter(_._2 > cap)
+      var base = nlist.toLong
+      var round = 0
+      while (hot.nonEmpty && round < 3) {
+        val hotIds = hot.map(_._1).toSet
+        val kSub = math.max(2, math.min(1 << 14,
+          math.ceil(2.0 * hot.map(_._2).sum / cap).toInt))
+        val hotDf = asg.filter($"list_id".isInCollection(hotIds))
+          .select($"vec_id", $"v", $"nsq")
+        val subCents = trainCentroidsSampled(hotDf, kSub, iters, trainFrac)
+        if (subCents.isEmpty) round = 3
+        else {
+          asg = asg.filter(!$"list_id".isInCollection(hotIds))
+            .unionByName(hotDf
+              .withColumn("list_id", assignExpr(subCents) + lit(base))
+              .withColumn("parent_id", lit(null).cast("long")))
+          base += kSub
+          round += 1
+          sizes = sizesOf(asg)
+          hot = sizes.filter(_._2 > cap)
+        }
+      }
+      if (hot.nonEmpty) {
+        // k-means-inseparable remainder: modulo-salt into ⌈size/cap⌉
+        // chunks, remembering the parent for the survivor-merge pass.
+        val chunkOf = hot.map { case (id, sz) =>
+          id -> math.max(2L, (sz + cap - 1L) / cap) }.toMap
+        var off = base
+        val offOf = hot.map { case (id, _) =>
+          val o = off; off += chunkOf(id); id -> o }.toMap
+        val hotIds = hot.map(_._1).toSet
+        asg = asg.filter(!$"list_id".isInCollection(hotIds))
+          .unionByName(asg.filter($"list_id".isInCollection(hotIds))
+            .withColumn("parent_id", $"list_id")
+            .withColumn("list_id", element_at(typedlit(offOf), $"list_id") +
+              $"vec_id" % element_at(typedlit(chunkOf), $"list_id")))
+        saltedAny = true
+      }
+    }
+    val assigned = registry.cache(asg)
+    def simPairs(df: DataFrame, key: String): DataFrame =
+      df.as("x").join(df.as("y"),
+          col(s"x.$key") === col(s"y.$key") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .filter((dotQ(col("x.v"), col("y.v")).cast("double") /
+          sqrt(col("x.nsq").cast("double")) /
+          sqrt(col("y.nsq").cast("double"))) >= minCos)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+    val intraDropped = simPairs(assigned, "list_id")
+    val dropped =
+      if (!saltedAny) intraDropped
+      else {
+        // Survivors of salted chunks re-compared within their parent:
+        // near-identical mass leaves ~1 survivor per chunk, so this pass
+        // is (chunks per parent)² pairs — and it restores the unsplit
+        // keep-set (the chunk minima all collapse to the parent minimum).
+        val survivors = assigned.filter($"parent_id".isNotNull)
+          .join(intraDropped, Seq("vec_id"), "left_anti")
+        intraDropped.union(simPairs(survivors, "parent_id")).distinct()
+      }
     assigned.join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select($"vec_id", $"list_id", $"hit".isNull.as("kept"))
   }
@@ -1369,9 +1471,10 @@ object Similarity {
     // shape at 100 TB; same component geometry as q51 (coarse) + q87 (PQ).
     "q94_cosine_topk_ivfpq" -> ((s, d) =>
       cosineTopKIvfPq(Tables.load(s, d).embeddings, 10, 3)),
-    // Refined PQ/IVF-PQ: ADC top k·kFactor → exact re-rank to top k
-    // (kFactor=8, so R=24). Closes the 12-bit-code recall gap measured
-    // in bench_r12_sf1.json while keeping the compressed-scan shape.
+    // Refined PQ/IVF-PQ at the retrieval-grade defaults (64-bit codes,
+    // ADC top k·kFactor=48 → exact re-rank to top 3): the config whose
+    // dup-recall is measured at 1.0 in bench_r12_sf1.json, vs 0.57 for
+    // the 12-bit q87/q94 compression primitives at 10× scale.
     "q97_cosine_topk_pq_refined" -> ((s, d) =>
       cosineTopKPqRefined(Tables.load(s, d).embeddings, 10, 3)),
     "q98_cosine_topk_ivfpq_refined" -> ((s, d) =>
@@ -1525,10 +1628,10 @@ object Similarity {
     "q94_cosine_topk_ivfpq" -> ivfPqOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 2, dims = 64),
     "q97_cosine_topk_pq_refined" -> pqOracleSql(nQueries = 10, k = 3,
-      m = 4, ksub = 8, iters = 2, dims = 64, refine = Some(24)),
+      m = 8, ksub = 256, iters = 2, dims = 64, refine = Some(48)),
     "q98_cosine_topk_ivfpq_refined" -> ivfPqOracleSql(nQueries = 10, k = 3,
-      nlist = 16, nprobe = 4, m = 4, ksub = 8, iters = 2, dims = 64,
-      refine = Some(24)),
+      nlist = 16, nprobe = 4, m = 8, ksub = 256, iters = 2, dims = 64,
+      refine = Some(48)),
     "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
       minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

@@ -123,13 +123,17 @@ class PqSpec extends SparkSpec {
     // the refine stage re-ranks the whole corpus with exact integer dots
     // — the result must equal the brute-force scan bit-for-bit (the
     // degenerate-parameter identity, like IVF-PQ at nprobe=nlist).
+    // Both identities run at the small 12-bit geometry explicitly — the
+    // refined operators' own defaults are the 64-bit retrieval config,
+    // which would only slow this degenerate-parameter proof down.
     val exact = Similarity.cosineTopK(tables.embeddings, 5, 3)
       .collect().map(_.toSeq).toSet
     val full = Similarity.cosineTopKPqRefined(tables.embeddings, 5, 3,
-      kFactor = 200).collect().map(_.toSeq).toSet
+      kFactor = 200, m = 4, ksub = 8).collect().map(_.toSeq).toSet
     assert(full == exact && full.nonEmpty)
     val fullIvf = Similarity.cosineTopKIvfPqRefined(tables.embeddings, 5, 3,
-      kFactor = 200, nlist = 16, nprobe = 16).collect().map(_.toSeq).toSet
+      kFactor = 200, nlist = 16, nprobe = 16, m = 4, ksub = 8)
+      .collect().map(_.toSeq).toSet
     assert(fullIvf == exact)
     // At the default kFactor the refined result can only gain recall:
     // a pair in both the ADC top-k and the exact top-k is in the ADC
@@ -143,10 +147,13 @@ class PqSpec extends SparkSpec {
     lazy val exactPairs = Similarity.cosineTopK(tables.embeddings, 10, 3)
       .select($"qid", $"nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The superset theorem holds only against the SAME codebooks, so the
+    // refined side pins the plain operator's 12-bit geometry here.
     val plainHits = hits(Similarity.cosineTopKPq(tables.embeddings, 10, 3)
       .select($"qid", $"nid").collect())
     val refinedHits = hits(
-      Similarity.cosineTopKPqRefined(tables.embeddings, 10, 3)
+      Similarity.cosineTopKPqRefined(tables.embeddings, 10, 3,
+        kFactor = 8, m = 4, ksub = 8)
         .select($"qid", $"nid").collect())
     assert(plainHits.subsetOf(refinedHits),
       s"refine lost pairs: ${plainHits -- refinedHits}")
