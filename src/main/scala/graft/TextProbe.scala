@@ -46,10 +46,19 @@ object TextProbe {
     // Malformed probe names (q92@, q92@abc, a future query containing @)
     // fall through to the registry lookup and fail with its unknown-query
     // error instead of a bare NumberFormatException mid-loop.
+    // "q92@<nlist>@<capFactor>" probes the hot-cluster guard on the
+    // embh corpora (tools/gen_emb_hot.py) at a realistic minCos=0.8:
+    // capFactor=0 is the unguarded (quadratic on hot mass) baseline.
     def run(name: String) = name.split("@") match {
       case Array("q92", nlist) if scala.util.Try(nlist.toInt).isSuccess =>
         graft.operators.Similarity.semanticDedupAt(
           Tables.load(spark, sfDir).embeddings, 0.35, nlist.toInt)
+      case Array("q92", nlist, cf)
+          if scala.util.Try(nlist.toInt).isSuccess &&
+            scala.util.Try(cf.toInt).isSuccess =>
+        graft.operators.Similarity.semanticDedupAt(
+          Tables.load(spark, sfDir).embeddings, 0.8, nlist.toInt,
+          capFactor = cf.toInt)
       case _ => SparkEntry.queries(name)(spark, sfDir)
     }
     family.foreach { name =>

@@ -580,6 +580,51 @@ object Similarity {
         .select($"vec_id", $"v", $"nsq", $"list_id")
   }
 
+  /** Index staleness metric: the mean squared quantized distance of
+    * every stored vector to its assigned centroid, computable from the
+    * persisted index alone (the assigned table keeps v/nsq; centroids
+    * are ≤nlist rows, broadcast). [[ivfAssign]] appends without
+    * retraining, so under a shifting ingest distribution the lists
+    * drift away from the trained centroids and probe recall silently
+    * degrades — the FAISS re-train problem. Record this cost right
+    * after [[ivfIndex]]/[[ivfReindex]] as the baseline; when the ratio
+    * current/baseline exceeds an operating threshold (~1.5 is a sane
+    * default), rebuild with [[ivfReindex]]. One bounded aggregate, no
+    * corpus-sized shuffle; exact integer arithmetic per row, so the
+    * metric is deterministic and engine-independent.
+    */
+  def ivfAssignCost(centroids: DataFrame, assigned: DataFrame): Double = {
+    import assigned.sparkSession.implicits._
+    val c = centroids.select($"cid".as("list_id"), $"cv")
+    assigned.join(broadcast(c), Seq("list_id"))
+      .select(($"nsq" + dotQ($"cv", $"cv") - lit(2L) * dotQ($"v", $"cv"))
+        .cast("double").as("d2"))
+      .agg(avg($"d2")).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+  }
+
+  /** Re-train the coarse quantizer FROM THE STORED INDEX (no raw
+    * embedding read): Lloyd over the assigned table's quantized vectors,
+    * then one re-assignment pass — the rebuild half of the staleness
+    * loop, FAISS's periodic `train`+`add` replay. Output shapes match
+    * [[ivfIndex]] exactly, so the rebuilt index drops into the same
+    * serve/append paths.
+    */
+  def ivfReindex(assigned: DataFrame, nlist: Int = 16, iters: Int = 2,
+      trainFrac: Double = 1.0): (DataFrame, DataFrame) = {
+    import assigned.sparkSession.implicits._
+    val e = assigned.select($"vec_id", $"v", $"nsq")
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val reassigned =
+      if (cents.isEmpty) e.withColumn("list_id", lit(0L)).filter(lit(false))
+      else e.withColumn("list_id", assignExpr(cents))
+    (centDf, reassigned.select($"vec_id", $"v", $"nsq", $"list_id"))
+  }
+
   /** Embedding near-dups of an INCOMING batch against a stored
     * [[ivfIndex]] corpus — the serving-side embedding dedup an ingest
     * pipeline runs per batch (the cosine counterpart of the text
@@ -1011,7 +1056,13 @@ object Similarity {
           base += kSub
           round += 1
           sizes = sizesOf(asg)
+          val prev = hot.map(_._2).sorted.toSeq
           hot = sizes.filter(_._2 > cap)
+          // No progress (identical mass: every sub-seed collapses to the
+          // same centroid and the argmin ties to one cid, reproducing
+          // the same oversized lists) — stop burning Lloyd rounds and
+          // go straight to the salting fallback.
+          if (hot.map(_._2).sorted.toSeq == prev) round = 3
         }
       }
       if (hot.nonEmpty) {

@@ -485,4 +485,125 @@ class StreamingSpec extends SparkSpec {
       brute.get((id, dupOf)).contains(cos) && cos >= 0.35 })
     Similarity.releaseIndexes()
   }
+
+  test("streaming ingest staleness: drift trips the metric, re-train restores probe recall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // The FAISS re-train problem (r11 verdict task 3): ivfAssign appends
+    // without retraining, so a drifting ingest distribution piles mass
+    // far from every trained centroid — and near-dup PAIRS inside that
+    // mass straddle old centroid boundaries, so nprobe=1 serving loses
+    // them. ivfAssignCost is the staleness signal (computable from the
+    // stored index alone); ivfReindex is the recovery.
+    def noise(id: Int, j: Int): Float = (((id * 31 + j * 17) % 7) - 3) / 100f
+    // Trained region: 2 tight block-one-hot clusters (blocks 0 and 1),
+    // ids 0..199. Two clusters, 8 seeds: every cluster gets seeds, so
+    // the baseline cost is pure intra-cluster noise — more planted
+    // clusters risk one going unseeded, which inflates the baseline by
+    // a full cluster distance and masks the drift signal.
+    val regionA = (0 until 200).map { id =>
+      val c = id % 2
+      (id.toLong, Array.tabulate(64)(j =>
+        (if (j / 16 == c) 1f else 0f) + noise(id, j)).toSeq)
+    }
+    // Drift: mass at the MIDPOINT of clusters 0 and 1 (hot on both
+    // blocks), biased ±0.06 toward block 0 (even ids) or block 1 (odd
+    // ids). Cross-side cosines are ~0.99 — true near-dups — but the
+    // nearest TRAINED centroid differs by side, so a stale nprobe=1
+    // probe can never see the other side's rows.
+    def driftVec(id: Int): Seq[Float] = Array.tabulate(64) { j =>
+      val base = if (j < 32) 0.707f else 0f
+      val bias =
+        if (id % 2 == 0) { if (j < 16) 0.06f else 0f }
+        else { if (j >= 16 && j < 32) 0.06f else 0f }
+      base + bias + noise(id, j) * 0.1f
+    }.toSeq
+    val drift = (1000 until 1100).map(id => (id.toLong, driftVec(id)))
+    val probeId = 2001L // odd → side 1; its lost dups are the even side
+    val root = Files.createTempDirectory("stale").toFile.getAbsolutePath
+    Files.createDirectories(Paths.get(s"$root/in"))
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"))
+    }
+    writeBatch("b1", regionA)
+    writeBatch("b2", drift)
+    writeBatch("b3", Seq((probeId, driftVec(probeId.toInt))))
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in")
+    val q = Streams.toForeachBatchSink(stream, s"$root/ckpt") { (batch, _) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      if (!new java.io.File(s"$root/state/cents").exists()) {
+        val (cents, assigned) = Similarity.ivfIndex(batch, nlist = 8)
+        assigned.write.parquet(s"$root/state/assigned")
+        cents.write.parquet(s"$root/state/cents")
+        Seq(Similarity.ivfAssignCost(cents, assigned)).toDF("cost")
+          .write.parquet(s"$root/state/baseline")
+      } else {
+        val cents = s.read.parquet(s"$root/state/cents")
+        val assigned = s.read.parquet(s"$root/state/assigned")
+        Similarity.cosineNearDupsFromIndex(cents, assigned, batch, 0.85,
+            nprobe = 1)
+          .write.mode("append").parquet(s"$root/pairs")
+        Similarity.ivfAssign(cents, batch)
+          .write.mode("append").parquet(s"$root/state/assigned")
+        val all = s.read.parquet(s"$root/state/assigned")
+        val cost = Similarity.ivfAssignCost(cents, all)
+        val base = s.read.parquet(s"$root/state/baseline").head.getDouble(0)
+        val ratio = if (base > 0) cost / base else 1.0
+        Seq(ratio).toDF("ratio").write.mode("append").parquet(s"$root/ratios")
+        if (ratio > 1.5) {
+          // Rebuild FROM THE STORED INDEX; localCheckpoint detaches the
+          // new state from the parquet lineage so overwriting the dirs
+          // it was read from is safe.
+          val (c2, a2) = Similarity.ivfReindex(all, nlist = 5)
+          val c2m = c2.localCheckpoint(true)
+          val a2m = a2.localCheckpoint(true)
+          a2m.write.mode("overwrite").parquet(s"$root/state/assigned")
+          c2m.write.mode("overwrite").parquet(s"$root/state/cents")
+          Seq(Similarity.ivfAssignCost(c2m, a2m)).toDF("cost")
+            .write.mode("overwrite").parquet(s"$root/state/baseline")
+          Seq(1).toDF("n").write.mode("append").parquet(s"$root/rebuilds")
+        }
+      }
+      Similarity.releaseIndexes()
+    }
+    q.awaitTermination(180000)
+    // The metric fired exactly once (after the drift batch) and reset
+    // below threshold once rebuilt (the probe batch's ratio).
+    val ratios = spark.read.parquet(s"$root/ratios").collect()
+      .map(_.getDouble(0))
+    assert(ratios.length == 2)
+    assert(ratios.max > 1.5, s"drift did not trip the metric: $ratios")
+    assert(ratios.min < 1.5, s"rebuild did not reset the metric: $ratios")
+    assert(spark.read.parquet(s"$root/rebuilds").count() == 1)
+    // Counterfactual: serving the probe against the STALE state (trained
+    // on region A, drift merely appended) finds only same-side rows.
+    val (centsA, assignedA) = Similarity.ivfIndex(
+      regionA.toDF("vec_id", "embedding"), nlist = 8)
+    val staleState = assignedA.unionByName(
+      Similarity.ivfAssign(centsA, drift.toDF("vec_id", "embedding")))
+    val staleFound = Similarity.cosineNearDupsFromIndex(centsA, staleState,
+        Seq((probeId, driftVec(probeId.toInt))).toDF("vec_id", "embedding"),
+        0.85, nprobe = 1)
+      .select($"dup_of").collect().map(_.getLong(0)).toSet
+    assert(staleFound.nonEmpty && staleFound.forall(_ % 2 == 1),
+      s"stale index unexpectedly crossed the boundary: $staleFound")
+    // Recovery: the streamed probe batch ran against the REBUILT state
+    // and sees both sides — strictly more than the stale serve, and in
+    // particular the even side the stale index could never return.
+    val rebuiltFound = spark.read.parquet(s"$root/pairs")
+      .filter($"vec_id" === probeId)
+      .select($"dup_of").collect().map(_.getLong(0)).toSet
+    assert(rebuiltFound.exists(_ % 2 == 0),
+      s"re-train did not recover the lost side: $rebuiltFound")
+    assert(staleFound.subsetOf(rebuiltFound))
+    Similarity.releaseIndexes()
+  }
 }
