@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composed per-batch ingest gate: the three serve-half dedup
+  * operators the engine already proves individually — exact fingerprint
+  * (q24's md5 groups), SimHash (q96's signature state probe), and
+  * embedding cosine (q95's IVF state probe) — chained as a
+  * short-circuit cascade over shared persisted state, cheapest filter
+  * first. A real ingest pipeline runs exactly this order because each
+  * stage's cost and selectivity differ by orders of magnitude: the
+  * exact join trims verbatim re-crawls for one hash join; SimHash
+  * trims near-verbatim edits for a signature probe; the embedding
+  * probe — the only stage that needs vectors at all — sees only what
+  * survived both.
+  *
+  * Reference anchor: the reference pipeline's per-run dedup is the
+  * resume anti-join + in-page set (robust_scraper.py:137-189 applied
+  * per page); this gate is that idea grown to the three-tier content
+  * form a 100 TB corpus needs.
+  *
+  * Scale shape: every stage is a broadcast of the (small) surviving
+  * batch against partitioned/pruned state — the fingerprint join
+  * broadcasts the batch fps, the SimHash probe broadcasts the batch
+  * signature chunks against the chunk-bucketed state, the IVF probe
+  * broadcasts the batch's probe rows against the probed lists. Nothing
+  * state-sized shuffles; the cascade's lineage is three anti-joins
+  * deep, well under the materialization threshold the curation-flow
+  * lesson set (CurationFlowSpec's localCheckpoint rule).
+  */
+object IngestGate {
+
+  /** The gate's persisted state: one table per stage plus the IVF
+    * centroids — all plain parquet, the same shapes the individual
+    * serve operators build ([[Dedup.exactDedupGroups]]-style fps,
+    * [[Dedup.simhashes]], [[Similarity.ivfIndex]]).
+    */
+  final case class GateState(fps: DataFrame, sims: DataFrame,
+      cents: DataFrame, assigned: DataFrame)
+
+  /** Build all three state tables from a document corpus and its
+    * embeddings (embeddings keyed by the SAME ids as doc_id). Each
+    * piece is exactly what the stage's standalone serve operator
+    * expects, so state persisted by this builder interoperates with
+    * q77/q95/q96-style per-family flows.
+    */
+  def buildState(docs: DataFrame, embeddings: DataFrame,
+      nlist: Int = 16): GateState = {
+    import docs.sparkSession.implicits._
+    val fps = docs
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val sims = Dedup.simhashes(docs)
+    val (cents, assigned) = Similarity.ivfIndex(embeddings, nlist = nlist)
+    GateState(fps, sims, cents, assigned)
+  }
+
+  /** Run one batch through the cascade. `batchEmb` carries (vec_id,
+    * embedding) rows keyed by the batch's doc_ids (docs without an
+    * embedding simply cannot be trimmed by the embedding stage).
+    *
+    * Returns one decision row PER BATCH DOC:
+    *   (doc_id, stage, dup_of) —
+    * stage ∈ exact | simhash | embedding names the trimming stage
+    * (dup_of = the kept corpus doc, smallest id among hits — a
+    * deterministic choice, not a partition-order one), or 'pass' with
+    * null dup_of for survivors. A doc similar at several tiers is
+    * reported ONLY at the earliest (cheapest) one — later stages never
+    * see it, which is the short-circuit the cascade exists for. The
+    * per-stage trim accounting CurationFlowSpec-style reports need is
+    * one groupBy(stage) away.
+    */
+  def gate(state: GateState, batchDocs: DataFrame, batchEmb: DataFrame,
+      maxDist: Int = 3, minCos: Double = 0.9,
+      nprobe: Int = 4): DataFrame = {
+    import batchDocs.sparkSession.implicits._
+    def hits(pairs: DataFrame, stage: String): DataFrame =
+      pairs.groupBy($"doc_id").agg(min($"dup_of").as("dup_of"))
+        .select($"doc_id", lit(stage).as("stage"), $"dup_of")
+
+    // Stage 1 — exact fingerprint: one join of the batch's md5 rows
+    // against the fp state; a state fp row exists per distinct text.
+    val bfp = batchDocs
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+    val exactHits = hits(bfp.join(state.fps, Seq("fp"))
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id", $"keep_id".as("dup_of")), "exact")
+    val s1 = batchDocs.join(broadcast(exactHits.select($"doc_id")),
+      Seq("doc_id"), "left_anti")
+
+    // Stage 2 — SimHash: survivors signed batch-locally (a signature
+    // depends only on its own text) and probed via the q96 serve path.
+    val simHits = hits(
+      Dedup.simhashNearDupsFromState(state.sims, s1, maxDist)
+        .select($"doc_id", $"dup_of"), "simhash")
+    val s2 = s1.join(broadcast(simHits.select($"doc_id")),
+      Seq("doc_id"), "left_anti")
+
+    // Stage 3 — embedding cosine: only the remaining survivors' vectors
+    // are even read; the q95 serve path probes the IVF state.
+    val s2emb = batchEmb.join(
+      broadcast(s2.select($"doc_id".as("vec_id"))), Seq("vec_id"))
+    val embHits = hits(
+      Similarity.cosineNearDupsFromIndex(state.cents, state.assigned,
+          s2emb, minCos, nprobe)
+        .select($"vec_id".as("doc_id"), $"dup_of"), "embedding")
+
+    val trimmed = exactHits.unionByName(simHits).unionByName(embHits)
+    batchDocs.select($"doc_id")
+      .join(trimmed, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"stage", lit("pass")).as("stage"),
+        $"dup_of")
+  }
+}

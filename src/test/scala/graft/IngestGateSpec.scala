@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IngestGate, Similarity}
+
+/** The composed ingest gate (r11 verdict task 4): exact fingerprint →
+  * SimHash → embedding serve halves chained over shared state as a
+  * short-circuit cascade, with per-stage trim accounting.
+  */
+class IngestGateSpec extends SparkSpec {
+
+  // Deterministic synthetic corpus: 40 state docs with distinct wordy
+  // texts and hash-spread embeddings keyed by the same ids.
+  private def stateText(i: Int): String =
+    s"the quick brown fox number $i jumps over the lazy dog while " +
+      s"carrying basket ${i * 7 % 13} of ripe apples pears and plums " +
+      s"through meadow ${i * 11 % 17} beyond the old stone bridge"
+
+  private def hashComp(id: Int, j: Int): Float =
+    (scala.util.hashing.MurmurHash3.productHash((id, j)) % 1000) / 1000f
+
+  private def stateEmb(i: Int): Seq[Float] =
+    Array.tabulate(64)(j => hashComp(i, j)).toSeq
+
+  test("gate: three-tier cascade trims at the earliest stage, accounts per stage, passes novelty") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val state = IngestGate.buildState(docs, embs, nlist = 4)
+
+    // The batch:
+    //  d100 — verbatim copy of doc 5 (ALSO SimHash- and embedding-near
+    //         by construction: must be attributed to 'exact' only).
+    //  d101 — doc 7 with one word changed: fingerprint differs, SimHash
+    //         stays within maxDist (near-verbatim edit).
+    //  d102 — novel text but embedding ≈ doc 9's (semantic duplicate).
+    //  d103 — novel text, novel embedding: passes all three tiers.
+    val batchDocs = Seq(
+      (100L, stateText(5)),
+      (101L, stateText(7).replace("ripe", "rotten")),
+      (102L, "completely different prose about rainfall statistics " +
+        "over coastal towns measured during nineteen eighty four"),
+      (103L, "unrelated treatise on the migration patterns of arctic " +
+        "terns across hemispheres every single year")
+    ).toDF("doc_id", "text")
+    def near(base: Seq[Float]): Seq[Float] = base.map(x => x + 0.001f)
+    val batchEmb = Seq(
+      (100L, stateEmb(5)), (101L, stateEmb(7)),
+      (102L, near(stateEmb(9))), (103L, stateEmb(103))
+    ).toDF("vec_id", "embedding")
+
+    val out = IngestGate.gate(state, batchDocs, batchEmb,
+        maxDist = 3, minCos = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out.size == 4)
+    assert(out(100L) == (("exact", 5L)), s"d100: ${out(100L)}")
+    assert(out(101L) == (("simhash", 7L)), s"d101: ${out(101L)}")
+    assert(out(102L) == (("embedding", 9L)), s"d102: ${out(102L)}")
+    assert(out(103L) == (("pass", -1L)), s"d103: ${out(103L)}")
+
+    // Per-stage trim accounting — the report a curation flow logs.
+    val acct = IngestGate.gate(state, batchDocs, batchEmb,
+        maxDist = 3, minCos = 0.9)
+      .groupBy($"stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(acct == Map("exact" -> 1L, "simhash" -> 1L,
+      "embedding" -> 1L, "pass" -> 1L))
+
+    // Short-circuit is real, not cosmetic: run the LATER stages alone
+    // on the full batch — d100 would be claimed by both (it is a
+    // verbatim copy, so SimHash distance 0 and cosine 1), yet the
+    // cascade reported it at 'exact' only.
+    val simAll = Dedup.simhashNearDupsFromState(state.sims, batchDocs, 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(simAll.contains(100L))
+    val embAll = Similarity.cosineNearDupsFromIndex(state.cents,
+        state.assigned, batchEmb, 0.9)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(embAll.contains(100L))
+
+    // Deterministic across runs and partitionings.
+    val again = IngestGate.gate(state,
+        batchDocs.repartition(3), batchEmb.repartition(5),
+        maxDist = 3, minCos = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(again == out)
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
+  test("gate state round-trips through parquet and interoperates with the per-family serves") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val built = IngestGate.buildState(docs, embs, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("gate").toString
+    built.fps.write.parquet(s"$dir/fps")
+    built.sims.write.parquet(s"$dir/sims")
+    built.cents.write.parquet(s"$dir/cents")
+    built.assigned.write.parquet(s"$dir/assigned")
+    val loaded = IngestGate.GateState(
+      spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/sims"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/assigned"))
+    val batchDocs = Seq((100L, stateText(5)),
+      (101L, "novel text that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val batchEmb = Seq((100L, stateEmb(5)), (101L, stateEmb(101)))
+      .toDF("vec_id", "embedding")
+    val fromBuilt = IngestGate.gate(built, batchDocs, batchEmb)
+      .collect().map(_.toSeq).toSet
+    val fromLoaded = IngestGate.gate(loaded, batchDocs, batchEmb)
+      .collect().map(_.toSeq).toSet
+    assert(fromBuilt == fromLoaded && fromBuilt.nonEmpty)
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+}
