@@ -44,6 +44,19 @@ object Tables {
   def invalidate(spark: SparkSession): Unit =
     cache.keys.filter(_._1 eq spark).foreach(cache.remove)
 
+  /** The driver generator's CURRENT events schema (TIMESTAMP_NTZ
+    * vintage) — the single source of truth for consumers that cannot
+    * sniff a parquet footer, i.e. Streams.eventsStream's empty-directory
+    * fallback. The batch path reads schema-on-footer and normalizes any
+    * vintage via [[normalizeTs]]; only footerless consumers pin this
+    * shape. If the generator drifts (new column, different ts type),
+    * update it HERE and every fallback follows.
+    */
+  val eventsFallbackSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+
   /** Normalize events.ts to TimestampType (UTC micros) across the schema
     * variants the driver's generator has emitted: parquet TIMESTAMP(NANOS)
     * (read as raw nanos via nanosAsLong — integer div, a double division

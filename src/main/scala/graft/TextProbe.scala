@@ -59,6 +59,16 @@ object TextProbe {
         graft.operators.Similarity.semanticDedupAt(
           Tables.load(spark, sfDir).embeddings, 0.8, nlist.toInt,
           capFactor = cf.toInt)
+      // Fourth field: hash-cap training fraction — the big-corpus probes
+      // sample training (as the auto path does) so the guarded-vs-
+      // unguarded comparison measures the PRUNE, not shared Lloyd cost.
+      case Array("q92", nlist, cf, tf)
+          if scala.util.Try(nlist.toInt).isSuccess &&
+            scala.util.Try(cf.toInt).isSuccess &&
+            scala.util.Try(tf.toDouble).isSuccess =>
+        graft.operators.Similarity.semanticDedupAt(
+          Tables.load(spark, sfDir).embeddings, 0.8, nlist.toInt,
+          capFactor = cf.toInt, trainFrac = tf.toDouble)
       case _ => SparkEntry.queries(name)(spark, sfDir)
     }
     family.foreach { name =>

@@ -33,14 +33,14 @@ object Streams {
     // representation — raw nanos, NTZ, or UTC — is whatever arrives, then
     // normalize exactly like the batch loader. An EMPTY directory (stream
     // created before the first file arrives — the file-arrival use case)
-    // can't be sniffed, so it falls back to the current generator's
-    // TIMESTAMP_NTZ shape. The schema is fixed at stream start either
-    // way, so all files one stream directory ever receives must share one
-    // ts encoding — a later file of a different vintage would be misread.
+    // can't be sniffed, so it falls back to the generator's current
+    // shape — Tables.eventsFallbackSchema, the shared constant, so a
+    // generator drift is a single-point change instead of a silent
+    // misread here. The schema is fixed at stream start either way, so
+    // all files one stream directory ever receives must share one ts
+    // encoding — a later file of a different vintage would be misread.
     val schema = scala.util.Try(spark.read.parquet(eventsDir).schema)
-      .getOrElse(org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
-          "event_type STRING, value DOUBLE, props STRING"))
+      .getOrElse(graft.Tables.eventsFallbackSchema)
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(schema)
