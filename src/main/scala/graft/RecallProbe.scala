@@ -49,6 +49,10 @@ object RecallProbe {
     val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "4").toInt
     val ksub = sys.env.getOrElse("SPARK_GRAFT_PQ_KSUB", "8").toInt
     val kf = sys.env.getOrElse("SPARK_GRAFT_PQ_KFACTOR", "8").toInt
+    // IVF geometry for the two IVF-PQ variants: nprobe sweeps quantify
+    // the coarse-pruning recall cost (nprobe=nlist ≡ the flat scan).
+    val nlist = sys.env.getOrElse("SPARK_GRAFT_IVF_NLIST", "16").toInt
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "4").toInt
 
     // Exact ground truth once: all (qid, nid, cos, rk) rows. Two metrics:
     //   recall@k   — |approx∩exact| / nq·k over every ranked pair. On iid
@@ -68,14 +72,16 @@ object RecallProbe {
     val variants: Seq[(String, () => DataFrame)] = Seq(
       s"pq[m=$m,ksub=$ksub]" -> (() =>
         operators.Similarity.cosineTopKPq(emb, nq, k, m = m, ksub = ksub)),
-      s"ivfpq[m=$m,ksub=$ksub]" -> (() =>
-        operators.Similarity.cosineTopKIvfPq(emb, nq, k, m = m, ksub = ksub)),
+      s"ivfpq[m=$m,ksub=$ksub,np=$nprobe/$nlist]" -> (() =>
+        operators.Similarity.cosineTopKIvfPq(emb, nq, k,
+          nlist = nlist, nprobe = nprobe, m = m, ksub = ksub)),
       s"pq_refined[m=$m,ksub=$ksub,kf=$kf]" -> (() =>
         operators.Similarity.cosineTopKPqRefined(emb, nq, k,
           kFactor = kf, m = m, ksub = ksub)),
-      s"ivfpq_refined[m=$m,ksub=$ksub,kf=$kf]" -> (() =>
+      s"ivfpq_refined[m=$m,ksub=$ksub,kf=$kf,np=$nprobe/$nlist]" -> (() =>
         operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
-          kFactor = kf, m = m, ksub = ksub)))
+          kFactor = kf, nlist = nlist, nprobe = nprobe,
+          m = m, ksub = ksub)))
     variants.foreach { case (name, thunk) =>
       val t0 = System.nanoTime()
       val res = thunk().select("qid", "nid", "rk").collect()

@@ -367,10 +367,64 @@ object Similarity {
     import e.sparkSession.implicits._
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val len = dims / m
-    (0 until m).map { s =>
-      val sub = e.select($"vec_id", slice($"v", s * len + 1, len).as("v"))
-        .withColumn("nsq", normSqQ($"v"))
-      trainCentroidsSampled(sub, ksub, iters, trainFrac)
+
+    // All m subspaces train in ONE pass per stage instead of m
+    // independent trainers: the seeds are slices of the same nlist rows
+    // (the rank is on vec_id only), and each Lloyd iteration is one job
+    // over the exploded (sub, subv) relation — a CASE over m native
+    // argmins then one groupBy(sub, cid) sum. m×(1+iters) full-scan
+    // jobs collapse to 1+iters; at ksub=256 (q97/q98's retrieval-grade
+    // geometry) this is the difference between the codebook build
+    // dominating the query and disappearing into it. Integer arithmetic
+    // and (dist, cid) ordering are unchanged, so the codebooks are
+    // bit-identical to the per-subspace formulation the DuckDB oracle
+    // replays.
+    def trainOn(t: DataFrame): Seq[Seq[(Long, Array[Long])]] = {
+      val seedRows = t
+        .select($"vec_id", $"v", detUniform("ivfseed", $"vec_id").as("u"))
+        .orderBy($"u".asc, $"vec_id".asc).limit(ksub)
+        .select($"v").collect()
+        .map(_.getSeq[Long](0).toArray)
+      if (seedRows.isEmpty) return Seq.fill(m)(Seq.empty)
+      var books: Seq[Seq[(Long, Array[Long])]] = (0 until m).map { s =>
+        seedRows.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.slice(s * len, s * len + len))
+        }.toSeq
+      }
+      val sliced = t.select($"vec_id", posexplode(array(
+        (0 until m).map(s => slice($"v", s * len + 1, len)): _*))
+        .as(Seq("sub", "subv")))
+      for (_ <- 1 to iters) {
+        val cidExpr = (1 until m).foldLeft(
+          when($"sub" === 0,
+            graft.functions.VecExprs.argminCentroid($"subv", books(0)))) {
+          (acc, s) => acc.when($"sub" === s,
+            graft.functions.VecExprs.argminCentroid($"subv", books(s)))
+        }
+        val sums = (0 until len).map(i =>
+          sum(element_at($"subv", i + 1)).as(s"s$i"))
+        val rows = sliced.withColumn("cid", cidExpr)
+          .groupBy($"sub", $"cid")
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .collect()
+        books = (0 until m).map { s =>
+          rows.filter(_.getAs[Int]("sub") == s).map { r =>
+            val cnt = r.getAs[Long]("cnt")
+            val cv = Array.tabulate(len)(i =>
+              math.floor(r.getAs[Long](s"s$i").toDouble / cnt).toLong)
+            (r.getAs[Long]("cid"), cv)
+          }.sortBy(_._1).toSeq
+        }
+      }
+      books
+    }
+
+    if (trainFrac >= 1.0) trainOn(e)
+    else {
+      val sample = e.filter(
+        detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(trainFrac)))
+      val books = trainOn(sample)
+      if (books.exists(_.isEmpty)) trainOn(e) else books
     }
   }
 
