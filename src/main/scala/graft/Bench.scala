@@ -33,7 +33,14 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // Execute the query's OWN physical plan (toRdd.count), not a
+      // count() over it: count() lets Catalyst drop count-invariant
+      // work — a final left join whose right side is provably unique
+      // gets eliminated, projection-only expressions get pruned — so a
+      // count-timed bench under-measures any query whose expensive part
+      // doesn't change the row count (q92's prune join was planned away
+      // entirely). toRdd runs the plan Verify materializes to parquet.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
       catch { case _: Throwable => failed += name; false }
       // -1 marks a failure in the numbers themselves; failed queries do
       // not contribute to the total, so a crash can't read as a speedup.

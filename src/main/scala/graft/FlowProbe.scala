@@ -75,7 +75,16 @@ object FlowProbe {
     val losers = Dedup.jaccardNearDups(unique, 0.6, Dedup.defaultMaxDf)
       .select($"doc_b".as("doc_id")).distinct()
     val deduped = unique.join(losers, Seq("doc_id"), "left_anti")
-    val boiler = Dedup.boilerplateRatio(deduped)
+    // The synthetic corpus is template-generated, so its cross-doc
+    // 3-gram sharing sits far above real-web levels; the cut threshold
+    // is a knob so the probe exercises the stage without emptying the
+    // corpus (the operator itself is distribution-agnostic).
+    val maxRatio = sys.env.getOrElse("SPARK_GRAFT_BOILER_MAX", "0.5").toDouble
+    if (sys.env.contains("SPARK_GRAFT_FLOW_DEBUG"))
+      Dedup.boilerplateRatio(deduped, maxRatio)
+        .selectExpr("percentile_approx(dup_ratio, array(0.01,0.1,0.5,0.9,0.99)) p")
+        .collect().foreach(r => println(s"FLOWDEBUG dup_ratio_pcts=${r.get(0)}"))
+    val boiler = Dedup.boilerplateRatio(deduped, maxRatio)
       .filter($"boilerplate").select($"doc_id")
     val kept = deduped.join(boiler, Seq("doc_id"), "left_anti")
     // The checkpoints run through timed() too, so their planning AND
@@ -93,6 +102,12 @@ object FlowProbe {
     val budget = 2000L
     val mix = trimmed.join(
       Sampling.tokenBudgetMixture(trimmed, budget).select($"doc_id"), "doc_id")
+    if (sys.env.contains("SPARK_GRAFT_FLOW_DEBUG")) {
+      Seq("scrubbed" -> scrubbed, "accepted" -> accepted, "unique" -> unique,
+        "deduped" -> deduped, "kept" -> kept, "trimmed" -> trimmed,
+        "mix" -> mix).foreach { case (n, df) =>
+        println(s"FLOWDEBUG $n=${df.count()}") }
+    }
     val report = timed(Reporting.corpusReport(mix))(_.collect())
     val nMix = countOf(mix)
     val total = (System.nanoTime() - t0) / 1e9

@@ -73,7 +73,10 @@ object TextProbe {
     }
     family.foreach { name =>
       val t0 = System.nanoTime()
-      val rows = run(name).count()
+      // toRdd.count, not count(): see Bench — count() lets the optimizer
+      // eliminate count-invariant work (q92's final prune join!), so a
+      // count-timed probe measures a different (cheaper) plan.
+      val rows = run(name).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       // Locale.ROOT like Bench: comma-decimal locales must not change output.
       val s3 = String.format(java.util.Locale.ROOT, "%.3f", sec)

@@ -1084,6 +1084,22 @@ object Similarity {
       .withColumn("parent_id", lit(null).cast("long"))
     var saltedAny = false
     if (capFactor > 0) {
+      // Materialize the assignment at each guard stage boundary: the
+      // guard reads it several times (size census per round, the hot
+      // filters, the final prune join), and without the checkpoint every
+      // read re-runs the n·nlist argmin — measured 1.7× SLOWER guarded
+      // than unguarded at 200k vectors before this, guard work itself
+      // being ~5% of that wall. Data is unchanged, so the q92 oracle and
+      // SkewSpec keep-sets are untouched.
+      val dbg = sys.props.contains("graft.debug.semdedup")
+      var tMark = System.nanoTime()
+      def mark(tag: String): Unit = if (dbg) {
+        val now = System.nanoTime()
+        println(s"SEMDEDUP $tag ${(now - tMark) / 1e9}")
+        tMark = now
+      }
+      asg = asg.localCheckpoint()
+      mark("assign_ckpt")
       def sizesOf(df: DataFrame): Array[(Long, Long)] =
         df.groupBy("list_id").count().collect()
           .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -1101,12 +1117,15 @@ object Similarity {
         val hotDf = asg.filter($"list_id".isInCollection(hotIds))
           .select($"vec_id", $"v", $"nsq")
         val subCents = trainCentroidsSampled(hotDf, kSub, iters, trainFrac)
+        mark(s"subtrain_r$round")
         if (subCents.isEmpty) round = 3
         else {
           asg = asg.filter(!$"list_id".isInCollection(hotIds))
             .unionByName(hotDf
               .withColumn("list_id", assignExpr(subCents) + lit(base))
               .withColumn("parent_id", lit(null).cast("long")))
+            .localCheckpoint()
+          mark(s"reassign_r$round")
           base += kSub
           round += 1
           sizes = sizesOf(asg)
@@ -1133,6 +1152,8 @@ object Similarity {
             .withColumn("parent_id", $"list_id")
             .withColumn("list_id", element_at(typedlit(offOf), $"list_id") +
               $"vec_id" % element_at(typedlit(chunkOf), $"list_id")))
+          .localCheckpoint()
+        mark("salt")
         saltedAny = true
       }
     }
