@@ -72,6 +72,19 @@ object TextProbe {
       case _ => SparkEntry.queries(name)(spark, sfDir)
     }
     family.foreach { name =>
+      // SPARK_GRAFT_EXPLAIN=formatted dumps the plan before timing (the
+      // toRdd action emits no SQL-listener events, so this is the only
+      // window into what the probe actually executes).
+      sys.env.get("SPARK_GRAFT_EXPLAIN").foreach { mode =>
+        if (mode == "final") {
+          // Execute first so AQE finalizes, then print the real plan
+          // (with codegen ids) — the pre-execution explain shows the
+          // initial plan only.
+          val df = run(name)
+          df.queryExecution.toRdd.count()
+          println(df.queryExecution.executedPlan.toString)
+        } else run(name).explain(mode)
+      }
       val t0 = System.nanoTime()
       // toRdd.count, not count(): see Bench — count() lets the optimizer
       // eliminate count-invariant work (q92's final prune join!), so a

@@ -578,6 +578,93 @@ case class ProbeCentroids(child: Expression, cids: Seq[Long],
     copy(child = newChild)
 }
 
+/** One subspace's ADC lookup table for a query subvector: a cid-INDEXED
+  * array (position = cid, 0-based) of exact integer dots <q_sub,
+  * centroid_cid>. Lloyd can leave cids non-contiguous, so unassigned
+  * positions hold 0 — harmless, because the scan side only ever reads
+  * positions that appear as codes, and codes are argmin winners over
+  * the SAME codebook. Replaces the `map_from_arrays(lit(cids),
+  * array(dotQ(q, lit(c0)), …))` shape, which carried m×ksub literal dot
+  * expressions in the plan (at the retrieval-grade ksub=256 geometry the
+  * generated projection blew the 64 KB JIT method limit and the whole
+  * scan fell back to interpreted mode) AND cost an O(ksub) linear map
+  * scan per element_at on the corpus side. Here the codebook ships once
+  * as a reference object, LUT construction is one generated loop per
+  * query row, and the corpus-side lookup is element_at on an array —
+  * O(1) positional access inside whole-stage codegen.
+  */
+case class PqAdcLut(child: Expression, cids: Seq[Long],
+    cents: Seq[Seq[Long]], dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cids.length == cents.length &&
+    cents.forall(_.length == dims) &&
+    cids.forall(c => c >= 0 && c < (1 << 20)),
+    s"codebook must be ${cids.length} x $dims with cids in [0, 2^20)")
+
+  @transient private lazy val centArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val cidArr: Array[Int] = cids.map(_.toInt).toArray
+  @transient private lazy val width: Int = cidArr.max + 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_adc_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"pq_adc_lut: expected $dims dims, got ${v.numElements()}")
+    val out = new Array[Long](width)
+    var j = 0
+    while (j < centArr.length) {
+      val row = centArr(j)
+      var dot = 0L
+      var i = 0
+      while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+      out(cidArr(j)) = dot
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", centArr, "long[][]")
+      val cid = ctx.addReferenceObj("cids", cidArr, "int[]")
+      val out = ctx.freshName("lut")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_lut: expected $dims dims, got " + $a.numElements());
+         |}
+         |long[] $out = new long[$width];
+         |for (int $j = 0; $j < ${centArr.length}; $j++) {
+         |  long[] $row = $m[$j];
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $dot += $a.getLong($i) * $row[$i];
+         |  }
+         |  $out[$cid[$j]] = $dot;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExprs {
 
   /** Exact integer dot product of two array<long> columns. */
@@ -628,5 +715,14 @@ object VecExprs {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(ProbeCentroids(GraftSqlBridge.expression(v),
       cs.map(_._1), cs.map(_._2.toSeq), nprobe, cs.head._2.length))
+  }
+
+  /** Per-subspace ADC LUT: cid-indexed array<long> of <q_sub, centroid>
+    * dots (position = cid; unassigned cids hold 0 and are never read).
+    */
+  def pqAdcLut(qsub: Column, cs: Seq[(Long, Array[Long])]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(PqAdcLut(GraftSqlBridge.expression(qsub),
+      cs.map(_._1), cs.map(_._2.toSeq), cs.head._2.length))
   }
 }

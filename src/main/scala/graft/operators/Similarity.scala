@@ -350,7 +350,7 @@ object Similarity {
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val corpus = pqEncode(e, books, dims)
+    val corpus = registry.cache(pqEncode(e, books, dims))
     pqScore(corpus, e.filter($"vec_id" < nQueries), books, k, dims)
   }
 
@@ -429,11 +429,19 @@ object Similarity {
   }
 
   /** Lloyd can leave a centroid empty (its cid then has no row in the
-    * update aggregate), so cids are not guaranteed contiguous — look up
-    * by MAP key, never by array position.
+    * update aggregate), so cids are not guaranteed contiguous — the
+    * codebook norms are laid out as a cid-INDEXED dense array (holes 0,
+    * never read: codes are argmin winners over the same codebook), the
+    * same positional contract as [[pqLut]]'s native table, so the
+    * corpus-side read is an O(1) array element_at instead of an O(ksub)
+    * literal-map scan per code.
     */
-  private def cnsqMap(cs: Seq[(Long, Array[Long])]): Map[Long, Long] =
-    cs.map { case (cid, cv) => cid -> cv.map(x => x * x).sum }.toMap
+  private def cnsqArr(cs: Seq[(Long, Array[Long])]): Seq[Long] = {
+    val width = cs.map(_._1).max.toInt + 1
+    val out = Array.fill(width)(0L)
+    cs.foreach { case (cid, cv) => out(cid.toInt) = cv.map(x => x * x).sum }
+    out.toSeq
+  }
 
   /** Encoder: argmin over (cnsq − 2·dot, cid) — exactly
     * [[assignExpr]]'s native argmin, applied to the sliced subvector
@@ -456,7 +464,7 @@ object Similarity {
     val codeCols = (0 until m).map(s =>
       pqEncodeSub(slice($"v", s * len + 1, len), books(s)).as(s"c$s"))
     val rnsq = (0 until m).map(s =>
-      element_at(typedlit(cnsqMap(books(s))), col(s"c$s"))).reduce(_ + _)
+      lutAt(typedlit(cnsqArr(books(s))), col(s"c$s"))).reduce(_ + _)
     e.select((($"vec_id" +: codeCols) ++ extra.map(col)): _*)
       .withColumn("rnsq", rnsq)
   }
@@ -466,14 +474,23 @@ object Similarity {
     * work), broadcast against the code rows; a corpus row costs m map
     * lookups.
     */
-  /** Per-query per-subspace ADC lookup table: cid → <q_sub, centroid>
-    * (integer dots — the full-precision work, all on the query side).
+  /** Per-query per-subspace ADC lookup table: a cid-INDEXED array<long>
+    * of <q_sub, centroid> dots (the full-precision work, all on the
+    * query side) — ONE native PqAdcLut expression with the codebook as a
+    * reference object. The map_from_arrays-of-literal-dots shape it
+    * replaces carried m×ksub literal expressions (at ksub=256 the
+    * generated projection blew the 64 KB JIT limit → interpreted
+    * fallback on the scan) and paid an O(ksub) map scan per corpus-side
+    * lookup; the array form is O(1) positional element_at in codegen.
     */
-  private def pqLut(qsub: Column, cs: Seq[(Long, Array[Long])]): Column = {
-    import org.apache.spark.sql.functions.typedlit
-    map_from_arrays(typedlit(cs.map(_._1)),
-      array(cs.map { case (_, cv) => dotQ(qsub, typedlit(cv.toSeq)) }: _*))
-  }
+  private def pqLut(qsub: Column, cs: Seq[(Long, Array[Long])]): Column =
+    graft.functions.VecExprs.pqAdcLut(qsub, cs)
+
+  /** Corpus-side ADC read of [[pqLut]]'s table: element_at is 1-based,
+    * codes (cids) are 0-based positions.
+    */
+  private def lutAt(lut: Column, code: Column): Column =
+    element_at(lut, (code + lit(1L)).cast("int"))
 
   private def pqScore(corpus: DataFrame, queries: DataFrame,
       books: Seq[Seq[(Long, Array[Long])]], k: Int, dims: Int): DataFrame = {
@@ -485,7 +502,7 @@ object Similarity {
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
     val adot = (0 until m).map(s =>
-      element_at(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
+      lutAt(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
     val scored = corpus.join(broadcast(qq), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
         (adot.cast("double") / sqrt($"qnsq".cast("double")) /
@@ -575,8 +592,9 @@ object Similarity {
     if (cents.isEmpty || books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val codes = pqEncode(e.withColumn("list_id", assignExpr(cents)),
-      books, dims, extra = Seq("list_id"))
+    val codes = registry.cache(
+      pqEncode(e.withColumn("list_id", assignExpr(cents)),
+        books, dims, extra = Seq("list_id")))
     pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents, books,
       k, nprobe, dims)
   }
@@ -599,7 +617,7 @@ object Similarity {
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
     val adot = (0 until m).map(s =>
-      element_at(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
+      lutAt(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
     val scored = codes.join(broadcast(qq), Seq("list_id"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
@@ -832,7 +850,7 @@ object Similarity {
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val corpus = pqEncode(e, books, dims)
+    val corpus = registry.cache(pqEncode(e, books, dims))
     val cand = pqScore(corpus, e.filter($"vec_id" < nQueries), books,
       k * kFactor, dims).select($"qid", $"nid")
     refineExact(e, cand, nQueries, k)
@@ -848,14 +866,23 @@ object Similarity {
       ksub: Int = 256, iters: Int = 2, dims: Int = 64,
       trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
+    val dbg = sys.props.contains("graft.debug.pq")
+    var tM = System.nanoTime()
+    def mark(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(s"PQPHASE $tag ${(now - tM) / 1e9}"); tM = now
+    }
     val e = quantized(embeddings)
     val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    mark("coarse_train")
     val books = pqTrain(e, m, ksub, iters, dims, trainFrac)
+    mark("pq_train")
     if (cents.isEmpty || books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val codes = pqEncode(e.withColumn("list_id", assignExpr(cents)),
-      books, dims, extra = Seq("list_id"))
+    val codes = registry.cache(
+      pqEncode(e.withColumn("list_id", assignExpr(cents)),
+        books, dims, extra = Seq("list_id")))
     val cand = pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents,
       books, k * kFactor, nprobe, dims).select($"qid", $"nid")
     refineExact(e, cand, nQueries, k)
