@@ -68,6 +68,36 @@ class FunctionsSpec extends SparkSpec {
     assert(capped.forall(_.getSeq[Long](0).length == cents.length))
   }
 
+  test("PqAdcLut == the map-of-literal-dots formulation, with a cid gap") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.functions.VecExprs
+    val e = tables.embeddings
+      .select($"vec_id", slice(Similarity.quantize($"embedding"), 1, 8).as("sv"))
+    // Codebook with a HOLE at cid 2 — the shape Lloyd leaves when a
+    // centroid empties — so positional indexing must survive
+    // non-contiguous cids exactly like the map lookup it replaced.
+    val base = e.orderBy($"vec_id").limit(3).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val cents: Seq[(Long, Array[Long])] =
+      Seq((0L, base(0)), (1L, base(1)), (3L, base(2)))
+    val legacyMap = map_from_arrays(typedlit(cents.map(_._1)),
+      array(cents.map { case (_, cv) => VecExprs.dotQ($"sv", typedlit(cv.toSeq)) }: _*))
+    val checks = cents.map { case (cid, _) =>
+      (element_at(VecExprs.pqAdcLut($"sv", cents), lit(cid.toInt + 1)) ===
+        element_at(legacyMap, lit(cid))).as(s"eq$cid")
+    }
+    val both = e.select(checks: _*)
+    cents.foreach { case (cid, _) =>
+      assert(both.filter(!col(s"eq$cid")).count() == 0, s"cid $cid mismatch")
+    }
+    // The hole (cid 2 → position 3) reads 0, and the array is exactly
+    // max-cid+1 wide — never silently truncated.
+    val lut = e.select(VecExprs.pqAdcLut($"sv", cents).as("lut"))
+      .collect()(0).getSeq[Long](0)
+    assert(lut.length == 4 && lut(2) == 0L)
+  }
+
   test("WeightedReservoir equals the window formulation (same ES keys)") {
     import spark.implicits._
     val viaAgg = Sampling.weightedReservoirPerType(tables.events, 5)
