@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch scale probe for the composed ingest gate — NOT part of the
+  * driver contract. Builds the three-tier gate state (exact fp, SimHash
+  * signatures, IVF index) over the corpus at SPARK_GRAFT_SF_DIR, then
+  * gates a 50-doc batch constructed to exercise every tier: 25 verbatim
+  * corpus docs (exact hits), 25 with one appended token (fingerprint
+  * broken; SimHash distance stays small, and the unchanged embedding is
+  * an exact cosine hit for whatever SimHash misses). Build and serve are
+  * timed separately — the claim under test is the q77/q95/q96 one
+  * composed: build is corpus-linear, SERVE is corpus-size-insensitive.
+  *
+  *   SPARK_GRAFT_SF_DIR=bench/sf1 tools/run.sh graft.GateProbe
+  */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val t = Tables.load(spark, sfDir)
+    Seq(t.documents, t.embeddings).foreach(_.count()) // warm scan
+
+    val t0 = System.nanoTime()
+    val state0 = operators.IngestGate.buildState(t.documents, t.embeddings)
+    // Materialize the state exactly as a deployment would persist it:
+    // localCheckpoint is the in-probe analog of the parquet round-trip
+    // IngestGateSpec proves, and it keeps serve timing free of build work.
+    val state = operators.IngestGate.GateState(
+      state0.fps.localCheckpoint(), state0.sims.localCheckpoint(),
+      state0.cents.localCheckpoint(), state0.assigned.localCheckpoint())
+    val buildS = (System.nanoTime() - t0) / 1e9
+
+    // Incoming docs carry NEW ids (a re-crawl of known content arrives
+    // under a fresh id — matching the serve operators' contract; a batch
+    // doc that IS the stored survivor would be its own keep and pass).
+    val batchDocs = t.documents.filter($"doc_id" < 50)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        when($"doc_id" % 2 === 1, concat($"text", lit(" xyzzy")))
+          .otherwise($"text").as("text"))
+      .localCheckpoint()
+    val batchEmb = t.embeddings.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .localCheckpoint()
+
+    val t1 = System.nanoTime()
+    val decisions = operators.IngestGate.gate(state, batchDocs, batchEmb)
+    val byStage = decisions.groupBy($"stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val serveS = (System.nanoTime() - t1) / 1e9
+
+    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    println(s"GATEPROBE dir=$sfDir build_s=${s3(buildS)} serve_s=${s3(serveS)} " +
+      s"stages=${byStage.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")}")
+    spark.stop()
+  }
+}
