@@ -1143,7 +1143,16 @@ object Similarity {
           math.ceil(2.0 * hot.map(_._2).sum / cap).toInt))
         val hotDf = asg.filter($"list_id".isInCollection(hotIds))
           .select($"vec_id", $"v", $"nsq")
-        val subCents = trainCentroidsSampled(hotDf, kSub, iters, trainFrac)
+        // FAISS's points-per-centroid heuristic: k-means quality saturates
+        // around ~256 training points per centroid, so the split round
+        // trains on at most 256·kSub rows however large the hot mass —
+        // the sub-clustering is a splitting heuristic, not the keep-set
+        // (exact pair verification decides that). An empty sample falls
+        // back to the full hot mass inside trainCentroidsSampled.
+        val hotN = math.max(1L, hot.map(_._2).sum)
+        val subFrac = math.min(trainFrac, 256.0 * kSub / hotN.toDouble)
+        val subCents = trainCentroidsSampled(hotDf, kSub, iters,
+          math.min(1.0, math.max(subFrac, 1e-6)))
         mark(s"subtrain_r$round")
         if (subCents.isEmpty) round = 3
         else {
