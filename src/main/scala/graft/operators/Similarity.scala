@@ -197,6 +197,32 @@ object Similarity {
   private def trainHashCap(trainFrac: Double): Long =
     (trainFrac * 4294967296.0).toLong
 
+  /** FAISS's max_points_per_centroid (Clustering.cpp defaults): k-means
+    * quality saturates around ~256 training points per centroid, so
+    * training sets larger than 256·k are subsampled with no measurable
+    * recall cost. Exposed as the default `ppc` of every trainer (and
+    * [[semanticDedupAt]]'s `subTrainPpc`) so deployments can pin it for
+    * reproducibility; the driver-contract corpora (500 vectors) are far
+    * below every cap, so the pinned oracles replay uncapped training.
+    */
+  val trainPointsPerCentroid: Int = 256
+
+  /** Effective training fraction after the points-per-centroid cap:
+    * min(trainFrac, ppc·k / n). The membership test stays the single
+    * integer hash-cap comparison ([[trainHashCap]]), so a capped
+    * training set is exactly as replayable as an explicit trainFrac —
+    * the cap only changes WHICH deterministic fraction applies. One
+    * count() against the (registry-cached) quantized corpus prices it.
+    */
+  private def cappedTrainFrac(e: DataFrame, k: Int, trainFrac: Double,
+      ppc: Int): Double = {
+    if (ppc <= 0) return trainFrac
+    val budget = ppc.toLong * math.max(1, k)
+    val n = e.count()
+    if (n <= budget) trainFrac
+    else math.min(trainFrac, budget.toDouble / n.toDouble)
+  }
+
   /** Train the coarse quantizer on a deterministic hash-derived subsample
     * of the corpus — the 100 TB index-build shape. Lloyd's cost is
     * iters × |train| × nlist distance evaluations; at full scale the
@@ -210,12 +236,14 @@ object Similarity {
     * full corpus — the oracle (q80) exercises the non-degenerate regime.
     */
   private def trainCentroidsSampled(e: DataFrame, nlist: Int, iters: Int,
-      trainFrac: Double): Seq[(Long, Array[Long])] = {
+      trainFrac: Double,
+      ppc: Int = trainPointsPerCentroid): Seq[(Long, Array[Long])] = {
     require(trainFrac > 0.0 && trainFrac <= 1.0,
       s"trainFrac must be in (0, 1], got $trainFrac")
-    if (trainFrac >= 1.0) return trainIvfCentroids(e, nlist, iters)
+    val f = cappedTrainFrac(e, nlist, trainFrac, ppc)
+    if (f >= 1.0) return trainIvfCentroids(e, nlist, iters)
     val sample = e.filter(
-      detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(trainFrac)))
+      detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
     val cents = trainIvfCentroids(sample, nlist, iters)
     if (cents.isEmpty) trainIvfCentroids(e, nlist, iters) else cents
   }
@@ -361,6 +389,10 @@ object Similarity {
     * trainFrac < 1 trains every codebook on the SAME hash-cap sample
     * ("ivftrain" on vec_id, as [[trainCentroidsSampled]]) — the bounded
     * index-build cost at corpus scale, composing with the q80 knob.
+    * Even at the trainFrac=1 default the training set is capped at
+    * [[trainPointsPerCentroid]]·ksub rows ([[cappedTrainFrac]]) — the
+    * FAISS heuristic that keeps codebook-build cost bounded however
+    * large the corpus.
     */
   private def pqTrain(e: DataFrame, m: Int, ksub: Int, iters: Int,
       dims: Int, trainFrac: Double = 1.0): Seq[Seq[(Long, Array[Long])]] = {
@@ -419,10 +451,11 @@ object Similarity {
       books
     }
 
-    if (trainFrac >= 1.0) trainOn(e)
+    val f = cappedTrainFrac(e, ksub, trainFrac, trainPointsPerCentroid)
+    if (f >= 1.0) trainOn(e)
     else {
       val sample = e.filter(
-        detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(trainFrac)))
+        detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
       val books = trainOn(sample)
       if (books.exists(_.isEmpty)) trainOn(e) else books
     }
@@ -1090,8 +1123,13 @@ object Similarity {
     *      one extra merge pass (≤ chunk-count survivors each for
     *      near-identical mass), restoring the unsplit keep-set.
     * Work is then Σ|list|² ≤ n·cap ≈ capFactor·n^1.5 at √n sizing — the
-    * designed budget — instead of n². The guard's driver state is one
-    * (list_id, count) aggregate per round, ≤ #lists rows. At the pinned
+    * designed budget — instead of n². The census that sizes the lists
+    * also prices the prune: when the actual Σ|list|² is ALREADY within
+    * the n·cap budget the guard exits before any split work, so on
+    * balanced corpora (where it has nothing to fix) it costs one
+    * aggregate over the cached assignment and nothing else. The guard's
+    * driver state is one (list_id, count) aggregate per round, ≤ #lists
+    * rows. At the pinned
     * q92 oracle geometry the guard never fires (cap = 8× mean; an iid
     * corpus peaks near 2× mean), so the static replay stays valid;
     * capFactor = 0 disables the guard outright. Split lists report
@@ -1099,7 +1137,8 @@ object Similarity {
     */
   def semanticDedupAt(embeddings: DataFrame, minCos: Double,
       nlist: Int, iters: Int = 2, trainFrac: Double = 1.0,
-      capFactor: Int = 8): DataFrame = {
+      capFactor: Int = 8, subTrainPpc: Int = 256,
+      guardMinPairs: Long = 1L << 26): DataFrame = {
     import embeddings.sparkSession.implicits._
     import org.apache.spark.sql.functions.typedlit
     val e = quantized(embeddings)
@@ -1111,13 +1150,18 @@ object Similarity {
       .withColumn("parent_id", lit(null).cast("long"))
     var saltedAny = false
     if (capFactor > 0) {
-      // Materialize the assignment at each guard stage boundary: the
-      // guard reads it several times (size census per round, the hot
-      // filters, the final prune join), and without the checkpoint every
-      // read re-runs the n·nlist argmin — measured 1.7× SLOWER guarded
-      // than unguarded at 200k vectors before this, guard work itself
-      // being ~5% of that wall. Data is unchanged, so the q92 oracle and
-      // SkewSpec keep-sets are untouched.
+      // Materialize the assignment RECOVERABLY: the guard reads it
+      // several times (size census, hot filters, the final prune join),
+      // and without materialization every read re-runs the n·nlist
+      // argmin — measured 1.7× SLOWER guarded than unguarded at 200k
+      // vectors before this. The base assignment goes through
+      // registry.cache (persist) rather than localCheckpoint so an
+      // executor loss recomputes the block instead of failing the
+      // operator; the census aggregate below forces it. Only the
+      // intra-guard reassign/salt stages — where lineage would re-run
+      // the argmin per round — still localCheckpoint. Data is
+      // unchanged, so the q92 oracle and IvfSpec keep-sets are
+      // untouched.
       val dbg = sys.props.contains("graft.debug.semdedup")
       var tMark = System.nanoTime()
       def mark(tag: String): Unit = if (dbg) {
@@ -1125,16 +1169,38 @@ object Similarity {
         println(s"SEMDEDUP $tag ${(now - tMark) / 1e9}")
         tMark = now
       }
-      asg = asg.localCheckpoint()
-      mark("assign_ckpt")
+      asg = registry.cache(asg)
       def sizesOf(df: DataFrame): Array[(Long, Long)] =
         df.groupBy("list_id").count().collect()
           .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       var sizes = sizesOf(asg)
+      mark("assign_census")
       val n = sizes.map(_._2).sum
       val cap = math.max(2L,
         capFactor.toLong * math.max(1L, n / math.max(1, nlist)))
-      var hot = sizes.filter(_._2 > cap)
+      // Early exit: the guard exists to bound the intra-list prune, and
+      // the census that sizes the lists also prices it — Σ|list|² pair
+      // dots. Skip the split machinery entirely when that work is
+      // affordable, on either criterion:
+      //  - RELATIVE: Σ|list|² ≤ n·cap, the designed n^1.5 budget — the
+      //    prune is already within what the guard would bound it to.
+      //    (Σ|l|² > n·cap implies some list exceeds cap, since
+      //    Σ|l|² ≤ cap·Σ|l| otherwise — the loop always has work when
+      //    entered.)
+      //  - ABSOLUTE: Σ|list|² ≤ guardMinPairs (default 2²⁶ ≈ 67M pairs,
+      //    a few seconds of 64-dim integer dots on one executor). The
+      //    guard's own fixed cost is ~8 s of split rounds + checkpoints
+      //    (bench_r12_sf1.json: guarded 9.8 s vs unguarded 1.6 s on the
+      //    2k hot corpus, where the whole quadratic is 2.25M pairs) —
+      //    below this floor splitting cannot win even when the budget
+      //    is formally exceeded. 0 forces the budget-only criterion
+      //    (the IvfSpec planted-hot test exercises the split machinery
+      //    at test scale this way).
+      val pairWork = sizes.map(s => s._2 * s._2).sum
+      var hot =
+        if (pairWork <= math.max(n * cap, guardMinPairs))
+          Array.empty[(Long, Long)]
+        else sizes.filter(_._2 > cap)
       var base = nlist.toLong
       var round = 0
       while (hot.nonEmpty && round < 3) {
@@ -1143,16 +1209,19 @@ object Similarity {
           math.ceil(2.0 * hot.map(_._2).sum / cap).toInt))
         val hotDf = asg.filter($"list_id".isInCollection(hotIds))
           .select($"vec_id", $"v", $"nsq")
-        // FAISS's points-per-centroid heuristic: k-means quality saturates
-        // around ~256 training points per centroid, so the split round
-        // trains on at most 256·kSub rows however large the hot mass —
-        // the sub-clustering is a splitting heuristic, not the keep-set
-        // (exact pair verification decides that). An empty sample falls
-        // back to the full hot mass inside trainCentroidsSampled.
-        val hotN = math.max(1L, hot.map(_._2).sum)
-        val subFrac = math.min(trainFrac, 256.0 * kSub / hotN.toDouble)
+        // FAISS's points-per-centroid heuristic: k-means quality
+        // saturates around ~256 training points per centroid, so the
+        // split round trains on at most subTrainPpc·kSub rows however
+        // large the hot mass — the sub-clustering is a splitting
+        // heuristic, not the keep-set (exact pair verification decides
+        // that). NOTE: once |hot| > subTrainPpc·kSub the sub-cluster
+        // boundaries — and so which near-dup pairs get COMPARED —
+        // depend on the training subsample; the keep-set is approximate
+        // by design at those scales, and subTrainPpc is exposed so
+        // deployments can pin it for reproducibility. An empty sample
+        // falls back to the full hot mass inside trainCentroidsSampled.
         val subCents = trainCentroidsSampled(hotDf, kSub, iters,
-          math.min(1.0, math.max(subFrac, 1e-6)))
+          trainFrac, ppc = subTrainPpc)
         mark(s"subtrain_r$round")
         if (subCents.isEmpty) round = 3
         else {
@@ -1193,7 +1262,13 @@ object Similarity {
         saltedAny = true
       }
     }
-    val assigned = registry.cache(asg)
+    // capFactor > 0 ⟹ asg is already materialized: the registry-cached
+    // base assignment when the guard never split, or the last intra-guard
+    // localCheckpoint when it did — persisting again would double its
+    // residency (the r12 ADVICE finding). capFactor == 0 skips the guard
+    // block entirely, so the prune's two self-join reads still need one
+    // recoverable materialization.
+    val assigned = if (capFactor > 0) asg else registry.cache(asg)
     def simPairs(df: DataFrame, key: String): DataFrame =
       df.as("x").join(df.as("y"),
           col(s"x.$key") === col(s"y.$key") &&

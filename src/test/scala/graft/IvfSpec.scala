@@ -67,7 +67,13 @@ class IvfSpec extends SparkSpec {
     }
     val df = rows.toDF("vec_id", "embedding")
     val nlist = Similarity.semanticNlist(500) // 23; cap = 8·(500/23) = 168
-    val res = Similarity.semanticDedupAt(df, 0.8, nlist).collect()
+    // guardMinPairs = 0: at test scale the 400² = 160k-pair hot list is
+    // far below the production 2²⁶ absolute floor (the guard would —
+    // correctly — early-exit and just run the affordable prune); forcing
+    // the budget-only criterion exercises the split/salt/merge machinery
+    // the test exists to prove.
+    val res = Similarity.semanticDedupAt(df, 0.8, nlist,
+        guardMinPairs = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(res.length == 500)
     // (a) Bounded prune work: the guard caps Σ|list|² at n·cap — the
@@ -89,10 +95,12 @@ class IvfSpec extends SparkSpec {
     // (c) Deterministic across runs — salting offsets, sub-ids and the
     // merge are all hash/modulo-derived, nothing depends on collect
     // order or partitioning.
-    val again = Similarity.semanticDedupAt(df, 0.8, nlist).collect()
+    val again = Similarity.semanticDedupAt(df, 0.8, nlist,
+        guardMinPairs = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(again.toSet == res.toSet)
-    val repart = Similarity.semanticDedupAt(df.repartition(7), 0.8, nlist)
+    val repart = Similarity.semanticDedupAt(df.repartition(7), 0.8, nlist,
+        guardMinPairs = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(repart.toSet == res.toSet)
     // (d) On a balanced corpus the guard is inert: capFactor=8 and
@@ -103,6 +111,18 @@ class IvfSpec extends SparkSpec {
     val unguarded = Similarity.semanticDedupAt(tables.embeddings, 0.35,
       nlist, capFactor = 0).collect().map(_.toSeq).toSet
     assert(guarded == unguarded)
+    // (e) Absolute-floor early exit: at the PRODUCTION default
+    // (guardMinPairs = 2²⁶) this planted corpus's 160k-pair hot list is
+    // far below the floor, so the guard skips all split work and the
+    // output — list ids included — is bit-identical to capFactor=0.
+    // The keep-set is exact either way (the prune verifies every pair);
+    // the floor only decides whether the affordable quadratic runs
+    // unsplit.
+    val defaulted = Similarity.semanticDedupAt(df, 0.8, nlist)
+      .collect().map(_.toSeq).toSet
+    val off = Similarity.semanticDedupAt(df, 0.8, nlist, capFactor = 0)
+      .collect().map(_.toSeq).toSet
+    assert(defaulted == off)
     Similarity.releaseIndexes()
   }
 
