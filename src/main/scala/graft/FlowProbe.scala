@@ -90,9 +90,13 @@ object FlowProbe {
     // The checkpoints run through timed() too, so their planning AND
     // materialization land in the split instead of vanishing into
     // dataflow-construction time.
-    val keptM = if (ckpt) timed(kept)(_.localCheckpoint()) else kept
+    val keptM =
+      if (ckpt) timed(kept)(operators.Flow.stageBoundary(_, "kept"))
+      else kept
     val contRaw = Dedup.containmentDups(keptM, 0.8).select($"doc_a", $"doc_b")
-    val cont = if (ckpt) timed(contRaw)(_.localCheckpoint()) else contRaw
+    val cont =
+      if (ckpt) timed(contRaw)(operators.Flow.stageBoundary(_, "cont"))
+      else contRaw
     val mutual = cont.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))
       .withColumn("mut", lit(true))
     val contLosers = cont.join(mutual, Seq("doc_a", "doc_b"), "left")

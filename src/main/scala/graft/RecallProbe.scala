@@ -82,7 +82,7 @@ object RecallProbe {
         operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
           kFactor = kf, nlist = nlist, nprobe = nprobe,
           m = m, ksub = ksub)))
-    variants.foreach { case (name, thunk) =>
+    def measure(name: String, thunk: () => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val res = thunk().select("qid", "nid", "rk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -97,6 +97,41 @@ object RecallProbe {
         s"recall=${s3(recall)} dup_recall=${s3(dupR)} dupq=${dupTop1.size} " +
         s"sec=${s3(sec)} pairs=${got.size}")
     }
+
+    // "sweep" mode (tools/run.sh graft.RecallProbe sweep): measure the
+    // (nprobe, kFactor, m) recall surface at the sqrt(n)-scaled nlist the
+    // annParams auto-geometry uses — the data the annParams constants
+    // were fitted from, and the per-round evidence that the fit still
+    // meets its target. "auto" mode measures exactly what annParams
+    // selects at this corpus size for a set of target recalls.
+    if (args.contains("sweep")) {
+      val n = emb.count()
+      val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
+      val fracs = Seq(0.125, 0.25, 0.5, 1.0)
+      val kfs = Seq(16, 64, 256)
+      for (mm <- Seq(8, 16); kff <- kfs)
+        measure(s"sweep_pq_refined[m=$mm,kf=$kff]", () =>
+          operators.Similarity.cosineTopKPqRefined(emb, nq, k,
+            kFactor = kff, m = mm, ksub = 256))
+      for (f <- fracs; kff <- kfs) {
+        val np = math.max(1, math.ceil(nlist * f).toInt)
+        measure(s"sweep_ivfpq_refined[m=8,kf=$kff,np=$np/$nlist]", () =>
+          operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
+            kFactor = kff, nlist = nlist, nprobe = np, m = 8, ksub = 256))
+      }
+    } else if (args.contains("auto")) {
+      val n = emb.count()
+      for (target <- Seq(0.8, 0.9)) {
+        val g = operators.Similarity.annParams(n, k, target)
+        measure(s"auto_ivfpq[target=$target,nlist=${g.nlist}," +
+          s"np=${g.nprobe},kf=${g.kFactor},m=${g.m}]", () =>
+          operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
+            kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe,
+            m = g.m, ksub = 256))
+        measure(s"auto_entry[target=$target]", () =>
+          operators.Similarity.cosineTopKAuto(emb, nq, k, target))
+      }
+    } else variants.foreach { case (name, thunk) => measure(name, thunk) }
     spark.stop()
   }
 }

@@ -112,4 +112,48 @@ object IngestGate {
       .select($"doc_id", coalesce($"stage", lit("pass")).as("stage"),
         $"dup_of")
   }
+
+  /** Admit a batch's survivors into the gate state — the append half
+    * that closes the ingest loop: [[gate]] DECIDES, `admit` makes the
+    * decision durable, so batch N+1 dedups against batch N's survivors
+    * and not just the original corpus. One row per survivor lands in
+    * each state family:
+    *
+    *  - fingerprints: the survivor's (fp, keep_id=doc_id) rows —
+    *    same-fp survivors of ONE batch (the gate checks the batch
+    *    against STATE, not against itself) collapse batch-locally to
+    *    the smaller id;
+    *  - simhashes: the survivor's signature rows (batch-local compute,
+    *    [[Dedup.simhashes]]);
+    *  - IVF assignment: the survivor's vectors assigned to the EXISTING
+    *    centroids ([[Similarity.ivfAssign]] — the FAISS `add`-without-
+    *    retrain path; [[Similarity.ivfAssignCost]] is the drift metric
+    *    that says when to stop appending and rebuild, and
+    *    [[Similarity.ivfReindex]] the rebuild).
+    *
+    * Centroids are returned unchanged. All three appends are
+    * batch-sized unions — the state side is never shuffled, grouped, or
+    * deduplicated here (the q77 state pattern): exactly-once belongs to
+    * the checkpointed foreachBatch sink that persists the state, and
+    * every gate consumer is duplicate-tolerant anyway (each stage
+    * aggregates hits by min(dup_of), so a replayed state row changes
+    * nothing but wasted bytes). Every piece stays interoperable with
+    * the per-family serve operators (q77/q95/q96).
+    */
+  def admit(state: GateState, decisions: DataFrame, batchDocs: DataFrame,
+      batchEmb: DataFrame): GateState = {
+    import batchDocs.sparkSession.implicits._
+    val survivors = decisions.filter($"stage" === "pass")
+      .select($"doc_id").distinct()
+    val sDocs = batchDocs.join(broadcast(survivors), Seq("doc_id"))
+    val newFps = state.fps.unionByName(
+      sDocs.select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id")
+        .groupBy($"fp").agg(min($"doc_id").as("keep_id")))
+    val newSims = state.sims.unionByName(Dedup.simhashes(sDocs))
+    val sEmb = batchEmb.join(
+      broadcast(survivors.select($"doc_id".as("vec_id"))), Seq("vec_id"))
+    val newAssigned = state.assigned.unionByName(
+      Similarity.ivfAssign(state.cents, sEmb))
+    GateState(newFps, newSims, state.cents, newAssigned)
+  }
 }

@@ -808,6 +808,18 @@ object Similarity {
     * exactly as in [[cosineTopKIvfPq]] — with identical index parameters
     * the results match the one-shot operator's.
     */
+  /** Collect a stored codebooks table (s, cid, cv) back to the
+    * driver-literal shape every PQ path consumes — ≤ m·ksub rows, the
+    * same bounded collect as index serving.
+    */
+  private def collectBooks(
+      codebooks: DataFrame): Seq[Seq[(Long, Array[Long])]] =
+    codebooks.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1).toSeq }
+
   def cosineTopKIvfPqFromIndex(centroids: DataFrame, codebooks: DataFrame,
       codes: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
       dims: Int = 64): DataFrame = {
@@ -815,11 +827,7 @@ object Similarity {
     val cents = centroids.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
-    val books = codebooks.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) =>
-        rows.map { case (_, cid, cv) => (cid, cv) }.sortBy(_._1).toSeq }
+    val books = collectBooks(codebooks)
     val q = queries
       .select($"vec_id", quantize($"embedding").as("v"))
       .withColumn("nsq", normSqQ($"v"))
@@ -827,6 +835,112 @@ object Similarity {
       return q.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
     pqScoreProbed(codes, q, cents, books, k, nprobe, dims)
+  }
+
+  /** Append a batch into a stored [[ivfPqIndex]] WITHOUT retraining —
+    * the composed-index half of the FAISS `add` path ([[ivfAssign]]'s
+    * counterpart): quantize, assign each vector to its nearest STORED
+    * coarse centroid, encode against the STORED codebooks, and emit
+    * rows append-compatible with the index's codes table. Per batch the
+    * work is |batch|·(nlist + m·ksub) distance evaluations, all
+    * map-side against driver-literal index objects — nothing
+    * corpus-sized moves.
+    *
+    * Drift caveat, sharpened for the composed index: appends degrade
+    * BOTH the coarse lists (probe recall) and the codebooks (ADC
+    * ranking), and since codes are not invertible the rebuild input is
+    * the RAW embeddings, re-read from the corpus store ([[ivfPqIndex]]
+    * again) — storing decodable vectors beside the codes would forfeit
+    * the ~64× compression that justifies PQ at 100 TB, so the engine
+    * deliberately does not. [[ivfPqAddCost]] is the staleness signal
+    * that says when to pay that rebuild.
+    */
+  def ivfPqAdd(centroids: DataFrame, codebooks: DataFrame,
+      vectors: DataFrame, dims: Int = 64): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val books = collectBooks(codebooks)
+    val e = vectors
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return pqEncode(e.withColumn("list_id", lit(0L)),
+        Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims,
+        extra = Seq("list_id")).filter(lit(false))
+    pqEncode(e.withColumn("list_id", assignExpr(cents)), books, dims,
+      extra = Seq("list_id"))
+  }
+
+  /** Composed-index staleness metric, measured on an incoming batch at
+    * the moment it still has raw vectors in hand (the only moment the
+    * codes' quantization error is observable at all — stored codes are
+    * not invertible): returns (coarseCost, pqResidual) where coarseCost
+    * is the mean squared distance of each batch vector to its nearest
+    * stored centroid (exactly [[ivfAssignCost]]'s quantity, on the
+    * batch) and pqResidual is the mean squared PQ reconstruction error
+    * ‖v − x̂‖² = nsq + rnsq − 2·Σₛ⟨vₛ, cbₛ(cₛ)⟩ — both exact-integer per
+    * row, one bounded aggregate total.
+    *
+    * Operating loop (the [[ivfAssignCost]] pattern, composed): record
+    * both numbers right after [[ivfPqIndex]] on a held-out slice of the
+    * build corpus as the baseline; per [[ivfPqAdd]] batch, compute them
+    * on the batch and append to a small stats table beside the index.
+    * When either ratio vs baseline exceeds the operating threshold
+    * (~1.5), rebuild from the raw corpus — coarse drift loses probed
+    * lists, codebook drift mis-ranks the ADC scan, and either alone
+    * silently degrades recall (PipelineSpec's composed drift test shows
+    * the trip → rebuild → recovery cycle).
+    */
+  def ivfPqAddCost(centroids: DataFrame, codebooks: DataFrame,
+      vectors: DataFrame, dims: Int = 64): (Double, Double) = {
+    import vectors.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val books = collectBooks(codebooks)
+    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return (0.0, 0.0)
+    val m = books.size
+    val len = dims / m
+    val coded = pqEncode(
+      vectors.select($"vec_id", quantize($"embedding").as("v"))
+        .withColumn("nsq", normSqQ($"v"))
+        .withColumn("list_id", assignExpr(cents)),
+      books, dims, extra = Seq("list_id", "v", "nsq"))
+    // cid-INDEXED dense tables (Lloyd can leave cid holes — same
+    // positional contract as cnsqArr/pqLut; holes carry zero vectors
+    // and are never read, since list_id is always an argmin winner).
+    val width = cents.map(_._1).max.toInt + 1
+    val cnsqA = {
+      val arr = Array.fill(width)(0L)
+      cents.foreach { case (cid, cv) =>
+        arr(cid.toInt) = cv.map(x => x * x).sum }
+      arr.toSeq
+    }
+    val centTable = {
+      val arr = Array.fill(width)(Seq.fill(dims)(0L))
+      cents.foreach { case (cid, cv) => arr(cid.toInt) = cv.toSeq }
+      arr.toSeq
+    }
+    // ⟨v, centroid(list_id)⟩ and, per subspace, ⟨vₛ, cbₛ(cₛ)⟩ via the
+    // same per-row LUT the ADC scan uses: pqLut computes all ksub dots
+    // of the subvector, lutAt reads the row's own code — exact integers,
+    // so the residual is exact.
+    val recDot = (0 until m).map(s =>
+      lutAt(pqLut(slice($"v", s * len + 1, len), books(s)), col(s"c$s")))
+      .reduce(_ + _)
+    import org.apache.spark.sql.functions.typedlit
+    val centDot = graft.functions.VecExprs.dotQ($"v",
+      element_at(typedlit(centTable), ($"list_id" + 1).cast("int")))
+    val row = coded.select(
+      avg(($"nsq" + element_at(typedlit(cnsqA), ($"list_id" + 1).cast("int"))
+        - lit(2L) * centDot).cast("double")).as("coarse"),
+      avg(($"nsq" + $"rnsq" - lit(2L) * recDot).cast("double")).as("pq"))
+      .head()
+    (if (row.isNullAt(0)) 0.0 else row.getDouble(0),
+      if (row.isNullAt(1)) 0.0 else row.getDouble(1))
   }
 
   /** Full-precision re-rank of an approximate candidate set (the FAISS
@@ -975,6 +1089,90 @@ object Similarity {
       math.log(1.0 - targetRecall) / math.log(1.0 - math.pow(s, pp))).toInt)
     while (p > 1 && bandsFor(p) > maxBands) p -= 1
     (math.min(bandsFor(p), maxBands), p)
+  }
+
+  /** Auto-selected IVF-PQ retrieval geometry — see [[annParams]]. */
+  final case class AnnGeometry(nlist: Int, nprobe: Int, kFactor: Int,
+      m: Int)
+
+  /** Choose (nlist, nprobe, kFactor, m) for the refined IVF-PQ retrieval
+    * path from corpus size, k, and a target recall@k — the [[lshParams]]
+    * analog for the ANN family, so deployments state WHAT recall they
+    * need instead of hand-picking index constants. The same geometry
+    * feeds both the Spark plan and the SQL oracle builder, so the two
+    * can never disagree.
+    *
+    * The selection, each constant fitted from the measured recall
+    * surface on the clustered corpora at 2k and 20k vectors
+    * (bench_r13_sf1.json §ann_recall; RecallProbe "sweep" mode
+    * regenerates it):
+    *
+    *  - nlist ≈ √n (FAISS coarse sizing, as [[semanticNlist]]): balances
+    *    the n·nlist assignment against the n/nlist·nprobe per-query scan.
+    *  - m (code length) steps up with n: ADC ranking error displaces a
+    *    true neighbor by ~n·P(|ε| > gap) positions, so at fixed code
+    *    length the candidate set must grow ~linearly with n to hold
+    *    recall — longer codes shrink ε instead. Measured: 64-bit codes
+    *    (m=8) need candidates ≈ 2.5% of the corpus for ADC recall ≥
+    *    0.95 (affordable at 2k, ruinous at 1e9), 128-bit (m=16) holds
+    *    ≥ 0.98 at 0.25% already at 20k — so m=8 carries small corpora
+    *    and m=16 takes over at 16k. (Past ~1e8, step again — m=32 or
+    *    OPQ — by re-running the sweep; the structure, not the constant,
+    *    is the contract.)
+    *  - kFactor: candidates C = k·kFactor = max(32·k, cFrac·n), cFrac
+    *    fitted per code length (0.025 at m=8, 0.005 at m=16) — the
+    *    refine stage then re-ranks a set whose measured ADC recall is
+    *    ~1, so composed recall reduces to the probe side's.
+    *  - nprobe: inverted from the MEASURED probe-miss curve at
+    *    f = nprobe/nlist (no analytic form fits its heavy tail —
+    *    1−(1−f)^c over-predicts the tail at every constant c). The
+    *    curve: recall {0.52, 0.72, 0.88, 1.0} at f {0.13, 0.27, 0.51,
+    *    1.0} on the 2k corpus, {0.60, 0.77, 0.95, 1.0} at 20k;
+    *    piecewise-linear inversion of the WORSE (2k) curve keeps the
+    *    choice conservative at both scales.
+    *
+    * Composition is measured, not assumed: at kFactor holding ADC ≈ 1,
+    * composed recall equals the probe curve (e.g. 2k, kf=64: np=23 →
+    * 0.880 composed vs 0.880 probe-only), so inverting the probe curve
+    * at the full target is sufficient. The oracle-facing contract stays
+    * the family's usual one: the geometry is a pure deterministic
+    * function of (n, k, targetRecall), pinned at the verify corpus size
+    * for the static SQL replay.
+    */
+  def annParams(n: Long, k: Int, targetRecall: Double = 0.9): AnnGeometry = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall out of (0,1): $targetRecall")
+    require(k > 0, s"k must be positive: $k")
+    val nlist = math.max(1L, math.min(1L << 16,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val m = if (n <= 16000) 8 else 16
+    val cFrac = if (m >= 16) 0.005 else 0.025
+    val cands = math.max(32L * k,
+      math.min(n, math.ceil(cFrac * n.toDouble).toLong))
+    val kFactor = math.max(1L, (cands + k - 1) / k).toInt
+    // Measured probe-recall curve (the conservative 2k fit), inverted
+    // piecewise-linearly: f such that r_probe(f) >= targetRecall.
+    val curve = Seq((0.0, 0.0), (0.133, 0.517), (0.267, 0.717),
+      (0.511, 0.880), (1.0, 1.0))
+    val f = curve.sliding(2).collectFirst {
+      case Seq((f0, r0), (f1, r1)) if targetRecall <= r1 =>
+        f0 + (targetRecall - r0) / (r1 - r0) * (f1 - f0)
+    }.getOrElse(1.0)
+    val nprobe = math.max(1, math.min(nlist, math.ceil(nlist * f).toInt))
+    AnnGeometry(nlist, nprobe, kFactor, m)
+  }
+
+  /** [[cosineTopKIvfPqRefined]] with the whole geometry derived from the
+    * actual corpus size via [[annParams]] — the one-argument retrieval
+    * entry point a pipeline calls: state k and the recall you need, the
+    * index shape follows. The count is a cheap columnar action over the
+    * cached quantized corpus (exactly [[cosineNearDupsAuto]]'s pattern).
+    */
+  def cosineTopKAuto(embeddings: DataFrame, nQueries: Int, k: Int,
+      targetRecall: Double = 0.9, dims: Int = 64): DataFrame = {
+    val g = annParams(quantized(embeddings).count(), k, targetRecall)
+    cosineTopKIvfPqRefined(embeddings, nQueries, k, kFactor = g.kFactor,
+      nlist = g.nlist, nprobe = g.nprobe, m = g.m, ksub = 256, dims = dims)
   }
 
   /** Embedding-cosine near-duplicate pairs: banded hyperplane LSH
@@ -1688,6 +1886,18 @@ object Similarity {
     */
   private val q92Nlist = semanticNlist(500)
 
+  /** q99's pinned geometry = [[annParams]] at the verify corpus's 500
+    * vectors with (k=3, targetRecall=0.9): (nlist=23, nprobe=14,
+    * kFactor=32, m=8). The RUNTIME side derives it from the actual
+    * corpus count, so — exactly like q78's auto LSH geometry and q92's
+    * auto nlist — any drift in the count or the selection math changes
+    * the probed lists/candidate set and hash-mismatches against this
+    * pinned replay. Deliberately a different geometry than q98's
+    * hand-picked (16, 4, 16): the auto path isn't re-proving the
+    * pinned one.
+    */
+  private val q99Geom = annParams(500, 3, 0.9)
+
   def queries: Map[String, Q] = Map(
     "q37_cosine_topk" -> ((s, d) => cosineTopK(Tables.load(s, d).embeddings, 5, 5)),
     "q38_cosine_topk_lsh" -> ((s, d) =>
@@ -1716,6 +1926,13 @@ object Similarity {
       cosineTopKPqRefined(Tables.load(s, d).embeddings, 10, 3)),
     "q98_cosine_topk_ivfpq_refined" -> ((s, d) =>
       cosineTopKIvfPqRefined(Tables.load(s, d).embeddings, 10, 3)),
+    // Recall-targeted auto geometry: the whole (nlist, nprobe, kFactor,
+    // m) shape derives from the runtime corpus count via annParams — the
+    // deployment entry point where the caller states the recall they
+    // need; the oracle replays the pinned verify-corpus geometry.
+    "q99_cosine_topk_auto" -> ((s, d) =>
+      cosineTopKAuto(Tables.load(s, d).embeddings, 10, 3,
+        targetRecall = 0.9)),
     // Serving-side embedding near-dup: an incoming batch (the first 20
     // vectors) probed against the ivfIndex of the whole corpus — the
     // per-batch ingest dedup, cosine counterpart of q77's serve half.
@@ -1869,6 +2086,10 @@ object Similarity {
     "q98_cosine_topk_ivfpq_refined" -> ivfPqOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, m = 8, ksub = 256, iters = 2, dims = 64,
       refine = Some(48)),
+    "q99_cosine_topk_auto" -> ivfPqOracleSql(nQueries = 10, k = 3,
+      nlist = q99Geom.nlist, nprobe = q99Geom.nprobe, m = q99Geom.m,
+      ksub = 256, iters = 2, dims = 64,
+      refine = Some(3 * q99Geom.kFactor)),
     "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
       minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Reporting, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Flow, Reporting, Sampling, TextAnalysis}
 
 /** One end-to-end run of the LLM training-data curation dataflow the
   * engine adds beyond the reference: PII scrub → quality gate → exact +
@@ -56,13 +56,15 @@ class CurationFlowSpec extends SparkSpec {
     // Drop the CONTAINED side; mutual containment (near-identical sets,
     // both directions >= minC) keeps the lower id — same survivor rule as
     // every other dedup hop, so the stage is deterministic.
-    // localCheckpoint = the stage boundary a real pipeline materializes
-    // to parquet: without it the containment self-joins embed the whole
-    // upstream flow plan on BOTH sides and Catalyst optimization time
-    // explodes combinatorially (driver-CPU-bound, not an executor cost).
-    val keptM = kept.localCheckpoint()
-    val cont = Dedup.containmentDups(keptM, 0.8).select($"doc_a", $"doc_b")
-      .localCheckpoint()
+    // Flow.stageBoundary = the stage boundary a real pipeline
+    // materializes to parquet: without it the containment self-joins
+    // embed the whole upstream flow plan on BOTH sides and Catalyst
+    // optimization time explodes combinatorially (driver-CPU-bound, not
+    // an executor cost). Unconfigured it is localCheckpoint; with
+    // graft.flow.boundaryDir set it becomes the parquet round-trip.
+    val keptM = Flow.stageBoundary(kept, "kept")
+    val cont = Flow.stageBoundary(
+      Dedup.containmentDups(keptM, 0.8).select($"doc_a", $"doc_b"), "cont")
     val mutual = cont.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b"))
       .withColumn("mut", lit(true))
     val contLosers = cont.join(mutual, Seq("doc_a", "doc_b"), "left")
@@ -111,5 +113,27 @@ class CurationFlowSpec extends SparkSpec {
       Sampling.tokenBudgetMixture(trimmed, budget).select($"doc_id"), "doc_id")
     assert(again.select($"doc_id").collect().toSet ==
       mix.select($"doc_id").collect().toSet)
+  }
+
+  test("Flow.stageBoundary: parquet mode persists the cut under boundaryDir, content identical") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val local = Flow.stageBoundary(df).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("flowbound").toString
+    spark.conf.set("graft.flow.boundaryDir", dir)
+    try {
+      val persisted = Flow.stageBoundary(df, "scrub")
+      assert(persisted.collect().map(_.toSeq).toSet == local)
+      // The cut is durable and named: a fresh read of the boundary dir
+      // (what a resumed pipeline does) sees the same rows.
+      assert(spark.read.parquet(s"$dir/scrub").count() == 100)
+      // Anonymous boundaries get unique ordinals — two cuts don't
+      // clobber each other.
+      Flow.stageBoundary(df.filter($"doc_id" < 10))
+      Flow.stageBoundary(df.filter($"doc_id" < 20))
+      val stages = new java.io.File(dir).listFiles().map(_.getName).toSet
+      assert(stages.count(_.startsWith("stage-")) == 2, s"stages: $stages")
+    } finally spark.conf.unset("graft.flow.boundaryDir")
   }
 }

@@ -121,4 +121,135 @@ class IngestGateSpec extends SparkSpec {
     Dedup.releaseIndexes()
     Similarity.releaseIndexes()
   }
+
+  test("admit closes the loop: a batch-2 dup of a batch-1 survivor is caught at its tier") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val state0 = IngestGate.buildState(docs, embs, nlist = 4)
+
+    // Batch 1: one novel survivor (d103) plus one exact dup (d100) that
+    // must NOT be admitted.
+    val novelText = "unrelated treatise on the migration patterns of " +
+      "arctic terns across hemispheres every single year"
+    val b1Docs = Seq((100L, stateText(5)), (103L, novelText))
+      .toDF("doc_id", "text")
+    val b1Emb = Seq((100L, stateEmb(5)), (103L, stateEmb(103)))
+      .toDF("vec_id", "embedding")
+    val d1 = IngestGate.gate(state0, b1Docs, b1Emb,
+      maxDist = 3, minCos = 0.9)
+    val state1 = IngestGate.admit(state0, d1, b1Docs, b1Emb)
+
+    // Durability: the admitted state round-trips through parquet, the
+    // shape a checkpointed foreachBatch sink persists per batch.
+    val dir = java.nio.file.Files.createTempDirectory("gateadmit").toString
+    state1.fps.write.parquet(s"$dir/fps")
+    state1.sims.write.parquet(s"$dir/sims")
+    state1.cents.write.parquet(s"$dir/cents")
+    state1.assigned.write.parquet(s"$dir/assigned")
+    val state1L = IngestGate.GateState(
+      spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/sims"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/assigned"))
+
+    // Batch 2 dups target the BATCH-1 SURVIVOR, not the original corpus:
+    //  d200 — verbatim d103 → exact tier, dup_of 103
+    //  d201 — one-word edit of d103 → simhash tier, dup_of 103
+    //  d202 — novel prose, embedding ≈ d103's → embedding tier, dup_of 103
+    //  d203 — novel everything → pass
+    def near(base: Seq[Float]): Seq[Float] = base.map(x => x + 0.001f)
+    val b2Docs = Seq(
+      (200L, novelText),
+      (201L, novelText.replace("arctic", "antarctic")),
+      (202L, "entirely new prose describing harvest festivals in " +
+        "mountain villages with lanterns and drums"),
+      (203L, "final novel document about tidal forces shaping river " +
+        "deltas through the centuries")
+    ).toDF("doc_id", "text")
+    val b2Emb = Seq(
+      (200L, stateEmb(103)), (201L, stateEmb(103)),
+      (202L, near(stateEmb(103))), (203L, stateEmb(203))
+    ).toDF("vec_id", "embedding")
+    val out2 = IngestGate.gate(state1L, b2Docs, b2Emb,
+        maxDist = 3, minCos = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out2(200L) == (("exact", 103L)), s"d200: ${out2(200L)}")
+    assert(out2(201L) == (("simhash", 103L)), s"d201: ${out2(201L)}")
+    assert(out2(202L) == (("embedding", 103L)), s"d202: ${out2(202L)}")
+    assert(out2(203L) == (("pass", -1L)), s"d203: ${out2(203L)}")
+
+    // WITHOUT admit the same batch sails through — the catches above
+    // really come from the admitted survivor rows.
+    val noAdmit = IngestGate.gate(state0, b2Docs, b2Emb,
+        maxDist = 3, minCos = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(noAdmit.values.forall(_ == "pass"), s"no-admit: $noAdmit")
+
+    // The trimmed d100 was NOT admitted: its fingerprint appears once
+    // (doc 5's original), and centroids are byte-identical (admit never
+    // retrains — drift is ivfAssignCost's job).
+    assert(state1L.assigned.filter($"vec_id" === 100L).count() == 0)
+    assert(state1L.cents.collect().map(_.toSeq).toSet ==
+      state0.cents.collect().map(_.toSeq).toSet)
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
+  test("gate+admit runs under foreachBatch: consecutive micro-batches dedup against each other") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    var state = IngestGate.buildState(docs, embs, nlist = 4)
+    val novelText = "unrelated treatise on the migration patterns of " +
+      "arctic terns across hemispheres every single year"
+    // File source with maxFilesPerTrigger=1 (the repo's deterministic
+    // micro-batch pattern): batch 1 carries the novel d300, batch 2 its
+    // verbatim copy d301 — only the ADMITTED batch-1 survivor can catch
+    // it.
+    val root = Files.createTempDirectory("gatestream").toString
+    Files.createDirectories(Paths.get(s"$root/in"))
+    Files.writeString(Paths.get(s"$root/in/b1.jsonl"),
+      s"""{"doc_id":300,"text":"$novelText"}""")
+    Files.writeString(Paths.get(s"$root/in/b2.jsonl"),
+      s"""{"doc_id":301,"text":"$novelText"}""")
+    // Embeddings arrive with the doc in a real pipeline; the handler
+    // derives them from the id with the same deterministic hash here.
+    val decisions = scala.collection.mutable.Map[Long, String]()
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$root/in")
+    val q = streaming.Streams.toForeachBatchSink(stream, s"$root/ckpt") {
+      (batch, _) =>
+        if (!batch.isEmpty) {
+          val bd = batch.localCheckpoint()
+          val be = bd.select($"doc_id").collect().map(_.getLong(0))
+            .map(id => (id, stateEmb(id.toInt))).toSeq
+            .toDF("vec_id", "embedding")
+          val d = IngestGate.gate(state, bd, be, maxDist = 3,
+            minCos = 0.9).localCheckpoint()
+          d.collect().foreach(r =>
+            decisions(r.getLong(0)) = r.getString(1))
+          // Real deployments write the admitted tables to parquet under
+          // the sink's batch-id gate; in-memory state + localCheckpoint
+          // keeps the micro-batch lineage from stacking (the flow
+          // lesson) while preserving the same per-batch semantics.
+          val adm = IngestGate.admit(state, d, bd, be)
+          state = IngestGate.GateState(
+            adm.fps.localCheckpoint(), adm.sims.localCheckpoint(),
+            adm.cents, adm.assigned.localCheckpoint())
+        }
+    }
+    q.awaitTermination()
+    assert(decisions(300L) == "pass", s"batch1: $decisions")
+    assert(decisions(301L) == "exact", s"batch2: $decisions")
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
 }

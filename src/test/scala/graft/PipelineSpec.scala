@@ -606,4 +606,92 @@ class StreamingSpec extends SparkSpec {
     assert(staleFound.subsetOf(rebuiltFound))
     Similarity.releaseIndexes()
   }
+
+  test("composed IVF-PQ staleness: drift trips ivfPqAddCost, raw-corpus rebuild restores recall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // The composed-index version of the drift loop (r12 verdict task 5):
+    // ivfPqAdd appends against STORED centroids AND codebooks, both of
+    // which a drifting distribution degrades — and codes are not
+    // invertible, so the rebuild input is the raw corpus re-read, not
+    // the index. Same planted geometry as the IVF test: two trained
+    // block-one-hot clusters, drift at their midpoint whose near-dup
+    // pairs straddle the stale coarse boundary.
+    def noise(id: Int, j: Int): Float = (((id * 31 + j * 17) % 7) - 3) / 100f
+    val regionA = (0 until 200).map { id =>
+      val c = id % 2
+      (id.toLong, Array.tabulate(64)(j =>
+        (if (j / 16 == c) 1f else 0f) + noise(id, j)).toSeq)
+    }
+    def driftVec(id: Int): Seq[Float] = Array.tabulate(64) { j =>
+      val base = if (j < 32) 0.707f else 0f
+      val bias =
+        if (id % 2 == 0) { if (j < 16) 0.06f else 0f }
+        else { if (j >= 16 && j < 32) 0.06f else 0f }
+      base + bias + noise(id, j) * 0.1f
+    }.toSeq
+    val drift = (1000 until 1100).map(id => (id.toLong, driftVec(id)))
+    val probeId = 2001L // odd → side 1; its lost dups are the even side
+    val regionDf = regionA.toDF("vec_id", "embedding")
+    val driftDf = drift.toDF("vec_id", "embedding")
+    val probeDf = Seq((probeId, driftVec(probeId.toInt)))
+      .toDF("vec_id", "embedding")
+
+    val (cents, books, codes) = Similarity.ivfPqIndex(regionDf, nlist = 8,
+      m = 8, ksub = 8)
+    // Baseline: the build corpus's own quantization costs.
+    val (baseCoarse, basePq) = Similarity.ivfPqAddCost(cents, books,
+      regionDf)
+    assert(baseCoarse > 0 && basePq >= 0)
+    // Drift batch measured against the SAME stored geometry: the coarse
+    // ratio trips the operating threshold (the drift mass sits between
+    // the trained centroids).
+    val (driftCoarse, driftPq) = Similarity.ivfPqAddCost(cents, books,
+      driftDf)
+    val coarseRatio = driftCoarse / baseCoarse
+    assert(coarseRatio > 1.5,
+      s"drift did not trip the coarse metric: $coarseRatio " +
+        s"(pq ${driftPq / math.max(basePq, 1e-12)})")
+
+    // Stale serve: append the drift without retraining, probe at
+    // nprobe=1 — the probe's true near-dups on the EVEN side live
+    // behind the other stale centroid, invisible by construction.
+    val grown = codes.unionByName(
+      Similarity.ivfPqAdd(cents, books, driftDf))
+    val stale = Similarity.cosineTopKIvfPqFromIndex(cents, books, grown,
+        probeDf, k = 5, nprobe = 1).collect()
+      .map(r => r.getLong(r.fieldIndex("nid"))).toSet
+    assert(stale.nonEmpty && stale.forall(id => id % 2 == 1),
+      s"stale composed index unexpectedly crossed the boundary: $stale")
+
+    // Rebuild FROM THE RAW CORPUS (the documented rebuild input; nlist=5
+    // as the IVF test's rebuild, so the drift mass lands in ONE list)
+    // and re-measure: the rebuilt index prices the drift batch back at
+    // baseline scale, and the same nprobe=1 probe now reaches the even
+    // side — k spans the drift mass because the 49 same-side drift
+    // vectors legitimately outrank every cross-side one.
+    val allRaw = regionDf.unionByName(driftDf)
+    val (c2, b2, k2) = Similarity.ivfPqIndex(allRaw, nlist = 5,
+      m = 8, ksub = 8)
+    // Re-record the baseline against the REBUILT index (the operating
+    // loop's reset step): the drift batch now prices at ~1× of what the
+    // new index costs on its own build corpus — no trip.
+    val (base2Coarse, _) = Similarity.ivfPqAddCost(c2, b2, allRaw)
+    val (rebCoarse, _) = Similarity.ivfPqAddCost(c2, b2, driftDf)
+    assert(rebCoarse / base2Coarse < 1.5,
+      s"rebuild did not reset the coarse metric: ${rebCoarse / base2Coarse}")
+    val recovered = Similarity.cosineTopKIvfPqFromIndex(c2, b2, k2,
+        probeDf, k = 60, nprobe = 1).collect()
+      .map(r => r.getLong(r.fieldIndex("nid"))).toSet
+    assert(recovered.exists(_ % 2 == 0),
+      s"rebuild did not recover the lost side: $recovered")
+    // And the stale index at the SAME k stays blind to the even side —
+    // the recovery is the rebuild's, not the wider k's.
+    val staleWide = Similarity.cosineTopKIvfPqFromIndex(cents, books,
+        grown, probeDf, k = 60, nprobe = 1).collect()
+      .map(r => r.getLong(r.fieldIndex("nid"))).toSet
+    assert(staleWide.forall(id => id % 2 == 1 || id < 1000),
+      s"stale index unexpectedly saw even drift: $staleWide")
+    Similarity.releaseIndexes()
+  }
 }

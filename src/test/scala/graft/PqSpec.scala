@@ -253,4 +253,49 @@ class PqSpec extends SparkSpec {
     val oneShot = Similarity.cosineTopKPq(tables.embeddings, 10, 3).collect()
     assert(served.map(_.toSeq).toSet == oneShot.map(_.toSeq).toSet)
   }
+
+  test("annParams: pinned verify geometry, monotone in target, auto entry equals explicit geometry") {
+    import spark.implicits._
+    // The q99 oracle replays exactly this geometry — a drift here is a
+    // CORRECTNESS failure, not just a recall change.
+    assert(Similarity.annParams(500, 3, 0.9) ==
+      Similarity.AnnGeometry(23, 14, 32, 8))
+    // More recall never costs less index work.
+    val targets = Seq(0.5, 0.7, 0.8, 0.9, 0.95)
+    val geoms = targets.map(Similarity.annParams(20000, 3, _))
+    assert(geoms.map(_.nprobe) == geoms.map(_.nprobe).sorted)
+    assert(geoms.forall(g => g.nlist == 142 && g.m == 16))
+    // Code length steps up with corpus size; candidates track cFrac·n.
+    assert(Similarity.annParams(2000, 3, 0.9).m == 8)
+    assert(Similarity.annParams(1000000, 3, 0.9).m == 16)
+    assert(Similarity.annParams(1000000, 3, 0.9).kFactor == 1667)
+    // The auto entry point IS cosineTopKIvfPqRefined at the derived
+    // geometry — same rows bit-for-bit.
+    val g = Similarity.annParams(500, 3, 0.9)
+    val auto = Similarity.cosineTopKAuto(tables.embeddings, 10, 3, 0.9)
+      .collect().map(_.toSeq).toSet
+    val explicit = Similarity.cosineTopKIvfPqRefined(tables.embeddings,
+        10, 3, kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe,
+        m = g.m, ksub = 256)
+      .collect().map(_.toSeq).toSet
+    assert(auto == explicit && auto.nonEmpty)
+    Similarity.releaseIndexes()
+  }
+
+  test("ivfPqAdd: re-encoding the build corpus reproduces the index's own code rows") {
+    import spark.implicits._
+    val (cents, books, codes) = Similarity.ivfPqIndex(tables.embeddings)
+    // The add path is the same pure encoder the build ran — appending
+    // the build corpus itself must reproduce its code rows bit-for-bit
+    // (column order differs by construction; compare as maps).
+    val added = Similarity.ivfPqAdd(cents, books, tables.embeddings)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          (Seq("c0", "c1", "c2", "c3", "list_id", "rnsq")
+            .map(c => r.getLong(r.fieldIndex(c))))
+      }.toMap
+    assert(keyed(added) == keyed(codes) && added.count() > 0)
+    Similarity.releaseIndexes()
+  }
 }
