@@ -47,17 +47,37 @@ object GateProbe {
     // Incoming docs carry NEW ids (a re-crawl of known content arrives
     // under a fresh id — matching the serve operators' contract; a batch
     // doc that IS the stored survivor would be its own keep and pass).
+    // 25 novel docs ride along so the admit leg below has survivors to
+    // append — their texts and hash-spread embeddings match nothing.
+    def novelComp(id: Long, j: Int): Float =
+      (scala.util.hashing.MurmurHash3.productHash((id, j)) % 1000) / 1000f
+    val novel = (0 until 25).map { i =>
+      (2000000L + i, s"novel probe document $i about subject ${i * 37} " +
+        s"carrying entirely synthetic prose token${i * 13} token${i * 29}")
+    }.toDF("doc_id", "text")
+    val novelEmb = (0 until 25).map { i =>
+      val id = 2000000L + i
+      (id, Array.tabulate(64)(j => novelComp(id, j)).toSeq)
+    }.toDF("vec_id", "embedding")
     val batchDocs = t.documents.filter($"doc_id" < 50)
       .select(($"doc_id" + 1000000L).as("doc_id"),
         when($"doc_id" % 2 === 1, concat($"text", lit(" xyzzy")))
           .otherwise($"text").as("text"))
+      .unionByName(novel)
       .localCheckpoint()
     val batchEmb = t.embeddings.filter($"vec_id" < 50)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      .unionByName(novelEmb)
       .localCheckpoint()
 
+    // maxDist=0 for the probe: the reference-shaped 16-bit SimHash space
+    // saturates at this corpus size (5k signatures × ~700 neighbors at
+    // dist≤3 covers 2^16 many times over, so EVERY novel doc collides at
+    // the default maxDist=3) — at distance 0 a novel doc passes ~92% of
+    // the time and the admit leg has survivors to append.
     val t1 = System.nanoTime()
-    val decisions = operators.IngestGate.gate(state, batchDocs, batchEmb)
+    val decisions = operators.IngestGate.gate(state, batchDocs, batchEmb,
+      maxDist = 0)
     val byStage = decisions.groupBy($"stage").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val serveS = (System.nanoTime() - t1) / 1e9
@@ -65,6 +85,35 @@ object GateProbe {
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     println(s"GATEPROBE dir=$sfDir build_s=${s3(buildS)} serve_s=${s3(serveS)} " +
       s"stages=${byStage.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")}")
+
+    // The closed loop: admit batch-1 survivors, then gate a SECOND batch
+    // that duplicates them — the serve-after-admit cost should stay in
+    // the serve envelope (admit appends batch-sized rows; the second
+    // serve probes state grown by ≤ |batch|).
+    val t2 = System.nanoTime()
+    val dMat = decisions.localCheckpoint()
+    val admitted0 = operators.IngestGate.admit(state, dMat,
+      batchDocs, batchEmb)
+    val admitted = operators.IngestGate.GateState(
+      admitted0.fps.localCheckpoint(), admitted0.sims.localCheckpoint(),
+      admitted0.cents, admitted0.assigned.localCheckpoint())
+    val admitS = (System.nanoTime() - t2) / 1e9
+    // Batch 2 re-sends batch 1 under fresh ids: every doc that PASSED
+    // batch 1 must now be caught (its survivor is in state), at the
+    // exact tier for the even (verbatim) docs.
+    val b2Docs = batchDocs.select(($"doc_id" + 1000000L).as("doc_id"),
+      $"text").localCheckpoint()
+    val b2Emb = batchEmb.select(($"vec_id" + 1000000L).as("vec_id"),
+      $"embedding").localCheckpoint()
+    val t3 = System.nanoTime()
+    val d2 = operators.IngestGate.gate(admitted, b2Docs, b2Emb,
+      maxDist = 0)
+    val byStage2 = d2.groupBy($"stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val serve2S = (System.nanoTime() - t3) / 1e9
+    println(s"GATEPROBE-ADMIT dir=$sfDir admit_s=${s3(admitS)} " +
+      s"serve2_s=${s3(serve2S)} stages2=${byStage2.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")}")
     spark.stop()
   }
 }
