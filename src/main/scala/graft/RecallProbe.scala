@@ -119,6 +119,20 @@ object RecallProbe {
           operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
             kFactor = kff, nlist = nlist, nprobe = np, m = 8, ksub = 256))
       }
+    } else if (args.contains("residual")) {
+      // Residual-vs-direct encoding at identical serve geometry: the
+      // recall delta is attributable to the encoding alone.
+      val n = emb.count()
+      val nlist = math.ceil(math.sqrt(n.toDouble)).toInt
+      for (f <- Seq(0.25, 0.5); kff <- Seq(16, 64)) {
+        val np = math.max(1, math.ceil(nlist * f).toInt)
+        measure(s"residual_ivfpq[m=8,kf=$kff,np=$np/$nlist]", () =>
+          operators.Similarity.cosineTopKIvfPqResidualRefined(emb, nq, k,
+            kFactor = kff, nlist = nlist, nprobe = np, m = 8, ksub = 256))
+        measure(s"direct_ivfpq[m=8,kf=$kff,np=$np/$nlist]", () =>
+          operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
+            kFactor = kff, nlist = nlist, nprobe = np, m = 8, ksub = 256))
+      }
     } else if (args.contains("auto")) {
       val n = emb.count()
       for (target <- Seq(0.8, 0.9)) {

@@ -808,6 +808,23 @@ object Similarity {
     * exactly as in [[cosineTopKIvfPq]] — with identical index parameters
     * the results match the one-shot operator's.
     */
+  /** cid-INDEXED dense driver tables of the coarse centroids — vectors
+    * and squared norms (Lloyd can leave cid holes; same positional
+    * contract as [[cnsqArr]]/[[pqLut]]: holes carry zero entries and are
+    * never read, since list_id is always an argmin winner).
+    */
+  private def centDense(cents: Seq[(Long, Array[Long])],
+      dims: Int): (Seq[Seq[Long]], Seq[Long]) = {
+    val width = cents.map(_._1).max.toInt + 1
+    val vecs = Array.fill(width)(Seq.fill(dims)(0L))
+    val nsqs = Array.fill(width)(0L)
+    cents.foreach { case (cid, cv) =>
+      vecs(cid.toInt) = cv.toSeq
+      nsqs(cid.toInt) = cv.map(x => x * x).sum
+    }
+    (vecs.toSeq, nsqs.toSeq)
+  }
+
   /** Collect a stored codebooks table (s, cid, cv) back to the
     * driver-literal shape every PQ path consumes — ≤ m·ksub rows, the
     * same bounded collect as index serving.
@@ -909,21 +926,7 @@ object Similarity {
         .withColumn("nsq", normSqQ($"v"))
         .withColumn("list_id", assignExpr(cents)),
       books, dims, extra = Seq("list_id", "v", "nsq"))
-    // cid-INDEXED dense tables (Lloyd can leave cid holes — same
-    // positional contract as cnsqArr/pqLut; holes carry zero vectors
-    // and are never read, since list_id is always an argmin winner).
-    val width = cents.map(_._1).max.toInt + 1
-    val cnsqA = {
-      val arr = Array.fill(width)(0L)
-      cents.foreach { case (cid, cv) =>
-        arr(cid.toInt) = cv.map(x => x * x).sum }
-      arr.toSeq
-    }
-    val centTable = {
-      val arr = Array.fill(width)(Seq.fill(dims)(0L))
-      cents.foreach { case (cid, cv) => arr(cid.toInt) = cv.toSeq }
-      arr.toSeq
-    }
+    val (centTable, cnsqA) = centDense(cents, dims)
     // ⟨v, centroid(list_id)⟩ and, per subspace, ⟨vₛ, cbₛ(cₛ)⟩ via the
     // same per-row LUT the ADC scan uses: pqLut computes all ksub dots
     // of the subvector, lutAt reads the row's own code — exact integers,
@@ -1032,6 +1035,89 @@ object Similarity {
         books, dims, extra = Seq("list_id")))
     val cand = pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents,
       books, k * kFactor, nprobe, dims).select($"qid", $"nid")
+    refineExact(e, cand, nQueries, k)
+  }
+
+  /** RESIDUAL IVF-PQ with refine — the standard FAISS `IndexIVFPQ`
+    * formulation (by_residual=true, IndexIVFPQ.cpp): the PQ codebooks
+    * are trained on and encode r = v − c(list) rather than v itself.
+    * Residuals have far less variance than raw vectors (the coarse
+    * quantizer absorbs the between-cluster structure), so the same code
+    * length quantizes them with less error — the whole reason FAISS
+    * defaults to residual encoding. [[cosineTopKIvfPq]] documents its
+    * non-residual simplification (nprobe=nlist ≡ flat PQ); this is the
+    * full form.
+    *
+    * Serving stays ADC-shaped: x̂ = c + r̂, so
+    *   ⟨q, x̂⟩ = ⟨q, c_list⟩ + Σₛ lutₛ[cₛ]
+    * where the luts are the SAME per-query tables as the flat path
+    * (the residual codebooks are global, not per-list — FAISS
+    * likewise), and ⟨q, c_list⟩ is one extra dot per (query, probed
+    * list) — nprobe rows per query, computed BEFORE the broadcast join,
+    * never per code row. ‖x̂‖² = ‖c‖² + ‖r̂‖² + 2⟨c, r̂⟩ is exact-integer
+    * and stored per code row at encode time (the ⟨c, r̂⟩ cross term
+    * depends only on (list, codes)), so a served row still costs m
+    * lookups + adds. Exact-integer end-to-end → a full DuckDB replay
+    * ([[ivfPqResidualOracleSql]]), refine tail identical to
+    * [[cosineTopKIvfPqRefined]].
+    */
+  def cosineTopKIvfPqResidualRefined(embeddings: DataFrame, nQueries: Int,
+      k: Int, kFactor: Int = 16, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 256, iters: Int = 2, dims: Int = 64,
+      trainFrac: Double = 1.0): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val e = quantized(embeddings)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    if (cents.isEmpty)
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val (centVecs, centNsq) = centDense(cents, dims)
+    def cvOf = element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))
+    // Residual corpus: one assignment pass, residual = integer
+    // subtraction against the list's centroid (zip_with element-wise —
+    // both sides are array<bigint>, so the residual is exact).
+    val eRes = registry.cache(
+      e.withColumn("list_id", assignExpr(cents))
+        .withColumn("rv", zip_with($"v", cvOf, (a, b) => a - b)))
+    val books = pqTrain(eRes.select($"vec_id", $"rv".as("v")), m, ksub,
+      iters, dims, trainFrac)
+    if (books.exists(_.isEmpty))
+      return e.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val len = dims / m
+    // Encode residuals; store the full reconstruction norm per row:
+    // ‖x̂‖² = ‖c_list‖² + ‖r̂‖² + 2·Σₛ⟨c_list slice s, cbₛ(cₛ)⟩.
+    val crdot = (0 until m).map(s =>
+      lutAt(pqLut(slice(cvOf, s * len + 1, len), books(s)), col(s"c$s")))
+      .reduce(_ + _)
+    val codes = registry.cache(
+      pqEncode(eRes.select($"vec_id", $"rv".as("v"), $"list_id"), books,
+          dims, extra = Seq("list_id"))
+        .withColumn("xnsq",
+          element_at(typedlit(centNsq), ($"list_id" + 1).cast("int")) +
+            $"rnsq" + lit(2L) * crdot))
+    // Query side: raw full-precision vectors — per (query, probed list)
+    // the coarse dot, per query the m residual luts.
+    val qq = e.filter($"vec_id" < nQueries)
+      .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +: $"v".as("qv") +:
+        explode(graft.functions.VecExprs.probeCentroids($"v", cents,
+          nprobe)).as("list_id") +:
+        (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
+          .as(s"lut$s"))): _*)
+      .withColumn("cent_dot", dotQ($"qv",
+        element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))))
+      .drop("qv")
+    val adot = $"cent_dot" + (0 until m).map(s =>
+      lutAt(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
+    val scored = codes.join(broadcast(qq), Seq("list_id"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (adot.cast("double") / sqrt($"qnsq".cast("double")) /
+          sqrt($"xnsq".cast("double"))).as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    val cand = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k.toLong * kFactor).select($"qid", $"nid")
     refineExact(e, cand, nQueries, k)
   }
 
@@ -1162,17 +1248,23 @@ object Similarity {
     AnnGeometry(nlist, nprobe, kFactor, m)
   }
 
-  /** [[cosineTopKIvfPqRefined]] with the whole geometry derived from the
-    * actual corpus size via [[annParams]] — the one-argument retrieval
-    * entry point a pipeline calls: state k and the recall you need, the
-    * index shape follows. The count is a cheap columnar action over the
-    * cached quantized corpus (exactly [[cosineNearDupsAuto]]'s pattern).
+  /** [[cosineTopKIvfPqResidualRefined]] with the whole geometry derived
+    * from the actual corpus size via [[annParams]] — the one-argument
+    * retrieval entry point a pipeline calls: state k and the recall you
+    * need, the index shape follows. Runs the RESIDUAL encoder (FAISS's
+    * by_residual default; measured strictly better recall than direct
+    * encoding at every probed point — bench_r13_sf1.json
+    * §residual_ivfpq), so the annParams constants — fitted on the
+    * direct-encoding curves — are conservative here. The count is a
+    * cheap columnar action over the cached quantized corpus (exactly
+    * [[cosineNearDupsAuto]]'s pattern).
     */
   def cosineTopKAuto(embeddings: DataFrame, nQueries: Int, k: Int,
       targetRecall: Double = 0.9, dims: Int = 64): DataFrame = {
     val g = annParams(quantized(embeddings).count(), k, targetRecall)
-    cosineTopKIvfPqRefined(embeddings, nQueries, k, kFactor = g.kFactor,
-      nlist = g.nlist, nprobe = g.nprobe, m = g.m, ksub = 256, dims = dims)
+    cosineTopKIvfPqResidualRefined(embeddings, nQueries, k,
+      kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe, m = g.m,
+      ksub = 256, dims = dims)
   }
 
   /** Embedding-cosine near-duplicate pairs: banded hyperplane LSH
@@ -1638,7 +1730,7 @@ object Similarity {
     * asgF$s (every vector's code in subspace s).
     */
   private def pqSubCtes(m: Int, ksub: Int, iters: Int, dims: Int,
-      seedName: String): String = {
+      seedName: String, srcU: String = "u"): String = {
     val len = dims / m
     def sub(s: Int): Seq[String] = {
       val off = s * len
@@ -1663,7 +1755,7 @@ object Similarity {
            |  FROM asg${s}_${t + 1} a JOIN u$s u ON u.vec_id = a.vec_id
            |  GROUP BY a.cid, u.i)""".stripMargin
       val head = Seq(
-        s"u$s AS (SELECT vec_id, val, i - $off AS i FROM u WHERE i > $off AND i <= ${off + len})",
+        s"u$s AS (SELECT vec_id, val, i - $off AS i FROM $srcU WHERE i > $off AND i <= ${off + len})",
         s"""c${s}_0 AS (
            |  SELECT sd.cid, u.i, u.val AS cval
            |  FROM $seedName sd JOIN u$s u ON u.vec_id = sd.vec_id)""".stripMargin)
@@ -1858,6 +1950,97 @@ object Similarity {
         .getOrElse("\n" + adcTopKTail(k))}""".stripMargin
   }
 
+  /** DuckDB replay of [[cosineTopKIvfPqResidualRefined]]: the coarse
+    * Lloyd chain to asgF (shared [[ivfAssignCtes]]), the residual
+    * relation ur = u − c(list), the per-subspace PQ chains over ur
+    * ([[pqSubCtes]] with srcU="ur"), raw-query luts (qu/qd — the query
+    * side never residualizes), the per-(query, list) coarse dot from
+    * dt, and the reconstruction norm ‖c‖² + Σ‖r̂ₛ‖² + 2Σ⟨cₛ, r̂ₛ⟩ — all
+    * exact integers until the final cosine division, exactly as the
+    * operator computes them.
+    */
+  private def ivfPqResidualOracleSql(nQueries: Int, k: Int, nlist: Int,
+      nprobe: Int, m: Int, ksub: Int, iters: Int, dims: Int,
+      refine: Option[Int] = None): String = {
+    val f = iters
+    val len = dims / m
+    val seedU = detUniformSql("ivfseed", "vec_id")
+    val quCtes = (0 until m).map { s =>
+      val off = s * len
+      s"""qu$s AS (SELECT vec_id, val, i - $off AS i FROM u
+         |  WHERE i > $off AND i <= ${off + len} AND vec_id < $nQueries),
+         |qd$s AS (
+         |  SELECT u.vec_id AS qid, c.cid, CAST(SUM(u.val * c.cval) AS BIGINT) AS dot
+         |  FROM qu$s u JOIN c${s}_$f c ON c.i = u.i GROUP BY 1, 2)""".stripMargin
+    }
+    val crdCtes = (0 until m).map { s =>
+      val off = s * len
+      s"""crd$s AS (
+         |  SELECT l.vec_id, CAST(SUM(cc.cval * pc.cval) AS BIGINT) AS d
+         |  FROM asgF l
+         |  JOIN asgF$s asub ON asub.vec_id = l.vec_id
+         |  JOIN c$f cc ON cc.cid = l.cid AND cc.i > $off AND cc.i <= ${off + len}
+         |  JOIN c${s}_$f pc ON pc.cid = asub.cid AND pc.i = cc.i - $off
+         |  GROUP BY 1)""".stripMargin
+    }
+    val codeJoin = (1 until m).map(s =>
+      s"JOIN asgF$s a$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"a$s.cid AS c$s").mkString(", ")
+    val dJoins = (1 until m).map(s =>
+      s"JOIN qd$s d$s ON d$s.qid = d0.qid AND d$s.cid = x.c$s").mkString("\n  ")
+    val rJoins = (0 until m).map(s =>
+      s"JOIN cn${s}_$f r$s ON r$s.cid = x.c$s").mkString("\n  ")
+    val crdJoins = (0 until m).map(s =>
+      s"JOIN crd$s cr$s ON cr$s.vec_id = x.vec_id").mkString("\n  ")
+    val adot = (0 until m).map(s => s"d$s.dot").mkString(" + ")
+    val rn = (0 until m).map(s => s"r$s.cnsq").mkString(" + ")
+    val crds = (0 until m).map(s => s"cr$s.d").mkString(" + ")
+    s"""${ivfAssignCtes(nlist, iters, 1.0)},
+       |ur AS MATERIALIZED (
+       |  SELECT u.vec_id, u.i, u.val - c.cval AS val
+       |  FROM u JOIN asgF a USING (vec_id)
+       |  JOIN c$f c ON c.cid = a.cid AND c.i = u.i),
+       |pseed AS (
+       |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+       |    SELECT vec_id,
+       |      ROW_NUMBER() OVER (ORDER BY $seedU ASC, vec_id ASC) AS rn
+       |    FROM e) WHERE rn <= $ksub),
+       |${pqSubCtes(m, ksub, iters, dims, "pseed", srcU = "ur")},
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id
+       |        ORDER BY (n.nsq + cn.cnsq - 2 * d.dot) ASC, d.cid ASC) AS pr
+       |    FROM dt$f d
+       |    JOIN n ON n.vec_id = d.vec_id
+       |    JOIN cn$f cn ON cn.cid = d.cid
+       |    WHERE d.vec_id < $nQueries)
+       |  WHERE pr <= $nprobe),
+       |qcd AS (SELECT vec_id AS qid, cid, dot FROM dt$f
+       |  WHERE vec_id < $nQueries),
+       |${quCtes.mkString(",\n")},
+       |${crdCtes.mkString(",\n")},
+       |codes AS (
+       |  SELECT a0.vec_id, l.cid AS list_id, $codeCols
+       |  FROM asgF0 a0 $codeJoin JOIN asgF l USING (vec_id)),
+       |scored AS (
+       |  SELECT d0.qid, x.vec_id AS nid,
+       |    CAST((qc.dot + $adot) AS DOUBLE)
+       |      / sqrt(CAST(qn.nsq AS DOUBLE))
+       |      / sqrt(CAST((cnc.cnsq + $rn + 2 * ($crds)) AS DOUBLE)) AS cos
+       |  FROM codes x
+       |  JOIN probes pb ON pb.cid = x.list_id
+       |  JOIN qcd qc ON qc.qid = pb.qid AND qc.cid = x.list_id
+       |  JOIN qd0 d0 ON d0.qid = pb.qid AND d0.cid = x.c0
+       |  $dJoins
+       |  $rJoins
+       |  $crdJoins
+       |  JOIN cn$f cnc ON cnc.cid = x.list_id
+       |  JOIN n qn ON qn.vec_id = d0.qid
+       |  WHERE x.vec_id <> d0.qid)${refine.map(refineTailSql(k, _))
+        .getOrElse("\n" + adcTopKTail(k))}""".stripMargin
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** q59's pinned LSH geometry = [[lshParams]] at the verify-corpus scale
@@ -1933,6 +2116,11 @@ object Similarity {
     "q99_cosine_topk_auto" -> ((s, d) =>
       cosineTopKAuto(Tables.load(s, d).embeddings, 10, 3,
         targetRecall = 0.9)),
+    // Residual IVF-PQ (FAISS IndexIVFPQ by_residual=true): codebooks
+    // train on and encode v − c(list); same serve geometry as q98 so
+    // the recall delta is attributable to residual encoding alone.
+    "q100_cosine_topk_ivfpq_residual" -> ((s, d) =>
+      cosineTopKIvfPqResidualRefined(Tables.load(s, d).embeddings, 10, 3)),
     // Serving-side embedding near-dup: an incoming batch (the first 20
     // vectors) probed against the ivfIndex of the whole corpus — the
     // per-batch ingest dedup, cosine counterpart of q77's serve half.
@@ -2086,10 +2274,13 @@ object Similarity {
     "q98_cosine_topk_ivfpq_refined" -> ivfPqOracleSql(nQueries = 10, k = 3,
       nlist = 16, nprobe = 4, m = 8, ksub = 256, iters = 2, dims = 64,
       refine = Some(48)),
-    "q99_cosine_topk_auto" -> ivfPqOracleSql(nQueries = 10, k = 3,
+    "q99_cosine_topk_auto" -> ivfPqResidualOracleSql(nQueries = 10, k = 3,
       nlist = q99Geom.nlist, nprobe = q99Geom.nprobe, m = q99Geom.m,
       ksub = 256, iters = 2, dims = 64,
       refine = Some(3 * q99Geom.kFactor)),
+    "q100_cosine_topk_ivfpq_residual" -> ivfPqResidualOracleSql(
+      nQueries = 10, k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 256,
+      iters = 2, dims = 64, refine = Some(48)),
     "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
       minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

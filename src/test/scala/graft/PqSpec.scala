@@ -254,6 +254,80 @@ class PqSpec extends SparkSpec {
     assert(served.map(_.toSeq).toSet == oneShot.map(_.toSeq).toSet)
   }
 
+  test("residual IVF-PQ: well-formed, deterministic, equals brute force at full coverage") {
+    import spark.implicits._
+    val res = Similarity.cosineTopKIvfPqResidualRefined(
+      tables.embeddings, 10, 3).collect()
+    assert(res.nonEmpty)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val rks = rows.map(r => r.getLong(r.fieldIndex("rk"))).sorted.toSeq
+      assert(rks == (1L to rks.size).toSeq)
+    }
+    // Refined cosines are EXACT (the refine stage re-scores with raw
+    // integer dots), so every returned value matches brute force.
+    val brute = Similarity.cosineTopK(tables.embeddings, 10, 500)
+      .select($"qid", $"nid", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(res.forall { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .forall(_ == r.getDouble(r.fieldIndex("cos")))
+    })
+    val again = Similarity.cosineTopKIvfPqResidualRefined(
+      tables.embeddings, 10, 3).collect()
+    assert(again.map(_.toSeq).toSet == res.map(_.toSeq).toSet)
+    // Full coverage (nprobe = nlist, candidates >= corpus) makes the
+    // ADC stage irrelevant: the exact refine over everything IS brute
+    // force — residual encoding must not break that ceiling.
+    val full = Similarity.cosineTopKIvfPqResidualRefined(
+        tables.embeddings, 10, 3, kFactor = 200, nlist = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val exact = Similarity.cosineTopK(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    assert(full == exact)
+    Similarity.releaseIndexes()
+  }
+
+  test("residual encoding quantizes clustered corpora better than direct encoding") {
+    import spark.implicits._
+    // Clustered data is where residuals matter — specifically when the
+    // clusters OUTNUMBER ksub: a direct ksub=8 codebook cannot span 16
+    // distinct cluster offsets per subspace, so direct ADC error is ~
+    // the cluster separation, while the coarse quantizer absorbs every
+    // offset and the residual codebook sees only the small
+    // within-cluster spread (FAISS's by_residual rationale). Planted
+    // geometry: 16 tight clusters at hash-spread centers, 32 points
+    // each.
+    def center(c: Int, j: Int): Float =
+      (scala.util.hashing.MurmurHash3.productHash((c, j)) % 1000) / 250f
+    def noise(id: Int, j: Int): Float = (((id * 31 + j * 17) % 11) - 5) / 50f
+    val rows = (0 until 512).map { id =>
+      val c = id % 16
+      (id.toLong, Array.tabulate(64)(j => center(c, j) + noise(id, j)).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, 20, 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(got: Array[org.apache.spark.sql.Row]): Double = {
+      val g = got.map(r => (r.getLong(r.fieldIndex("qid")),
+        r.getLong(r.fieldIndex("nid")))).toSet
+      (g & exact).size.toDouble / exact.size
+    }
+    // kFactor=4 — the ADC stage must surface the true top-3 into its
+    // top-12 for the exact refine to recover it; nlist=16 matches the
+    // planted clusters and nprobe=16 removes probe loss, so the recall
+    // difference is attributable to encoding alone.
+    val plain = recallOf(Similarity.cosineTopKIvfPqRefined(df, 20, 3,
+      kFactor = 4, nlist = 16, nprobe = 16, m = 4, ksub = 8).collect())
+    val residual = recallOf(Similarity.cosineTopKIvfPqResidualRefined(
+      df, 20, 3, kFactor = 4, nlist = 16, nprobe = 16, m = 4, ksub = 8)
+      .collect())
+    info(s"residual recall $residual vs direct $plain")
+    assert(residual > plain + 0.1,
+      s"residual recall $residual vs plain $plain — expected a clear gap")
+    Similarity.releaseIndexes()
+  }
+
   test("annParams: pinned verify geometry, monotone in target, auto entry equals explicit geometry") {
     import spark.implicits._
     // The q99 oracle replays exactly this geometry — a drift here is a
@@ -269,14 +343,16 @@ class PqSpec extends SparkSpec {
     assert(Similarity.annParams(2000, 3, 0.9).m == 8)
     assert(Similarity.annParams(1000000, 3, 0.9).m == 16)
     assert(Similarity.annParams(1000000, 3, 0.9).kFactor == 1667)
-    // The auto entry point IS cosineTopKIvfPqRefined at the derived
-    // geometry — same rows bit-for-bit.
+    // The auto entry point IS the residual operator at the derived
+    // geometry — same rows bit-for-bit (residual because it measures
+    // strictly better than direct at every probed point, the FAISS
+    // by_residual default).
     val g = Similarity.annParams(500, 3, 0.9)
     val auto = Similarity.cosineTopKAuto(tables.embeddings, 10, 3, 0.9)
       .collect().map(_.toSeq).toSet
-    val explicit = Similarity.cosineTopKIvfPqRefined(tables.embeddings,
-        10, 3, kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe,
-        m = g.m, ksub = 256)
+    val explicit = Similarity.cosineTopKIvfPqResidualRefined(
+        tables.embeddings, 10, 3, kFactor = g.kFactor, nlist = g.nlist,
+        nprobe = g.nprobe, m = g.m, ksub = 256)
       .collect().map(_.toSeq).toSet
     assert(auto == explicit && auto.nonEmpty)
     Similarity.releaseIndexes()
