@@ -958,8 +958,18 @@ object Similarity {
   private def refineExact(e: DataFrame, cand: DataFrame, nQueries: Int,
       k: Int): DataFrame = {
     import e.sparkSession.implicits._
-    val qv = e.filter($"vec_id" < nQueries)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
+    refineExactWith(e, e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq")),
+      cand, k)
+  }
+
+  /** [[refineExact]] against an explicit quantized query frame (qid,
+    * qv, qnsq) — the serve-from-index form, where queries are not a
+    * prefix of the corpus.
+    */
+  private def refineExactWith(e: DataFrame, qv: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val scored = e.select($"vec_id".as("nid"), $"v", $"nsq")
       .join(broadcast(cand), Seq("nid"))
       .join(broadcast(qv), Seq("qid"))
@@ -1066,40 +1076,77 @@ object Similarity {
       m: Int = 8, ksub: Int = 256, iters: Int = 2, dims: Int = 64,
       trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
-    import org.apache.spark.sql.functions.typedlit
     val e = quantized(embeddings)
     val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
     if (cents.isEmpty)
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val (centVecs, centNsq) = centDense(cents, dims)
-    def cvOf = element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))
-    // Residual corpus: one assignment pass, residual = integer
-    // subtraction against the list's centroid (zip_with element-wise —
-    // both sides are array<bigint>, so the residual is exact).
-    val eRes = registry.cache(
-      e.withColumn("list_id", assignExpr(cents))
-        .withColumn("rv", zip_with($"v", cvOf, (a, b) => a - b)))
+    val eRes = registry.cache(residualAssign(e, cents, dims))
     val books = pqTrain(eRes.select($"vec_id", $"rv".as("v")), m, ksub,
       iters, dims, trainFrac)
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val codes = registry.cache(residualCodesFrom(eRes, cents, books, dims))
+    val cand = residualScore(codes, e.filter($"vec_id" < nQueries), cents,
+      books, k * kFactor, nprobe, dims).select($"qid", $"nid")
+    refineExact(e, cand, nQueries, k)
+  }
+
+  /** Residual assignment: (vec_id, v, nsq) → + (list_id, rv) where
+    * rv = v − c(list), an exact integer zip_with subtraction against
+    * the list's centroid.
+    */
+  private def residualAssign(e: DataFrame, cents: Seq[(Long, Array[Long])],
+      dims: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val (centVecs, _) = centDense(cents, dims)
+    val cvOf = element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))
+    e.withColumn("list_id", assignExpr(cents))
+      .withColumn("rv", zip_with($"v", cvOf, (a, b) => a - b))
+  }
+
+  /** Encode a residual-assigned frame into the residual index's code
+    * rows (vec_id, c0.., list_id, rnsq, xnsq): codes are per-subspace
+    * argmins over rv, and xnsq carries the FULL reconstruction norm
+    * ‖x̂‖² = ‖c_list‖² + ‖r̂‖² + 2·Σₛ⟨c_list slice s, cbₛ(cₛ)⟩ — exact
+    * integers, stored so serving never recomputes cross terms.
+    */
+  private def residualCodesFrom(eRes: DataFrame,
+      cents: Seq[(Long, Array[Long])],
+      books: Seq[Seq[(Long, Array[Long])]], dims: Int): DataFrame = {
+    import eRes.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val (centVecs, centNsq) = centDense(cents, dims)
+    val cvOf = element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))
+    val m = books.size
     val len = dims / m
-    // Encode residuals; store the full reconstruction norm per row:
-    // ‖x̂‖² = ‖c_list‖² + ‖r̂‖² + 2·Σₛ⟨c_list slice s, cbₛ(cₛ)⟩.
     val crdot = (0 until m).map(s =>
       lutAt(pqLut(slice(cvOf, s * len + 1, len), books(s)), col(s"c$s")))
       .reduce(_ + _)
-    val codes = registry.cache(
-      pqEncode(eRes.select($"vec_id", $"rv".as("v"), $"list_id"), books,
-          dims, extra = Seq("list_id"))
-        .withColumn("xnsq",
-          element_at(typedlit(centNsq), ($"list_id" + 1).cast("int")) +
-            $"rnsq" + lit(2L) * crdot))
-    // Query side: raw full-precision vectors — per (query, probed list)
-    // the coarse dot, per query the m residual luts.
-    val qq = e.filter($"vec_id" < nQueries)
+    pqEncode(eRes.select($"vec_id", $"rv".as("v"), $"list_id"), books,
+        dims, extra = Seq("list_id"))
+      .withColumn("xnsq",
+        element_at(typedlit(centNsq), ($"list_id" + 1).cast("int")) +
+          $"rnsq" + lit(2L) * crdot)
+  }
+
+  /** Residual ADC top-k: raw full-precision queries — per (query,
+    * probed list) the coarse dot ⟨q, c_list⟩ (computed on the nprobe
+    * probe rows, BEFORE the broadcast join), per query the m global
+    * residual luts; a code row costs m lookups + adds.
+    */
+  private def residualScore(codes: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Array[Long])],
+      books: Seq[Seq[(Long, Array[Long])]], k: Int, nprobe: Int,
+      dims: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val (centVecs, _) = centDense(cents, dims)
+    val m = books.size
+    val len = dims / m
+    val qq = queries
       .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +: $"v".as("qv") +:
         explode(graft.functions.VecExprs.probeCentroids($"v", cents,
           nprobe)).as("list_id") +:
@@ -1116,9 +1163,101 @@ object Similarity {
         (adot.cast("double") / sqrt($"qnsq".cast("double")) /
           sqrt($"xnsq".cast("double"))).as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
-    val cand = scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= k.toLong * kFactor).select($"qid", $"nid")
-    refineExact(e, cand, nQueries, k)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= k)
+  }
+
+  /** Build the residual IVF-PQ index persistably — the by_residual
+    * counterpart of [[ivfPqIndex]]: (cid, cv) centroids, (s, cid, cv)
+    * residual codebooks, and (vec_id, c0.., list_id, rnsq, xnsq) code
+    * rows, all plain parquet. xnsq makes the stored rows
+    * self-sufficient for serving (no cross-term recomputation).
+    */
+  def ivfPqResidualIndex(embeddings: DataFrame, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 256, iters: Int = 2, dims: Int = 64,
+      trainFrac: Double = 1.0): (DataFrame, DataFrame, DataFrame) = {
+    import embeddings.sparkSession.implicits._
+    val e = quantized(embeddings)
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    if (cents.isEmpty) {
+      val bookDf = Seq.empty[(Int, Long, Seq[Long])].toDF("s", "cid", "cv")
+      return (centDf, bookDf,
+        residualCodesFrom(
+          e.withColumn("list_id", lit(0L)).withColumn("rv", $"v"),
+          Seq((0L, Array.fill(dims)(0L))), Seq(Seq((0L, Array(0L)))),
+          dims).filter(lit(false)))
+    }
+    val eRes = registry.cache(residualAssign(e, cents, dims))
+    val books = pqTrain(eRes.select($"vec_id", $"rv".as("v")), m, ksub,
+      iters, dims, trainFrac)
+    val bookDf = books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.map { case (cid, cv) => (s, cid, cv.toSeq) }
+    }.toDF("s", "cid", "cv")
+    val codes =
+      if (books.exists(_.isEmpty))
+        residualCodesFrom(eRes, cents,
+          Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims)
+          .filter(lit(false))
+      else residualCodesFrom(eRes, cents, books, dims)
+    (centDf, bookDf, codes)
+  }
+
+  /** Append into a stored [[ivfPqResidualIndex]] without retraining —
+    * the residual counterpart of [[ivfPqAdd]]: assign to the stored
+    * centroids, residualize, encode with the stored codebooks. The
+    * same staleness story applies ([[ivfPqAddCost]]'s coarse half is
+    * encoder-independent; rebuild input is the raw corpus).
+    */
+  def ivfPqResidualAdd(centroids: DataFrame, codebooks: DataFrame,
+      vectors: DataFrame, dims: Int = 64): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val books = collectBooks(codebooks)
+    val e = vectors
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return residualCodesFrom(
+        e.withColumn("list_id", lit(0L)).withColumn("rv", $"v"),
+        Seq((0L, Array.fill(dims)(0L))),
+        Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims)
+        .filter(lit(false))
+    residualCodesFrom(residualAssign(e, cents, dims), cents, books, dims)
+  }
+
+  /** Serve refined cosine top-k from a stored [[ivfPqResidualIndex]]:
+    * ADC candidates from the compressed code rows, exact re-rank
+    * against the raw corpus pruned to candidates — the FAISS
+    * `IndexRefineFlat` deployment shape, where the flat copy is the
+    * parquet corpus itself (read back only for ≤ |queries|·k·kFactor
+    * candidate rows via the broadcast semi-join). Queries are raw
+    * (vec_id, embedding) rows; with identical index parameters the
+    * results match the one-shot operator's.
+    */
+  def cosineTopKIvfPqResidualRefinedFromIndex(centroids: DataFrame,
+      codebooks: DataFrame, codes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, kFactor: Int = 16, nprobe: Int = 4,
+      dims: Int = 64): DataFrame = {
+    import queries.sparkSession.implicits._
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    val books = collectBooks(codebooks)
+    val q = queries
+      .select($"vec_id", quantize($"embedding").as("v"))
+      .withColumn("nsq", normSqQ($"v"))
+    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+      return q.filter(lit(false)).select($"vec_id".as("qid"),
+        $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
+    val cand = residualScore(codes, q, cents, books, k * kFactor, nprobe,
+      dims).select($"qid", $"nid")
+    refineExactWith(quantized(corpus),
+      q.select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq")),
+      cand, k)
   }
 
   /** Per-vector banded hyperplane signatures as an array of per-band

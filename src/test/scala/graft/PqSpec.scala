@@ -328,6 +328,42 @@ class PqSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("residual index: parquet round-trip serving matches one-shot; add reproduces build codes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres").toString
+    val (cents, books, codes) = Similarity.ivfPqResidualIndex(
+      tables.embeddings, nlist = 16, m = 8, ksub = 256)
+    assert(codes.columns.toSeq == Seq("vec_id", "c0", "c1", "c2", "c3",
+      "c4", "c5", "c6", "c7", "list_id", "rnsq", "xnsq"))
+    cents.write.parquet(s"$dir/cents")
+    books.write.parquet(s"$dir/books")
+    codes.write.parquet(s"$dir/codes")
+    // Serve from the persisted index with the SAME queries the one-shot
+    // uses (vec_id < 10 of the corpus) — identical rows bit-for-bit.
+    val served = Similarity.cosineTopKIvfPqResidualRefinedFromIndex(
+      spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/books"),
+      spark.read.parquet(s"$dir/codes"), tables.embeddings,
+      tables.embeddings.filter($"vec_id" < 10), 3)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Similarity.cosineTopKIvfPqResidualRefined(
+      tables.embeddings, 10, 3).collect().map(_.toSeq).toSet
+    assert(served == oneShot && served.nonEmpty)
+    // The add path is the same pure encoder: re-encoding the build
+    // corpus against the stored index reproduces its code rows.
+    val added = Similarity.ivfPqResidualAdd(
+      spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/books"),
+      tables.embeddings)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getLong(r.fieldIndex("vec_id")) ->
+          ((0 to 7).map(s => r.getLong(r.fieldIndex(s"c$s"))),
+            r.getLong(r.fieldIndex("list_id")),
+            r.getLong(r.fieldIndex("xnsq")))
+      }.toMap
+    assert(keyed(added) == keyed(codes) && added.count() > 0)
+    Similarity.releaseIndexes()
+  }
+
   test("annParams: pinned verify geometry, monotone in target, auto entry equals explicit geometry") {
     import spark.implicits._
     // The q99 oracle replays exactly this geometry — a drift here is a
