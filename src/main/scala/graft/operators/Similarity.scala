@@ -378,7 +378,7 @@ object Similarity {
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val corpus = registry.cache(pqEncode(e, books, dims))
+    val corpus = pqEncode(e, books, dims, cacheBase = true)
     pqScore(corpus, e.filter($"vec_id" < nQueries), books, k, dims)
   }
 
@@ -487,9 +487,21 @@ object Similarity {
   /** Corpus → (vec_id, c0..c_{m-1}, rnsq): the compressed rows the scan
     * side touches. rnsq = ‖reconstruction‖² (integer, from codebook
     * norms) — stored with the codes so serving never reopens vectors.
+    *
+    * `cacheBase = true` (corpus-sized callers) computes the code
+    * columns ONCE into a registry-cached base and derives rnsq from the
+    * cached c$s: rnsq references every code column, and CollapseProject
+    * otherwise inlines the ksub-wide argmin into each reference —
+    * measured 4.5× the whole encode at ksub=256/20k vectors on the
+    * residual path's analogous cross-term (codegen subexpression
+    * elimination does not dedupe the reference-object argmins). Leave
+    * false for batch-sized appends ([[ivfPqAdd]]) — a session-lifetime
+    * cache entry per serving batch would grow storage per call, and the
+    * duplicated argmin on a batch is cheap.
     */
   private def pqEncode(e: DataFrame, books: Seq[Seq[(Long, Array[Long])]],
-      dims: Int, extra: Seq[String] = Nil): DataFrame = {
+      dims: Int, extra: Seq[String] = Nil,
+      cacheBase: Boolean = false): DataFrame = {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.functions.typedlit
     val m = books.size
@@ -498,7 +510,8 @@ object Similarity {
       pqEncodeSub(slice($"v", s * len + 1, len), books(s)).as(s"c$s"))
     val rnsq = (0 until m).map(s =>
       lutAt(typedlit(cnsqArr(books(s))), col(s"c$s"))).reduce(_ + _)
-    e.select((($"vec_id" +: codeCols) ++ extra.map(col)): _*)
+    val base = e.select((($"vec_id" +: codeCols) ++ extra.map(col)): _*)
+    (if (cacheBase) registry.cache(base) else base)
       .withColumn("rnsq", rnsq)
   }
 
@@ -565,7 +578,7 @@ object Similarity {
       if (books.exists(_.isEmpty))
         pqEncode(e, Seq.fill(books.size)(Seq((0L, Array(0L)))), dims)
           .filter(lit(false))
-      else pqEncode(e, books, dims)
+      else pqEncode(e, books, dims, cacheBase = true)
     (bookDf, codes)
   }
 
@@ -625,9 +638,8 @@ object Similarity {
     if (cents.isEmpty || books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val codes = registry.cache(
-      pqEncode(e.withColumn("list_id", assignExpr(cents)),
-        books, dims, extra = Seq("list_id")))
+    val codes = pqEncode(e.withColumn("list_id", assignExpr(cents)),
+      books, dims, extra = Seq("list_id"), cacheBase = true)
     pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents, books,
       k, nprobe, dims)
   }
@@ -798,7 +810,7 @@ object Similarity {
           Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims,
           extra = Seq("list_id")).filter(lit(false))
       else pqEncode(e.withColumn("list_id", assignExpr(cents)), books, dims,
-        extra = Seq("list_id"))
+        extra = Seq("list_id"), cacheBase = true)
     (centDf, bookDf, codes)
   }
 
@@ -808,6 +820,33 @@ object Similarity {
     * exactly as in [[cosineTopKIvfPq]] — with identical index parameters
     * the results match the one-shot operator's.
     */
+  /** A nested array<array<bigint>> driver table as ONE Catalyst Literal.
+    * `typedlit` builds nested Scala collections as a CreateArray tree —
+    * thousands of leaf expressions RE-EVALUATED PER ROW (measured: the
+    * residual encode's cross-term lookups through a typedlit 2D table
+    * cost 4× the rest of the encode at 20k vectors; a single Literal's
+    * ArrayData is built once and indexing it is O(1)).
+    */
+  private def lit2dLong(v: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))))
+
+  /** cid-INDEXED dense table of one codebook's centroid vectors
+    * (sub-vector length `len`) — the literal a per-row "dot with MY
+    * code's centroid" lookup reads, m·len integer ops per row where a
+    * per-row LUT ([[pqLut]]) would burn m·ksub dots to read one entry.
+    */
+  private def bookDense(cs: Seq[(Long, Array[Long])],
+      len: Int): Seq[Seq[Long]] = {
+    val width = cs.map(_._1).max.toInt + 1
+    val arr = Array.fill(width)(Seq.fill(len)(0L))
+    cs.foreach { case (cid, cv) => arr(cid.toInt) = cv.toSeq }
+    arr.toSeq
+  }
+
   /** cid-INDEXED dense driver tables of the coarse centroids — vectors
     * and squared norms (Lloyd can leave cid holes; same positional
     * contract as [[cnsqArr]]/[[pqLut]]: holes carry zero entries and are
@@ -927,16 +966,18 @@ object Similarity {
         .withColumn("list_id", assignExpr(cents)),
       books, dims, extra = Seq("list_id", "v", "nsq"))
     val (centTable, cnsqA) = centDense(cents, dims)
-    // ⟨v, centroid(list_id)⟩ and, per subspace, ⟨vₛ, cbₛ(cₛ)⟩ via the
-    // same per-row LUT the ADC scan uses: pqLut computes all ksub dots
-    // of the subvector, lutAt reads the row's own code — exact integers,
-    // so the residual is exact.
+    // ⟨vₛ, cbₛ(cₛ)⟩ as one dot per subspace against the row's own
+    // code's centroid (bookDense literal lookup — m·len ops per row,
+    // not the m·ksub a per-row LUT would burn). Exact integers, so the
+    // residual is exact.
     val recDot = (0 until m).map(s =>
-      lutAt(pqLut(slice($"v", s * len + 1, len), books(s)), col(s"c$s")))
+      dotQ(slice($"v", s * len + 1, len),
+        element_at(typedlit(bookDense(books(s), len)),
+          (col(s"c$s") + 1).cast("int"))))
       .reduce(_ + _)
     import org.apache.spark.sql.functions.typedlit
     val centDot = graft.functions.VecExprs.dotQ($"v",
-      element_at(typedlit(centTable), ($"list_id" + 1).cast("int")))
+      element_at(lit2dLong(centTable), ($"list_id" + 1).cast("int")))
     val row = coded.select(
       avg(($"nsq" + element_at(typedlit(cnsqA), ($"list_id" + 1).cast("int"))
         - lit(2L) * centDot).cast("double")).as("coarse"),
@@ -1010,7 +1051,7 @@ object Similarity {
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val corpus = registry.cache(pqEncode(e, books, dims))
+    val corpus = pqEncode(e, books, dims, cacheBase = true)
     val cand = pqScore(corpus, e.filter($"vec_id" < nQueries), books,
       k * kFactor, dims).select($"qid", $"nid")
     refineExact(e, cand, nQueries, k)
@@ -1040,9 +1081,8 @@ object Similarity {
     if (cents.isEmpty || books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val codes = registry.cache(
-      pqEncode(e.withColumn("list_id", assignExpr(cents)),
-        books, dims, extra = Seq("list_id")))
+    val codes = pqEncode(e.withColumn("list_id", assignExpr(cents)),
+      books, dims, extra = Seq("list_id"), cacheBase = true)
     val cand = pqScoreProbed(codes, e.filter($"vec_id" < nQueries), cents,
       books, k * kFactor, nprobe, dims).select($"qid", $"nid")
     refineExact(e, cand, nQueries, k)
@@ -1076,18 +1116,27 @@ object Similarity {
       m: Int = 8, ksub: Int = 256, iters: Int = 2, dims: Int = 64,
       trainFrac: Double = 1.0): DataFrame = {
     import embeddings.sparkSession.implicits._
+    val dbg = sys.props.contains("graft.debug.pq")
+    var tM = System.nanoTime()
+    def mark(tag: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      println(s"PQPHASE $tag ${(now - tM) / 1e9}"); tM = now
+    }
     val e = quantized(embeddings)
     val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    mark("coarse_train")
     if (cents.isEmpty)
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
     val eRes = registry.cache(residualAssign(e, cents, dims))
     val books = pqTrain(eRes.select($"vec_id", $"rv".as("v")), m, ksub,
       iters, dims, trainFrac)
+    mark("pq_train")
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
-    val codes = registry.cache(residualCodesFrom(eRes, cents, books, dims))
+    val codes = residualCodesFrom(eRes, cents, books, dims)
+    if (dbg) { codes.queryExecution.toRdd.count(); mark("encode") }
     val cand = residualScore(codes, e.filter($"vec_id" < nQueries), cents,
       books, k * kFactor, nprobe, dims).select($"qid", $"nid")
     refineExact(e, cand, nQueries, k)
@@ -1102,7 +1151,7 @@ object Similarity {
     import e.sparkSession.implicits._
     import org.apache.spark.sql.functions.typedlit
     val (centVecs, _) = centDense(cents, dims)
-    val cvOf = element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))
+    val cvOf = element_at(lit2dLong(centVecs), ($"list_id" + 1).cast("int"))
     e.withColumn("list_id", assignExpr(cents))
       .withColumn("rv", zip_with($"v", cvOf, (a, b) => a - b))
   }
@@ -1119,17 +1168,48 @@ object Similarity {
     import eRes.sparkSession.implicits._
     import org.apache.spark.sql.functions.typedlit
     val (centVecs, centNsq) = centDense(cents, dims)
-    val cvOf = element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))
+    val cvOf = element_at(lit2dLong(centVecs), ($"list_id" + 1).cast("int"))
     val m = books.size
     val len = dims / m
+    // The cross term depends only on (list_id, code_s) and both factors
+    // are driver-resident, so the whole ⟨c_list slice s, cbₛ(k)⟩ table
+    // is precomputed here — nlist×ksub longs per subspace — and a row
+    // pays two O(1) array lookups per subspace. Per-row evaluation
+    // (pqLut, or even one dot against literal-lookup centroids)
+    // measured 4–8× the entire rest of the encode at ksub=256: nested
+    // literal indexing inside a per-row expression re-walks the big
+    // constant, the precomputed table never does. At √n coarse sizing
+    // the table is nlist·ksub·m longs — 0.3 MB at 20k vectors, ~8 MB at
+    // 2M; beyond that build codes per coarse PARTITION of the corpus
+    // (the table shards by list_id) rather than regressing to per-row
+    // dots.
+    val crTables: Seq[Seq[Seq[Long]]] = (0 until m).map { s =>
+      val bk = bookDense(books(s), len)
+      val width = cents.map(_._1).max.toInt + 1
+      val tbl = Array.fill(width)(Seq.fill(bk.size)(0L))
+      cents.foreach { case (cid, cv) =>
+        val cs = cv.slice(s * len, s * len + len)
+        tbl(cid.toInt) = bk.map(b =>
+          (0 until len).map(i => cs(i) * b(i)).sum)
+      }
+      tbl.toSeq
+    }
     val crdot = (0 until m).map(s =>
-      lutAt(pqLut(slice(cvOf, s * len + 1, len), books(s)), col(s"c$s")))
+      element_at(
+        element_at(lit2dLong(crTables(s)), ($"list_id" + 1).cast("int")),
+        (col(s"c$s") + 1).cast("int")))
       .reduce(_ + _)
-    pqEncode(eRes.select($"vec_id", $"rv".as("v"), $"list_id"), books,
-        dims, extra = Seq("list_id"))
-      .withColumn("xnsq",
-        element_at(typedlit(centNsq), ($"list_id" + 1).cast("int")) +
-          $"rnsq" + lit(2L) * crdot)
+    // The code columns are computed ONCE into the cache before xnsq is
+    // derived: xnsq references every c$s (and rnsq, which also
+    // references them), and CollapseProject would otherwise inline the
+    // ksub=256 argmin into each reference — measured 4.5× the whole
+    // encode (10.6 s vs 2.4 s at 20k). Reading xnsq off the cached
+    // base is two O(1) lookups per subspace per scan.
+    val base = pqEncode(eRes.select($"vec_id", $"rv".as("v"), $"list_id"),
+      books, dims, extra = Seq("list_id"), cacheBase = true)
+    base.withColumn("xnsq",
+      element_at(typedlit(centNsq), ($"list_id" + 1).cast("int")) +
+        $"rnsq" + lit(2L) * crdot)
   }
 
   /** Residual ADC top-k: raw full-precision queries — per (query,
@@ -1153,7 +1233,7 @@ object Similarity {
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
       .withColumn("cent_dot", dotQ($"qv",
-        element_at(typedlit(centVecs), ($"list_id" + 1).cast("int"))))
+        element_at(lit2dLong(centVecs), ($"list_id" + 1).cast("int"))))
       .drop("qv")
     val adot = $"cent_dot" + (0 until m).map(s =>
       lutAt(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
