@@ -1171,34 +1171,6 @@ object Similarity {
     val cvOf = element_at(lit2dLong(centVecs), ($"list_id" + 1).cast("int"))
     val m = books.size
     val len = dims / m
-    // The cross term depends only on (list_id, code_s) and both factors
-    // are driver-resident, so the whole ⟨c_list slice s, cbₛ(k)⟩ table
-    // is precomputed here — nlist×ksub longs per subspace — and a row
-    // pays two O(1) array lookups per subspace. Per-row evaluation
-    // (pqLut, or even one dot against literal-lookup centroids)
-    // measured 4–8× the entire rest of the encode at ksub=256: nested
-    // literal indexing inside a per-row expression re-walks the big
-    // constant, the precomputed table never does. At √n coarse sizing
-    // the table is nlist·ksub·m longs — 0.3 MB at 20k vectors, ~8 MB at
-    // 2M; beyond that build codes per coarse PARTITION of the corpus
-    // (the table shards by list_id) rather than regressing to per-row
-    // dots.
-    val crTables: Seq[Seq[Seq[Long]]] = (0 until m).map { s =>
-      val bk = bookDense(books(s), len)
-      val width = cents.map(_._1).max.toInt + 1
-      val tbl = Array.fill(width)(Seq.fill(bk.size)(0L))
-      cents.foreach { case (cid, cv) =>
-        val cs = cv.slice(s * len, s * len + len)
-        tbl(cid.toInt) = bk.map(b =>
-          (0 until len).map(i => cs(i) * b(i)).sum)
-      }
-      tbl.toSeq
-    }
-    val crdot = (0 until m).map(s =>
-      element_at(
-        element_at(lit2dLong(crTables(s)), ($"list_id" + 1).cast("int")),
-        (col(s"c$s") + 1).cast("int")))
-      .reduce(_ + _)
     // The code columns are computed ONCE into the cache before xnsq is
     // derived: xnsq references every c$s (and rnsq, which also
     // references them), and CollapseProject would otherwise inline the
@@ -1207,10 +1179,73 @@ object Similarity {
     // base is two O(1) lookups per subspace per scan.
     val base = pqEncode(eRes.select($"vec_id", $"rv".as("v"), $"list_id"),
       books, dims, extra = Seq("list_id"), cacheBase = true)
-    base.withColumn("xnsq",
-      element_at(typedlit(centNsq), ($"list_id" + 1).cast("int")) +
-        $"rnsq" + lit(2L) * crdot)
+    // The cross term depends only on (list_id, code_s) and both factors
+    // are index state, so the whole ⟨c_list slice s, cbₛ(k)⟩ table is
+    // PREcomputed — nlist×ksub longs per subspace — and a code row pays
+    // O(1) lookups per subspace. Per-row evaluation (pqLut, or even one
+    // dot against literal-lookup centroids) measured 4–8× the entire
+    // rest of the encode at ksub=256: nested literal indexing inside a
+    // per-row expression re-walks the big constant, the precomputed
+    // table never does. Delivery is size-adaptive:
+    //  - small (≲34 MB of longs; covers √n coarse sizing to ~2M vectors
+    //    at ~8 MB): one Literal per subspace, zero-join lookups;
+    //  - large (nlist·Σksubₛ > [[crLiteralMaxEntries]]; √n sizing at
+    //    10⁹ vectors is ~1 GB — too big for a plan-embedded constant or
+    //    the driver heap): the table is computed DISTRIBUTEDLY from the
+    //    parallelized centroid rows (books stay literal — m·ksub·len
+    //    longs, ~130 KB) and broadcast-joined on list_id, flattened with
+    //    per-subspace offsets. Entries are identical integers either way
+    //    (one dot per (list, subspace, code) in both formulations).
+    val width = cents.map(_._1).max.toInt + 1
+    val ws = (0 until m).map(s => books(s).map(_._1).max.toInt + 1)
+    val cnsqLookup =
+      element_at(typedlit(centNsq), ($"list_id" + 1).cast("int"))
+    if (width.toLong * ws.sum <= crLiteralMaxEntries) {
+      val crTables: Seq[Seq[Seq[Long]]] = (0 until m).map { s =>
+        val bk = bookDense(books(s), len)
+        val tbl = Array.fill(width)(Seq.fill(bk.size)(0L))
+        cents.foreach { case (cid, cv) =>
+          val cs = cv.slice(s * len, s * len + len)
+          tbl(cid.toInt) = bk.map(b =>
+            (0 until len).map(i => cs(i) * b(i)).sum)
+        }
+        tbl.toSeq
+      }
+      val crdot = (0 until m).map(s =>
+        element_at(
+          element_at(lit2dLong(crTables(s)), ($"list_id" + 1).cast("int")),
+          (col(s"c$s") + 1).cast("int")))
+        .reduce(_ + _)
+      base.withColumn("xnsq", cnsqLookup + $"rnsq" + lit(2L) * crdot)
+    } else {
+      val offs = ws.scanLeft(0)(_ + _)
+      val centDf = eRes.sparkSession.createDataFrame(
+        cents.map { case (cid, cv) => (cid, cv.toSeq) })
+        .toDF("list_id", "cv")
+      val crCols = (0 until m).map { s =>
+        val bk = lit2dLong(bookDense(books(s), len))
+        transform(sequence(lit(1), lit(ws(s))), kk =>
+          dotQ(slice($"cv", s * len + 1, len), element_at(bk, kk)))
+      }
+      val crDf = centDf.select($"list_id", concat(crCols: _*).as("cr"))
+      val crdot = (0 until m).map(s =>
+        element_at($"cr", lit(offs(s)) + col(s"c$s").cast("int") + 1))
+        .reduce(_ + _)
+      base.join(broadcast(crDf), Seq("list_id"))
+        .withColumn("xnsq", cnsqLookup + $"rnsq" + lit(2L) * crdot)
+        .drop("cr")
+    }
   }
+
+  /** Max nlist·Σksubₛ entries shipped as per-subspace cross-term
+    * Literals in [[residualCodesFrom]]; above this the table rides a
+    * broadcast-joined DataFrame computed distributedly. Overridable for
+    * tests (forcing the join path on small corpora) via the
+    * `graft.cr.literal.max.entries` system property.
+    */
+  private def crLiteralMaxEntries: Long =
+    sys.props.get("graft.cr.literal.max.entries").map(_.toLong)
+      .getOrElse(1L << 22)
 
   /** Residual ADC top-k: raw full-precision queries — per (query,
     * probed list) the coarse dot ⟨q, c_list⟩ (computed on the nprobe

@@ -287,6 +287,24 @@ class PqSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("residual cross-term delivery: the broadcast-join (large-nlist) path matches the literal path") {
+    // Above crLiteralMaxEntries the nlist×ksub cross-term table is
+    // computed distributedly and broadcast-joined instead of shipped as
+    // plan Literals (√n coarse sizing reaches ~1 GB at 10⁹ vectors).
+    // Entries must be identical integers either way, so the ADC
+    // candidates — and therefore the refined rows — must match exactly.
+    val lit = Similarity.cosineTopKIvfPqResidualRefined(
+      tables.embeddings, 10, 3).collect().map(_.toSeq).toSet
+    Similarity.releaseIndexes()
+    sys.props("graft.cr.literal.max.entries") = "0"
+    try {
+      val joined = Similarity.cosineTopKIvfPqResidualRefined(
+        tables.embeddings, 10, 3).collect().map(_.toSeq).toSet
+      assert(joined == lit)
+    } finally sys.props.remove("graft.cr.literal.max.entries")
+    Similarity.releaseIndexes()
+  }
+
   test("residual encoding quantizes clustered corpora better than direct encoding") {
     import spark.implicits._
     // Clustered data is where residuals matter — specifically when the
