@@ -972,7 +972,7 @@ object Similarity {
     // residual is exact.
     val recDot = (0 until m).map(s =>
       dotQ(slice($"v", s * len + 1, len),
-        element_at(typedlit(bookDense(books(s), len)),
+        element_at(lit2dLong(bookDense(books(s), len)),
           (col(s"c$s") + 1).cast("int"))))
       .reduce(_ + _)
     import org.apache.spark.sql.functions.typedlit
