@@ -32,16 +32,35 @@ object IvfProbe {
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables.load(spark, sfDir).embeddings
     val n = emb.count() // warm scan, as in Bench/TextProbe
+    // Optional 4th arg: nprobe (default 4). 5th arg "recall": nq=100
+    // queries, compare against exact brute force — the hier-assignment
+    // quality check (approximate assignment ~ slightly smaller
+    // effective nprobe; measure it, don't argue it).
+    val nprobe = if (args.length > 3) args(3).toInt else 4
+    val doRecall = args.length > 4 && args(4) == "recall"
+    val nq = if (doRecall) 100 else 10
     val t0 = System.nanoTime()
-    val rows = operators.Similarity
-      .cosineTopKIvf(emb, 10, 3, nlist, nprobe = 4, iters, frac).count()
+    val res = operators.Similarity
+      .cosineTopKIvf(emb, nq, 3, nlist, nprobe, iters, frac)
+    val (rows, recallStr) =
+      if (doRecall) {
+        val got = res.select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = operators.Similarity.cosineTopK(emb, nq, 3)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got.size.toLong, String.format(java.util.Locale.ROOT,
+          " recall=%.3f", java.lang.Double.valueOf(
+            (got & exact).size.toDouble / exact.size)))
+      } else (res.count(), "")
     val sec = (System.nanoTime() - t0) / 1e9
     // Locale.ROOT like Bench: comma-decimal locales must not change output.
     println(String.format(java.util.Locale.ROOT,
-      "IVFPROBE dir=%s n=%d nlist=%d iters=%d frac=%s sec=%.3f rows=%d",
+      "IVFPROBE dir=%s n=%d nlist=%d iters=%d frac=%s nprobe=%d sec=%.3f rows=%d%s",
       sfDir, java.lang.Long.valueOf(n), Integer.valueOf(nlist),
-      Integer.valueOf(iters), frac.toString,
-      java.lang.Double.valueOf(sec), java.lang.Long.valueOf(rows)))
+      Integer.valueOf(iters), frac.toString, Integer.valueOf(nprobe),
+      java.lang.Double.valueOf(sec), java.lang.Long.valueOf(rows),
+      recallStr))
     spark.stop()
   }
 }

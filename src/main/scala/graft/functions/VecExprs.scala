@@ -458,6 +458,175 @@ case class ArgminCentroid(child: Expression, cids: Seq[Long],
     copy(child = newChild)
 }
 
+/** Two-level nearest-centroid: the centroids are pre-clustered into
+  * groups (driver-side); a row scores every GROUP centroid, keeps the
+  * `gProbes` nearest groups (by (score, group-index) ascending), and
+  * runs [[ArgminCentroid]]'s exact (‖c‖² − 2·<v,c>, cid) argmin over
+  * those groups' members only. Per-row cost falls from nlist·dims to
+  * ~(ngroups + gProbes·nlist/ngroups)·dims — at ngroups ≈ √nlist the
+  * flat FAISS coarse-assignment bottleneck (2M int ops/row at
+  * nlist=31623) drops ~60×. Assignment is approximate near group
+  * boundaries (more gProbes → tighter); with gProbes ≥ ngroups every
+  * member is scored, and because the member tiebreak is identical and
+  * every cid appears in exactly one group, the result is BIT-EQUAL to
+  * [[ArgminCentroid]] over the union — the exactness anchor its spec
+  * asserts.
+  */
+case class ArgminCentroidHier(child: Expression,
+    groupCents: Seq[Seq[Long]], memberCids: Seq[Seq[Long]],
+    memberCents: Seq[Seq[Seq[Long]]], gProbes: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(groupCents.nonEmpty && gProbes >= 1 &&
+    groupCents.forall(_.length == dims) &&
+    memberCids.length == groupCents.length &&
+    memberCents.length == groupCents.length &&
+    memberCents.zip(memberCids).forall { case (vs, ids) =>
+      vs.length == ids.length && vs.forall(_.length == dims) } &&
+    memberCids.exists(_.nonEmpty),
+    "group/member tables must be consistent and non-empty")
+
+  @transient private lazy val gcArr: Array[Array[Long]] =
+    groupCents.map(_.toArray).toArray
+  @transient private lazy val gnsqArr: Array[Long] =
+    gcArr.map(_.map(x => x * x).sum)
+  @transient private lazy val mcArr: Array[Array[Array[Long]]] =
+    memberCents.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val midArr: Array[Array[Long]] =
+    memberCids.map(_.toArray).toArray
+  @transient private lazy val mnsqArr: Array[Array[Long]] =
+    mcArr.map(_.map(_.map(x => x * x).sum))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "argmin_centroid_hier"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"$prettyName: expected $dims dims, got ${v.numElements()}")
+    val gp = math.min(gProbes, gcArr.length)
+    val gs = Array.fill(gp)(Long.MaxValue)
+    val gi = Array.fill(gp)(-1)
+    var g = 0
+    while (g < gcArr.length) {
+      val row = gcArr(g)
+      var dot = 0L
+      var i = 0
+      while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+      val s = gnsqArr(g) - 2L * dot
+      // insertion into the sorted top-gp (score asc, group idx asc —
+      // strict inequality keeps earlier groups on ties)
+      var pos = gp
+      while (pos > 0 && s < gs(pos - 1)) pos -= 1
+      if (pos < gp) {
+        var t = gp - 1
+        while (t > pos) { gs(t) = gs(t - 1); gi(t) = gi(t - 1); t -= 1 }
+        gs(pos) = s; gi(pos) = g
+      }
+      g += 1
+    }
+    var best = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var t = 0
+    while (t < gp) {
+      val gg = gi(t)
+      if (gg >= 0) {
+        val mem = mcArr(gg); val mcid = midArr(gg); val mnsq = mnsqArr(gg)
+        var j = 0
+        while (j < mem.length) {
+          val row = mem(j)
+          var dot = 0L
+          var i = 0
+          while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+          val s = mnsq(j) - 2L * dot
+          if (s < best || (s == best && mcid(j) < bestCid)) {
+            best = s; bestCid = mcid(j)
+          }
+          j += 1
+        }
+      }
+      t += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val gc = ctx.addReferenceObj("gcents", gcArr, "long[][]")
+      val gnsq = ctx.addReferenceObj("gnsqs", gnsqArr, "long[]")
+      val mc = ctx.addReferenceObj("mcents", mcArr, "long[][][]")
+      val mid = ctx.addReferenceObj("mcids", midArr, "long[][]")
+      val mnsq = ctx.addReferenceObj("mnsqs", mnsqArr, "long[][]")
+      val gp = math.min(gProbes, groupCents.length)
+      val gs = ctx.freshName("gs"); val gi = ctx.freshName("gi")
+      val g = ctx.freshName("g"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val pos = ctx.freshName("pos"); val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s"); val row = ctx.freshName("row")
+      val best = ctx.freshName("best"); val bestCid = ctx.freshName("bestCid")
+      val gg = ctx.freshName("gg"); val mem = ctx.freshName("mem")
+      val mcid = ctx.freshName("mcid"); val mns = ctx.freshName("mns")
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: expected $dims dims, got " + $a.numElements());
+         |}
+         |long[] $gs = new long[$gp];
+         |int[] $gi = new int[$gp];
+         |for (int $t = 0; $t < $gp; $t++) {
+         |  $gs[$t] = Long.MAX_VALUE; $gi[$t] = -1;
+         |}
+         |for (int $g = 0; $g < ${groupCents.length}; $g++) {
+         |  long[] $row = $gc[$g];
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $dot += $a.getLong($i) * $row[$i];
+         |  }
+         |  long $s = $gnsq[$g] - 2L * $dot;
+         |  int $pos = $gp;
+         |  while ($pos > 0 && $s < $gs[$pos - 1]) $pos--;
+         |  if ($pos < $gp) {
+         |    for (int $t = $gp - 1; $t > $pos; $t--) {
+         |      $gs[$t] = $gs[$t - 1]; $gi[$t] = $gi[$t - 1];
+         |    }
+         |    $gs[$pos] = $s; $gi[$pos] = $g;
+         |  }
+         |}
+         |long $best = Long.MAX_VALUE;
+         |long $bestCid = Long.MAX_VALUE;
+         |for (int $t = 0; $t < $gp; $t++) {
+         |  int $gg = $gi[$t];
+         |  if ($gg < 0) continue;
+         |  long[][] $mem = $mc[$gg];
+         |  long[] $mcid = $mid[$gg];
+         |  long[] $mns = $mnsq[$gg];
+         |  for (int $j = 0; $j < $mem.length; $j++) {
+         |    long[] $row = $mem[$j];
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      $dot += $a.getLong($i) * $row[$i];
+         |    }
+         |    long $s = $mns[$j] - 2L * $dot;
+         |    if ($s < $best || ($s == $best && $mcid[$j] < $bestCid)) {
+         |      $best = $s; $bestCid = $mcid[$j];
+         |    }
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest centroid cids of a quantized vector, ordered by
   * (‖c‖² − 2·<v,c>, cid) ascending — [[ArgminCentroid]]'s ordering
   * extended to a top-nprobe selection, bit-identical to the
@@ -705,6 +874,19 @@ object VecExprs {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(ArgminCentroid(GraftSqlBridge.expression(v),
       cs.map(_._1), cs.map(_._2.toSeq), cs.head._2.length))
+  }
+
+  /** Two-level nearest-centroid cid (see [[ArgminCentroidHier]]):
+    * `groups(g)` is group g's centroid, `members(g)` its (cid, vec)
+    * list. Bit-equal to [[argminCentroid]] over the flattened members
+    * when gProbes >= groups.size.
+    */
+  def argminCentroidHier(v: Column, groups: Seq[Array[Long]],
+      members: Seq[Seq[(Long, Array[Long])]], gProbes: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ArgminCentroidHier(GraftSqlBridge.expression(v),
+      groups.map(_.toSeq), members.map(_.map(_._1)),
+      members.map(_.map(_._2.toSeq)), gProbes, groups.head.length))
   }
 
   /** The nprobe nearest centroid cids (array<long>, nearest first), same

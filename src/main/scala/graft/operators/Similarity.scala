@@ -282,9 +282,106 @@ object Similarity {
     * row-constant ‖v‖² term drops out of the argmin), but the generated
     * code no longer grows with nlist, which q92's √n-scaled cluster
     * counts would otherwise push past JIT limits.
+    *
+    * Above [[hierAssignMinLists]] lists the flat scan itself becomes
+    * the bottleneck (√n coarse sizing at 10⁹ vectors is nlist=31623 →
+    * 2M integer ops PER CORPUS ROW), so assignment goes two-level
+    * (graft.functions.ArgminCentroidHier — the FAISS
+    * quantizer-with-its-own-index move): the centroids are Lloyd-
+    * clustered into √nlist groups ON THE DRIVER (nlist items — trivial),
+    * a row scores the groups, descends into the [[hierAssignProbes]]
+    * nearest, and runs the exact argmin over their members —
+    * ~(√nlist·(1+probes))·dims ops per row, ~60× fewer at 31k lists.
+    * Assignment near group boundaries is approximate (IVF's contract
+    * is recall-through-probes, and serving re-derives the SAME
+    * deterministic grouping, so build and serve agree); with probes ≥
+    * ngroups it is bit-equal to the flat argmin (spec-anchored).
+    * Oracled queries all run below the threshold and keep the exact
+    * flat path.
     */
   private def assignExpr(cs: Seq[(Long, Array[Long])]): Column =
-    graft.functions.VecExprs.argminCentroid(col("v"), cs)
+    if (cs.size <= hierAssignMinLists)
+      graft.functions.VecExprs.argminCentroid(col("v"), cs)
+    else {
+      val ng = math.max(1, math.ceil(math.sqrt(cs.size.toDouble)).toInt)
+      val (gc, members) = groupCentroids(cs, ng)
+      graft.functions.VecExprs.argminCentroidHier(col("v"), gc, members,
+        hierAssignProbes)
+    }
+
+  /** Max centroid count assigned by the flat per-row argmin; above it
+    * [[assignExpr]] goes two-level. Test override:
+    * `graft.hier.assign.min.lists` (0 forces hierarchical everywhere).
+    */
+  private def hierAssignMinLists: Int =
+    sys.props.get("graft.hier.assign.min.lists").map(_.toInt)
+      .getOrElse(4096)
+
+  /** Groups a hierarchical assignment descends into (more → closer to
+    * flat-exact, linearly more member dots). Default 8, measured on
+    * 200k vectors at nlist=8192 (IvfProbe): at serve-realistic
+    * nprobe=64 hier-8 matches flat recall (0.457 vs 0.453) at 4.7×
+    * less wall (68 vs 325 s); at a stress-tiny nprobe=16 probe
+    * fraction the approximation costs recall (0.260 vs 0.277), and
+    * gProbes=2 is too lossy there (0.147). Training routes through the
+    * same assignment (the FAISS clustering_index move — flat training
+    * assignment is nlist²-quadratic and infeasible at 31k lists), so
+    * geometry depends mildly on this knob. Override:
+    * `graft.hier.assign.probes`.
+    */
+  private def hierAssignProbes: Int =
+    sys.props.get("graft.hier.assign.probes").map(_.toInt).getOrElse(8)
+
+  /** Deterministic driver-side Lloyd over the COARSE CENTROIDS
+    * themselves (nlist items — no Spark job): strided init in cid
+    * order, integer-truncated means, ties to the earlier group, empty
+    * groups keep their centroid. Returns (group centroids, per-group
+    * (cid, vec) member lists from a final assignment against the final
+    * group centroids — every cid in exactly one list).
+    */
+  private def groupCentroids(cs: Seq[(Long, Array[Long])], ngroups: Int,
+      iters: Int = 5): (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]]) = {
+    val sorted = cs.sortBy(_._1).toArray
+    val dims = sorted.head._2.length
+    var gc: Array[Array[Long]] = Array.tabulate(ngroups)(i =>
+      sorted(((i.toLong * sorted.length) / ngroups).toInt)._2.clone())
+    def assign(): Array[Int] = {
+      val gnsq = gc.map(_.map(x => x * x).sum)
+      sorted.map { case (_, v) =>
+        var best = Long.MaxValue; var bg = 0; var g = 0
+        while (g < gc.length) {
+          var dot = 0L; var i = 0
+          while (i < dims) { dot += v(i) * gc(g)(i); i += 1 }
+          val s = gnsq(g) - 2L * dot
+          if (s < best) { best = s; bg = g }
+          g += 1
+        }
+        bg
+      }
+    }
+    var round = 0
+    while (round < iters) {
+      val asg = assign()
+      val sums = Array.fill(ngroups, dims)(0L)
+      val cnt = Array.fill(ngroups)(0L)
+      var idx = 0
+      while (idx < sorted.length) {
+        val g = asg(idx); cnt(g) += 1
+        var i = 0
+        while (i < dims) { sums(g)(i) += sorted(idx)._2(i); i += 1 }
+        idx += 1
+      }
+      gc = Array.tabulate(ngroups)(g =>
+        if (cnt(g) == 0) gc(g)
+        else Array.tabulate(dims)(i => sums(g)(i) / cnt(g)))
+      round += 1
+    }
+    val finalAsg = assign()
+    val members = Array.fill(ngroups)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])])
+    sorted.indices.foreach(i => members(finalAsg(i)) += sorted(i))
+    (gc.toSeq, members.map(_.toSeq).toSeq)
+  }
 
   /** The serving half: each query probes its nprobe nearest centroid
     * lists (same integer squared-L2 metric and tiebreak as assignment —

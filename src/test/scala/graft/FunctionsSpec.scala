@@ -68,6 +68,44 @@ class FunctionsSpec extends SparkSpec {
     assert(capped.forall(_.getSeq[Long](0).length == cents.length))
   }
 
+  test("ArgminCentroidHier: bit-equal to flat argmin at full group probes, for any partition") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.functions.VecExprs
+    val e = tables.embeddings
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val base = e.orderBy($"vec_id").limit(12).collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    // Planted cross-group tie: cid 99 duplicates centroid 0's vector but
+    // lives in a DIFFERENT group — at full probes both groups are
+    // descended and the (dist, cid) tiebreak must pick 0, exactly as the
+    // flat argmin does.
+    val cents: Seq[(Long, Array[Long])] =
+      base.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }.toSeq :+
+        (99L, base(0))
+    val groups = Seq(cents.take(5), cents.slice(5, 10), cents.drop(10))
+    // DELIBERATELY arbitrary group centroids (first member each): with
+    // gProbes >= ngroups every group is descended, so equality with the
+    // flat argmin must hold for ANY partition and ANY group centroids —
+    // the exactness anchor does not depend on grouping quality.
+    val gc = groups.map(_.head._2)
+    val both = e.select($"vec_id",
+      VecExprs.argminCentroid($"v", cents).as("flat"),
+      VecExprs.argminCentroidHier($"v", gc, groups, 3).as("hierAll"),
+      VecExprs.argminCentroidHier($"v", gc, groups, 1).as("hier1"))
+    assert(both.filter($"flat" =!= $"hierAll").count() == 0)
+    // gProbes=1 is approximate but must return a real member cid,
+    // deterministically.
+    val cidSet = cents.map(_._1).toSet
+    val h1 = both.select($"vec_id", $"hier1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(h1.forall { case (_, c) => cidSet.contains(c) })
+    val h1again = e.select($"vec_id",
+      VecExprs.argminCentroidHier($"v", gc, groups, 1).as("hier1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(h1.toMap == h1again.toMap)
+  }
+
   test("PqAdcLut == the map-of-literal-dots formulation, with a cid gap") {
     import spark.implicits._
     import graft.operators.Similarity

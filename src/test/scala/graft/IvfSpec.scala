@@ -28,6 +28,40 @@ class IvfSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet == ivf.map(_.toSeq).toSet)
   }
 
+  test("hierarchical coarse assignment: exact at full group probes; full-probe serving is partition-invariant") {
+    import spark.implicits._
+    val flat = Similarity.cosineTopKIvf(tables.embeddings, 10, 3)
+      .collect().map(_.toSeq).toSet
+    Similarity.releaseIndexes()
+    sys.props("graft.hier.assign.min.lists") = "0"
+    sys.props("graft.hier.assign.probes") = "1000000"
+    try {
+      // All groups probed -> assignment is bit-equal to the flat argmin,
+      // so the whole operator result is identical.
+      val hierAll = Similarity.cosineTopKIvf(tables.embeddings, 10, 3)
+        .collect().map(_.toSeq).toSet
+      assert(hierAll == flat)
+      Similarity.releaseIndexes()
+      // gProbes=2 is approximate near group boundaries, but with
+      // nprobe = nlist EVERY list is scored, so any corpus partition
+      // yields the same candidate set — results must match the flat
+      // build exactly.
+      sys.props("graft.hier.assign.probes") = "2"
+      val fullProbeHier = Similarity.cosineTopKIvf(tables.embeddings,
+        10, 3, nlist = 8, nprobe = 8).collect().map(_.toSeq).toSet
+      Similarity.releaseIndexes()
+      sys.props.remove("graft.hier.assign.min.lists")
+      sys.props.remove("graft.hier.assign.probes")
+      val fullProbeFlat = Similarity.cosineTopKIvf(tables.embeddings,
+        10, 3, nlist = 8, nprobe = 8).collect().map(_.toSeq).toSet
+      assert(fullProbeHier == fullProbeFlat)
+    } finally {
+      sys.props.remove("graft.hier.assign.min.lists")
+      sys.props.remove("graft.hier.assign.probes")
+      Similarity.releaseIndexes()
+    }
+  }
+
   test("semantic dedup: exact twins lose their higher id, cluster-local only") {
     import spark.implicits._
     val got = Similarity.semanticDedup(tables.embeddings, 0.35).collect()
