@@ -747,6 +747,217 @@ case class ProbeCentroids(child: Expression, cids: Seq[Long],
     copy(child = newChild)
 }
 
+/** Two-level [[ProbeCentroids]]: score the group centroids, descend
+  * into groups in (score, group-index) order until BOTH `gProbes`
+  * groups are open AND their member count covers `nprobe` (so the
+  * output length always equals min(nprobe, nlist), like the flat
+  * probe), then select the top-nprobe members by the exact (dist, cid)
+  * ordering. Bit-equal to [[ProbeCentroids]] when every group is
+  * descended. Query/batch-side analog of [[ArgminCentroidHier]]:
+  * per-row cost falls from nlist·dims to ~(ngroups +
+  * covered·(dims+nprobe)).
+  */
+case class ProbeCentroidsHier(child: Expression,
+    groupCents: Seq[Seq[Long]], memberCids: Seq[Seq[Long]],
+    memberCents: Seq[Seq[Seq[Long]]], gProbes: Int, nprobe: Int,
+    dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(groupCents.nonEmpty && gProbes >= 1 && nprobe >= 1 &&
+    groupCents.forall(_.length == dims) &&
+    memberCids.length == groupCents.length &&
+    memberCents.length == groupCents.length &&
+    memberCents.zip(memberCids).forall { case (vs, ids) =>
+      vs.length == ids.length && vs.forall(_.length == dims) } &&
+    memberCids.exists(_.nonEmpty),
+    "group/member tables must be consistent and non-empty")
+
+  @transient private lazy val gcArr: Array[Array[Long]] =
+    groupCents.map(_.toArray).toArray
+  @transient private lazy val gnsqArr: Array[Long] =
+    gcArr.map(_.map(x => x * x).sum)
+  @transient private lazy val mcArr: Array[Array[Array[Long]]] =
+    memberCents.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val midArr: Array[Array[Long]] =
+    memberCids.map(_.toArray).toArray
+  @transient private lazy val mnsqArr: Array[Array[Long]] =
+    mcArr.map(_.map(_.map(x => x * x).sum))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "probe_centroids_hier"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"$prettyName: expected $dims dims, got ${v.numElements()}")
+    val ng = gcArr.length
+    val gScores = new Array[Long](ng)
+    var g = 0
+    while (g < ng) {
+      val row = gcArr(g)
+      var dot = 0L
+      var i = 0
+      while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+      gScores(g) = gnsqArr(g) - 2L * dot
+      g += 1
+    }
+    val gTaken = new Array[Boolean](ng)
+    val chosen = new Array[Int](ng)
+    var nChosen = 0
+    var covered = 0
+    while (nChosen < ng && (nChosen < gProbes || covered < nprobe)) {
+      var best = -1
+      var p = 0
+      while (p < ng) {
+        if (!gTaken(p) && (best < 0 || gScores(p) < gScores(best))) best = p
+        p += 1
+      }
+      gTaken(best) = true
+      chosen(nChosen) = best; nChosen += 1
+      covered += midArr(best).length
+    }
+    val mScores = new Array[Long](covered)
+    val mCid = new Array[Long](covered)
+    var idx = 0
+    var t = 0
+    while (t < nChosen) {
+      val gg = chosen(t)
+      val mem = mcArr(gg); val mcid = midArr(gg); val mnsq = mnsqArr(gg)
+      var j = 0
+      while (j < mem.length) {
+        val row = mem(j)
+        var dot = 0L
+        var i = 0
+        while (i < dims) { dot += v.getLong(i) * row(i); i += 1 }
+        mScores(idx) = mnsq(j) - 2L * dot
+        mCid(idx) = mcid(j)
+        idx += 1
+        j += 1
+      }
+      t += 1
+    }
+    val take = math.min(nprobe, covered)
+    val out = new Array[Long](take)
+    val taken = new Array[Boolean](covered)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var p = 0
+      while (p < covered) {
+        if (!taken(p) && (best < 0 || mScores(p) < mScores(best) ||
+          (mScores(p) == mScores(best) && mCid(p) < mCid(best)))) best = p
+        p += 1
+      }
+      taken(best) = true
+      out(r) = mCid(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val gc = ctx.addReferenceObj("gcents", gcArr, "long[][]")
+      val gnsq = ctx.addReferenceObj("gnsqs", gnsqArr, "long[]")
+      val mc = ctx.addReferenceObj("mcents", mcArr, "long[][][]")
+      val mid = ctx.addReferenceObj("mcids", midArr, "long[][]")
+      val mnsq = ctx.addReferenceObj("mnsqs", mnsqArr, "long[][]")
+      val ng = gcArr.length
+      val gScores = ctx.freshName("gScores")
+      val gTaken = ctx.freshName("gTaken")
+      val chosen = ctx.freshName("chosen")
+      val nChosen = ctx.freshName("nChosen")
+      val covered = ctx.freshName("covered")
+      val mScores = ctx.freshName("mScores")
+      val mCid = ctx.freshName("mCid")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out")
+      val take = ctx.freshName("take")
+      val g = ctx.freshName("g"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val p = ctx.freshName("p"); val r = ctx.freshName("r")
+      val dot = ctx.freshName("dot"); val row = ctx.freshName("row")
+      val best = ctx.freshName("best"); val gg = ctx.freshName("gg")
+      val idx = ctx.freshName("idx")
+      val mem = ctx.freshName("mem"); val mcd = ctx.freshName("mcd")
+      val mns = ctx.freshName("mns")
+      s"""
+         |if ($a.numElements() != $dims) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: expected $dims dims, got " + $a.numElements());
+         |}
+         |long[] $gScores = new long[$ng];
+         |for (int $g = 0; $g < $ng; $g++) {
+         |  long[] $row = $gc[$g];
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $dims; $i++) {
+         |    $dot += $a.getLong($i) * $row[$i];
+         |  }
+         |  $gScores[$g] = $gnsq[$g] - 2L * $dot;
+         |}
+         |boolean[] $gTaken = new boolean[$ng];
+         |int[] $chosen = new int[$ng];
+         |int $nChosen = 0;
+         |int $covered = 0;
+         |while ($nChosen < $ng && ($nChosen < $gProbes || $covered < $nprobe)) {
+         |  int $best = -1;
+         |  for (int $p = 0; $p < $ng; $p++) {
+         |    if (!$gTaken[$p] && ($best < 0 || $gScores[$p] < $gScores[$best])) {
+         |      $best = $p;
+         |    }
+         |  }
+         |  $gTaken[$best] = true;
+         |  $chosen[$nChosen++] = $best;
+         |  $covered += $mid[$best].length;
+         |}
+         |long[] $mScores = new long[$covered];
+         |long[] $mCid = new long[$covered];
+         |int $idx = 0;
+         |for (int $t = 0; $t < $nChosen; $t++) {
+         |  int $gg = $chosen[$t];
+         |  long[][] $mem = $mc[$gg];
+         |  long[] $mcd = $mid[$gg];
+         |  long[] $mns = $mnsq[$gg];
+         |  for (int $j = 0; $j < $mem.length; $j++) {
+         |    long[] $row = $mem[$j];
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      $dot += $a.getLong($i) * $row[$i];
+         |    }
+         |    $mScores[$idx] = $mns[$j] - 2L * $dot;
+         |    $mCid[$idx] = $mcd[$j];
+         |    $idx++;
+         |  }
+         |}
+         |int $take = java.lang.Math.min($nprobe, $covered);
+         |long[] $out = new long[$take];
+         |boolean[] $taken = new boolean[$covered];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1;
+         |  for (int $p = 0; $p < $covered; $p++) {
+         |    if (!$taken[$p] && ($best < 0 || $mScores[$p] < $mScores[$best] ||
+         |        ($mScores[$p] == $mScores[$best] && $mCid[$p] < $mCid[$best]))) {
+         |      $best = $p;
+         |    }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$r] = $mCid[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One subspace's ADC lookup table for a query subvector: a cid-INDEXED
   * array (position = cid, 0-based) of exact integer dots <q_sub,
   * centroid_cid>. Lloyd can leave cids non-contiguous, so unassigned
@@ -887,6 +1098,22 @@ object VecExprs {
     GraftSqlBridge.column(ArgminCentroidHier(GraftSqlBridge.expression(v),
       groups.map(_.toSeq), members.map(_.map(_._1)),
       members.map(_.map(_._2.toSeq)), gProbes, groups.head.length))
+  }
+
+  /** Two-level top-nprobe probe (see [[ProbeCentroidsHier]]): descends
+    * into enough nearest groups to cover gProbes AND nprobe, then exact
+    * (dist, cid) top-nprobe over their members. Bit-equal to
+    * [[probeCentroids]] over the flattened members when gProbes >=
+    * groups.size.
+    */
+  def probeCentroidsHier(v: Column, groups: Seq[Array[Long]],
+      members: Seq[Seq[(Long, Array[Long])]], gProbes: Int,
+      nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ProbeCentroidsHier(GraftSqlBridge.expression(v),
+      groups.map(_.toSeq), members.map(_.map(_._1)),
+      members.map(_.map(_._2.toSeq)), gProbes, nprobe,
+      groups.head.length))
   }
 
   /** The nprobe nearest centroid cids (array<long>, nearest first), same

@@ -309,6 +309,35 @@ object Similarity {
         hierAssignProbes)
     }
 
+  /** Query/batch-side top-nprobe probe. Deliberately ASYMMETRIC with
+    * [[assignExpr]]: assignment goes two-level automatically (corpus-
+    * sized, measured recall-neutral at serve nprobe), but probing stays
+    * FLAT unless opted in — the probe defines WHICH lists get scanned,
+    * and restricting the top-nprobe selection to the gProbes nearest
+    * groups measured −0.117 bulk recall@3 at nprobe=64/nlist=8192
+    * (0.340 vs 0.457) while the flat probe's nlist·dims cost is paid by
+    * only nq (or batch) rows. Corpus-sized probe sides (a serve batch
+    * at 10⁹-vector scale, where dup-recall — not bulk ranking — is the
+    * target) opt in via `graft.hier.probe.min.lists`; the grouping is
+    * the SAME deterministic one as assignment, and the hier probe
+    * descends into enough nearest groups to cover both gProbes and
+    * nprobe, so the probe list length matches the flat probe's
+    * min(nprobe, nlist).
+    */
+  private def probeExpr(v: Column, cs: Seq[(Long, Array[Long])],
+      nprobe: Int): Column = {
+    val minLists = sys.props.get("graft.hier.probe.min.lists")
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    if (cs.size <= minLists)
+      graft.functions.VecExprs.probeCentroids(v, cs, nprobe)
+    else {
+      val ng = math.max(1, math.ceil(math.sqrt(cs.size.toDouble)).toInt)
+      val (gc, members) = groupCentroids(cs, ng)
+      graft.functions.VecExprs.probeCentroidsHier(v, gc, members,
+        hierAssignProbes, nprobe)
+    }
+  }
+
   /** Max centroid count assigned by the flat per-row argmin; above it
     * [[assignExpr]] goes two-level. Test override:
     * `graft.hier.assign.min.lists` (0 forces hierarchical everywhere).
@@ -393,7 +422,7 @@ object Similarity {
     import assigned.sparkSession.implicits._
     val qProbes = queries
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
-        explode(graft.functions.VecExprs.probeCentroids($"v", cents, nprobe))
+        explode(probeExpr($"v", cents, nprobe))
           .as("list_id"))
     scoreTopK(assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter($"vec_id" =!= $"qid"), k)
@@ -754,7 +783,7 @@ object Similarity {
     val len = dims / m
     val qq = queries
       .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
-        explode(graft.functions.VecExprs.probeCentroids($"v", cents, nprobe))
+        explode(probeExpr($"v", cents, nprobe))
           .as("list_id") +:
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
@@ -870,7 +899,7 @@ object Similarity {
         $"vec_id".as("dup_of"), lit(0d).as("cos"))
     val qProbes = q.select($"vec_id".as("qid"), $"v".as("qv"),
       $"nsq".as("qnsq"),
-      explode(graft.functions.VecExprs.probeCentroids($"v", cents, nprobe))
+      explode(probeExpr($"v", cents, nprobe))
         .as("list_id"))
     assigned.join(broadcast(qProbes), Seq("list_id"))
       .filter($"vec_id" =!= $"qid")
@@ -1360,8 +1389,7 @@ object Similarity {
     val len = dims / m
     val qq = queries
       .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +: $"v".as("qv") +:
-        explode(graft.functions.VecExprs.probeCentroids($"v", cents,
-          nprobe)).as("list_id") +:
+        explode(probeExpr($"v", cents, nprobe)).as("list_id") +:
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
       .withColumn("cent_dot", dotQ($"qv",

@@ -104,6 +104,17 @@ class FunctionsSpec extends SparkSpec {
       VecExprs.argminCentroidHier($"v", gc, groups, 1).as("hier1"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(h1.toMap == h1again.toMap)
+    // ProbeCentroidsHier: full group probes == flat probe order exactly
+    // (same (dist, cid) member ordering, any partition)...
+    val probes = e.select($"vec_id",
+      VecExprs.probeCentroids($"v", cents, 5).as("flatP"),
+      VecExprs.probeCentroidsHier($"v", gc, groups, 3, 5).as("hierP"),
+      VecExprs.probeCentroidsHier($"v", gc, groups, 1, 7).as("hierCov"))
+    assert(probes.filter(!($"flatP" === $"hierP")).count() == 0)
+    // ...and the coverage rule: gProbes=1 with nprobe=7 > any single
+    // group's 5 members must still descend far enough to return 7 lists.
+    assert(probes.select(size($"hierCov")).collect()
+      .forall(_.getInt(0) == 7))
   }
 
   test("PqAdcLut == the map-of-literal-dots formulation, with a cid gap") {
