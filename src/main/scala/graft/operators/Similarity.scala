@@ -366,10 +366,29 @@ object Similarity {
     * order, integer-truncated means, ties to the earlier group, empty
     * groups keep their centroid. Returns (group centroids, per-group
     * (cid, vec) member lists from a final assignment against the final
-    * group centroids — every cid in exactly one list).
+    * group centroids — every cid in exactly one list). Memoized on the
+    * centroid Seq: assignExpr/probeExpr re-derive the grouping per call
+    * (training calls once per Lloyd round), and at 31k lists one
+    * driver Lloyd is ~2G int ops — paid once, not per plan.
     */
+  @transient private val groupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Seq[(Long, Array[Long])],
+      Int), (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]])]()
+
   private def groupCentroids(cs: Seq[(Long, Array[Long])], ngroups: Int,
       iters: Int = 5): (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]]) = {
+    val memoKey = (cs, ngroups)
+    val hit = groupMemo.get(memoKey)
+    if (hit != null) return hit
+    if (groupMemo.size > 64) groupMemo.clear()
+    val out = groupCentroidsCompute(cs, ngroups, iters)
+    groupMemo.put(memoKey, out)
+    out
+  }
+
+  private def groupCentroidsCompute(cs: Seq[(Long, Array[Long])],
+      ngroups: Int,
+      iters: Int): (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]]) = {
     val sorted = cs.sortBy(_._1).toArray
     val dims = sorted.head._2.length
     var gc: Array[Array[Long]] = Array.tabulate(ngroups)(i =>
