@@ -38,7 +38,7 @@ object Similarity {
   /** Unpersist the shared quantized corpus (between corpora in a
     * long-lived session) — see [[graft.CacheRegistry]].
     */
-  def releaseIndexes(): Unit = registry.release()
+  def releaseIndexes(): Unit = { registry.release(); groupMemo.clear() }
 
   /** The ONE quantized-corpus projection every similarity operator shares:
     * (vec_id, v, nsq) with v in integer milliunits. quantize() is an
@@ -1622,6 +1622,13 @@ object Similarity {
     * the family's usual one: the geometry is a pure deterministic
     * function of (n, k, targetRecall), pinned at the verify corpus size
     * for the static SQL replay.
+    *
+    * Above 4096 lists (n ≳ 16.7M at the √n sizing) corpus assignment
+    * goes two-level automatically ([[assignExpr]]) — measured
+    * recall-neutral at serve-grade nprobe (0.457 vs 0.453 at
+    * nprobe=64/nlist=8192), and the curve inversion here is
+    * conservative one scale beyond its fit data, so the fitted
+    * constants stand; probing stays exact.
     */
   def annParams(n: Long, k: Int, targetRecall: Double = 0.9): AnnGeometry = {
     require(targetRecall > 0.0 && targetRecall < 1.0,
