@@ -34,6 +34,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hier argmin/probe equal their flat forms at full group probes, random vectors and partitions") {
+    import spark.implicits._
+    import graft.functions.VecExprs
+    val dims = 8
+    def vec() = Seq.fill(dims)((rnd.nextLong() % 500))
+    // Random centroids with non-contiguous cids and a planted duplicate
+    // vector under two different cids (cross-partition tie).
+    val base = Seq.tabulate(17)(i => (i * 3L, vec().toArray))
+    val cents = base :+ (997L, base(4)._2)
+    // Random partition into 4 groups (fixed seed), arbitrary group reps.
+    val shuffled = rnd.shuffle(cents)
+    val groups = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val gc = groups.map(_.head._2)
+    val rows = Seq.fill(80)(vec()).toDF("v")
+    val got = rows.select(
+      VecExprs.argminCentroid($"v", cents).as("flatA"),
+      VecExprs.argminCentroidHier($"v", gc, groups, groups.size).as("hierA"),
+      VecExprs.probeCentroids($"v", cents, 6).as("flatP"),
+      VecExprs.probeCentroidsHier($"v", gc, groups, groups.size, 6)
+        .as("hierP"))
+    assert(got.filter($"flatA" =!= $"hierA").count() == 0)
+    assert(got.filter(!($"flatP" === $"hierP")).count() == 0)
+  }
+
   test("dot_q rejects non-long arrays at analysis time") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
