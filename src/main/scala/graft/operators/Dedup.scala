@@ -427,20 +427,38 @@ object Dedup {
     * the minhash signatures — map-side combine, one row per doc out), with
     * md5-derived hashes so the DuckDB oracle mirrors bit-for-bit.
     */
-  def simhashes(docs: DataFrame): DataFrame = {
+  def simhashes(docs: DataFrame): DataFrame = simhashes(docs, 16)
+
+  /** Width-parametric SimHash: signature bit j is the sign of the ±1 sum
+    * over bit j of each distinct shingle's 60-bit hash, for j < bits
+    * (bits ≤ 60 — the shingle hash is the bit source, so the hash width
+    * is the signature ceiling).
+    *
+    * Why widths matter at serve scale (measured, GateProbe r13): a 16-bit
+    * space holds 2¹⁶ signatures, and at maxDist ≤ 3 each signature has
+    * ~697 hamming neighbors — by ~5k stored docs EVERY novel document
+    * collides with something, and the tier stops discriminating. The
+    * reference's 16-bit shape (image near-dup over small galleries) is a
+    * small-corpus tool; a corpus-scale serve tier needs the 60-bit form,
+    * where the same neighbor ball covers 2⁻⁴⁴ of the space. Same
+    * aggregate shape at any width: explode + `bits` conditional sums,
+    * map-side combined, one row per doc out.
+    */
+  def simhashes(docs: DataFrame, bits: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    require(bits >= 1 && bits <= 60, s"simhash width must be in [1, 60], got $bits")
     // The shared index IS the bit source: its keys are hash60 of the
     // shingle text, exactly what the oracle computes from the strings.
     val sh = shingleRows(docs)
     val h = $"s64"
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$j")
     }
     sh.groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id",
-        (0 until 16).map(j =>
+        (0 until bits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -544,9 +562,9 @@ object Dedup {
     * DuckDB oracle like q47.
     */
   def simhashNearDupsFromState(state: DataFrame, batchDocs: DataFrame,
-      maxDist: Int): DataFrame =
-    hammingNearPairsAgainst(state, simhashes(batchDocs),
-      "doc_id", "simhash", 16, maxDist)
+      maxDist: Int, bits: Int = 16): DataFrame =
+    hammingNearPairsAgainst(state, simhashes(batchDocs, bits),
+      "doc_id", "simhash", bits, maxDist)
       .select(col("id").as("doc_id"), col("dup_of"), col("hamming"))
 
   /** Diagnostic: banded-candidate count for the default LSH config. */
@@ -797,6 +815,24 @@ object Dedup {
       simhashNearDupsFromState(simhashes(docs),
         docs.filter($"doc_id" < 20), 1)
     }),
+    // Corpus-scale signature width (see [[simhashes]] scale note): the
+    // same pigeonhole pair join at 60 bits / maxDist 5 — six 10-bit
+    // chunks, so the join keys stay selective while the neighbor ball
+    // shrinks from 2⁻⁶·⁴ of the space (16-bit) to 2⁻³⁸ (60-bit).
+    "q101_simhash_wide_pairs" -> ((s, d) =>
+      hammingNearPairs(simhashes(Tables.load(s, d).documents, 60),
+        "doc_id", "simhash", 60, 5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("hamming"))),
+    "q102_simhash_wide_serve" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d).documents
+      // Wider batch than q96 (200 vs 20): the 60-bit space is selective
+      // enough that a 20-doc batch yields ~1 stored near-twin — the
+      // larger batch keeps the compare substantive at verify scale.
+      simhashNearDupsFromState(simhashes(docs, 60),
+        docs.filter($"doc_id" < 200), 5, bits = 60)
+    }),
     "q64_decontaminate" -> ((s, d) =>
       decontaminate(Tables.load(s, d).documents, "src0", 5)),
     "q67_neardup_clusters" -> ((s, d) =>
@@ -892,12 +928,14 @@ object Dedup {
   /** Shared CTE chain ending in sig(doc_id, simhash), mirroring
     * [[simhashes]] (shingle features, md5-derived bit hashes).
     */
-  private val simhashCte: String = {
+  private val simhashCte: String = simhashCteAt(16)
+
+  private def simhashCteAt(width: Int): String = {
     val h = hash60Sql("s")
-    val bitSums = (0 until 16).map { j =>
+    val bitSums = (0 until width).map { j =>
       s"SUM(CASE WHEN (($h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(", ")
-    val bits = (0 until 16).map(j =>
+    val bits = (0 until width).map(j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text,' ')) AS w,
@@ -968,6 +1006,20 @@ object Dedup {
          |FROM sig b JOIN sig a ON a.doc_id <> b.doc_id
          |WHERE b.doc_id < 20
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin,
+    // Same brute-force-oracle arguments as q47/q96 at the 60-bit width.
+    "q101_simhash_wide_pairs" ->
+      s"""WITH ${simhashCteAt(60)}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
+    "q102_simhash_wide_serve" ->
+      s"""WITH ${simhashCteAt(60)}
+         |SELECT b.doc_id, a.doc_id AS dup_of,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig b JOIN sig a ON a.doc_id <> b.doc_id
+         |WHERE b.doc_id < 200
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     // The LSH path is exact-verified; at 16×4 bands the candidate recall at
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),

@@ -37,23 +37,31 @@ object IngestGate {
     * [[Dedup.simhashes]], [[Similarity.ivfIndex]]).
     */
   final case class GateState(fps: DataFrame, sims: DataFrame,
-      cents: DataFrame, assigned: DataFrame)
+      cents: DataFrame, assigned: DataFrame, simhashBits: Int = 16)
 
   /** Build all three state tables from a document corpus and its
     * embeddings (embeddings keyed by the SAME ids as doc_id). Each
     * piece is exactly what the stage's standalone serve operator
     * expects, so state persisted by this builder interoperates with
     * q77/q95/q96-style per-family flows.
+    *
+    * `simhashBits` sizes the SimHash tier's signature space and rides
+    * in the state so gate/admit always sign at the stored width. The
+    * 16-bit default matches the reference's shape and the q96 oracle,
+    * but saturates at ~5k stored docs (GateProbe: every novel doc has a
+    * hamming≤3 neighbor once ~700·n approaches 2¹⁶) — corpus-scale
+    * deployments should build at 60 (the q101/q102 width), where the
+    * same neighbor ball covers 2⁻³⁸ of the space.
     */
   def buildState(docs: DataFrame, embeddings: DataFrame,
-      nlist: Int = 16): GateState = {
+      nlist: Int = 16, simhashBits: Int = 16): GateState = {
     import docs.sparkSession.implicits._
     val fps = docs
       .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
-    val sims = Dedup.simhashes(docs)
+    val sims = Dedup.simhashes(docs, simhashBits)
     val (cents, assigned) = Similarity.ivfIndex(embeddings, nlist = nlist)
-    GateState(fps, sims, cents, assigned)
+    GateState(fps, sims, cents, assigned, simhashBits)
   }
 
   /** Run one batch through the cascade. `batchEmb` carries (vec_id,
@@ -92,7 +100,8 @@ object IngestGate {
     // Stage 2 — SimHash: survivors signed batch-locally (a signature
     // depends only on its own text) and probed via the q96 serve path.
     val simHits = hits(
-      Dedup.simhashNearDupsFromState(state.sims, s1, maxDist)
+      Dedup.simhashNearDupsFromState(state.sims, s1, maxDist,
+          state.simhashBits)
         .select($"doc_id", $"dup_of"), "simhash")
     val s2 = s1.join(broadcast(simHits.select($"doc_id")),
       Seq("doc_id"), "left_anti")
@@ -149,7 +158,8 @@ object IngestGate {
     val newFps = state.fps.unionByName(
       sDocs.select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id")
         .groupBy($"fp").agg(min($"doc_id").as("keep_id")))
-    val newSims = state.sims.unionByName(Dedup.simhashes(sDocs))
+    val newSims = state.sims.unionByName(
+      Dedup.simhashes(sDocs, state.simhashBits))
     val sEmb = batchEmb.join(
       broadcast(survivors.select($"doc_id".as("vec_id"))), Seq("vec_id"))
     val newAssigned = state.assigned.unionByName(

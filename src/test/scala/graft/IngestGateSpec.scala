@@ -241,9 +241,9 @@ class IngestGateSpec extends SparkSpec {
           // keeps the micro-batch lineage from stacking (the flow
           // lesson) while preserving the same per-batch semantics.
           val adm = IngestGate.admit(state, d, bd, be)
-          state = IngestGate.GateState(
-            adm.fps.localCheckpoint(), adm.sims.localCheckpoint(),
-            adm.cents, adm.assigned.localCheckpoint())
+          state = adm.copy(fps = adm.fps.localCheckpoint(),
+            sims = adm.sims.localCheckpoint(),
+            assigned = adm.assigned.localCheckpoint())
         }
     }
     q.awaitTermination()
@@ -251,5 +251,68 @@ class IngestGateSpec extends SparkSpec {
     assert(decisions(301L) == "exact", s"batch2: $decisions")
     Dedup.releaseIndexes()
     Similarity.releaseIndexes()
+  }
+
+  test("wide gate: 60-bit state catches the near-edit with a width-scaled maxDist") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val state = IngestGate.buildState(docs, embs, nlist = 4, simhashBits = 60)
+    // Hamming scales ~linearly with signature width (each bit is an
+    // independent sign over the same feature diff): the one-word edit
+    // measures 3/16 bits at the narrow width and 9/60 here, so the
+    // equivalent wide threshold is maxDist ≈ bits · 3/16 — 11 at 60.
+    val batchDocs = Seq(
+      (100L, stateText(5)),
+      (101L, stateText(7).replace("ripe", "rotten")),
+      (103L, "unrelated treatise on the migration patterns of arctic " +
+        "terns across hemispheres every single year")
+    ).toDF("doc_id", "text")
+    val batchEmb = Seq(
+      (100L, stateEmb(5)), (101L, stateEmb(7)), (103L, stateEmb(103))
+    ).toDF("vec_id", "embedding")
+    val out = IngestGate.gate(state, batchDocs, batchEmb,
+        maxDist = 11, minCos = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(100L) == (("exact", 5L)), s"d100: ${out(100L)}")
+    assert(out(101L) == (("simhash", 7L)), s"d101: ${out(101L)}")
+    assert(out(103L) == (("pass", -1L)), s"d103: ${out(103L)}")
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
+  test("wide signatures de-saturate the simhash tier at corpus scale") {
+    import spark.implicits._
+    // 2000 stored docs vs 5 genuinely novel batch docs. At 16 bits the
+    // space holds 2^16 signatures and maxDist<=3 covers ~697 neighbors,
+    // so each novel doc expects ~2000*697/65536 ≈ 21 collisions — the
+    // tier misfires on NOVEL text (the GateProbe saturation, reproduced
+    // at deterministic unit scale). At 60 bits the same ball covers
+    // 2^-38 of the space (even the width-scaled maxDist=11 ball covers
+    // ~2^-24) and the expected false-hit count is ~1e-7.
+    val words = Array("alpha", "bravo", "cedar", "delta", "ember",
+      "fjord", "grove", "haven", "islet", "joule", "krill", "lumen",
+      "maple", "noble", "ochre", "pearl", "quartz", "raven", "sable",
+      "tulip", "umber", "vapor", "walnut", "xenon", "yucca", "zephyr")
+    def salad(seed: Int, n: Int): String =
+      Array.tabulate(n)(k => words(
+        math.abs(scala.util.hashing.MurmurHash3.productHash((seed, k)))
+          % words.length)).mkString(" ")
+    val docs = (0 until 2000).map(i => (i.toLong, salad(i, 30)))
+      .toDF("doc_id", "text")
+    val batch = (0 until 5).map(i => (9000L + i, salad(100000 + i, 30)))
+      .toDF("doc_id", "text")
+    val narrowHits = Dedup.simhashNearDupsFromState(
+        Dedup.simhashes(docs), batch, 3)
+      .select($"doc_id").distinct().count()
+    val wideHits = Dedup.simhashNearDupsFromState(
+        Dedup.simhashes(docs, 60), batch, 11, bits = 60)
+      .select($"doc_id").distinct().count()
+    assert(narrowHits > 0, "16-bit tier saturates: novel docs collide")
+    assert(wideHits == 0, s"60-bit tier discriminates, got $wideHits hits")
+    Dedup.releaseIndexes()
   }
 }

@@ -258,6 +258,35 @@ class TextDedupSpec extends SparkSpec {
     assert(roundTrip == served)
   }
 
+  test("wide simhash: 60-bit pairs ordered and thresholded, serve equals self-join") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = tables.documents
+    val sigs = Dedup.simhashes(docs, 60)
+    assert(sigs.collect().forall { r =>
+      val s = r.getLong(1); s >= 0 && s < (1L << 60)
+    })
+    // The wide space must be at least as discriminative as the 16-bit
+    // one on the same corpus (it can only split 16-bit collisions).
+    val n16 = Dedup.simhashes(docs).select("simhash").distinct().count()
+    val n60 = sigs.select("simhash").distinct().count()
+    assert(n60 >= n16)
+    val pairs = Dedup.hammingNearPairs(sigs, "doc_id", "simhash", 60, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "planted near-dups within hamming 5 at 60 bits")
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 5 })
+    // Serve against the full-state signatures must equal the self-join
+    // restricted to batch-involving pairs, re-ordered batch-first —
+    // the same invariant as the 16-bit serve test, at the wide width.
+    val batch = docs.filter($"doc_id" < 200)
+    val served = Dedup.simhashNearDupsFromState(sigs, batch, 5, bits = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = pairs.flatMap { case (a, b, h) =>
+      Seq((a, b, h), (b, a, h))
+    }.filter(_._1 < 200).toSet
+    assert(served == expected)
+  }
+
   test("MinhashBands equals the aggregate minhash formulation bit-for-bit") {
     // The persisted-state contract: LSH state written by the pre-r10
     // 64-aggregate formulation must interoperate with signatures computed
