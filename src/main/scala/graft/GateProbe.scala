@@ -114,6 +114,28 @@ object GateProbe {
     println(s"GATEPROBE-ADMIT dir=$sfDir admit_s=${s3(admitS)} " +
       s"serve2_s=${s3(serve2S)} stages2=${byStage2.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:$v" }.mkString(",")}")
+
+    // The wide-signature leg: the SAME batch against a 60-bit SimHash
+    // state at the width-scaled edit threshold (maxDist = 11 ≈ 60·3/16)
+    // — the de-saturated form of the maxDist=3 run the 16-bit space
+    // cannot support at this corpus size. Expected shape: the odd
+    // (one-token-edited) docs land at the simhash tier instead of
+    // falling through to the embedding probe, and the novel docs STILL
+    // pass — near-edit sensitivity at corpus scale without saturation.
+    val t4 = System.nanoTime()
+    val wideSims = operators.Dedup.simhashes(t.documents, 60)
+      .localCheckpoint()
+    val wideBuildS = (System.nanoTime() - t4) / 1e9
+    val wideState = state.copy(sims = wideSims, simhashBits = 60)
+    val t5 = System.nanoTime()
+    val dw = operators.IngestGate.gate(wideState, batchDocs, batchEmb,
+      maxDist = 11)
+    val byStageW = dw.groupBy($"stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val serveWS = (System.nanoTime() - t5) / 1e9
+    println(s"GATEPROBE-WIDE dir=$sfDir sim_build_s=${s3(wideBuildS)} " +
+      s"serve_s=${s3(serveWS)} stages=${byStageW.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")}")
     spark.stop()
   }
 }
