@@ -277,11 +277,12 @@ object Reporting {
     // holds n < approxAccuracy rows, so the sketch's rank-error budget
     // n/approxAccuracy is < 1: compression can never drop a sample that
     // moves any rank, and the query is forced to return the element at
-    // exactly rank ceil(p*n) — the same element the exact forms select
-    // (verified empirically across both SFs and every group in QDebug).
-    // The exact SQL is therefore a true oracle here; the sketch's
-    // bounded-error behavior past the exact regime is asserted in
-    // ReportingSpec at sf0.1.
+    // exactly rank ceil(p*n) — the same element the exact forms select.
+    // The exact SQL is therefore a true oracle AT THE sf0.01 GATE ONLY:
+    // at sf0.1 orders groups hold ~30k rows, the budget is ~3 ranks,
+    // and the sketch legitimately returns a value a few ranks off the
+    // exact median (measured ~0.01% of its magnitude) — the bounded
+    // error ReportingSpec asserts at sf0.1, not a mismatch bug.
     "q71_median_price_approx" -> ((s, d) =>
       medianPriceApprox(Tables.load(s, d).orders)),
     "q72_length_outliers_approx" -> ((s, d) =>
