@@ -164,6 +164,6 @@ object IngestGate {
       broadcast(survivors.select($"doc_id".as("vec_id"))), Seq("vec_id"))
     val newAssigned = state.assigned.unionByName(
       Similarity.ivfAssign(state.cents, sEmb))
-    GateState(newFps, newSims, state.cents, newAssigned)
+    state.copy(fps = newFps, sims = newSims, assigned = newAssigned)
   }
 }

@@ -215,10 +215,13 @@ object Similarity {
     * count() against the (registry-cached) quantized corpus prices it.
     */
   private def cappedTrainFrac(e: DataFrame, k: Int, trainFrac: Double,
-      ppc: Int): Double = {
+      ppc: Int, knownCount: Option[Long] = None): Double = {
     if (ppc <= 0) return trainFrac
     val budget = ppc.toLong * math.max(1, k)
-    val n = e.count()
+    // Callers that already hold the row count on the driver (the guard's
+    // census sums, for one) pass it — pricing the cap must not launch a
+    // count job to learn a number the caller just computed.
+    val n = knownCount.getOrElse(e.count())
     if (n <= budget) trainFrac
     else math.min(trainFrac, budget.toDouble / n.toDouble)
   }
@@ -237,10 +240,11 @@ object Similarity {
     */
   private def trainCentroidsSampled(e: DataFrame, nlist: Int, iters: Int,
       trainFrac: Double,
-      ppc: Int = trainPointsPerCentroid): Seq[(Long, Array[Long])] = {
+      ppc: Int = trainPointsPerCentroid,
+      knownN: Option[Long] = None): Seq[(Long, Array[Long])] = {
     require(trainFrac > 0.0 && trainFrac <= 1.0,
       s"trainFrac must be in (0, 1], got $trainFrac")
-    val f = cappedTrainFrac(e, nlist, trainFrac, ppc)
+    val f = cappedTrainFrac(e, nlist, trainFrac, ppc, knownN)
     if (f >= 1.0) return trainIvfCentroids(e, nlist, iters)
     val sample = e.filter(
       detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
@@ -363,21 +367,30 @@ object Similarity {
 
   /** Deterministic driver-side Lloyd over the COARSE CENTROIDS
     * themselves (nlist items — no Spark job): strided init in cid
-    * order, integer-truncated means, ties to the earlier group, empty
-    * groups keep their centroid. Returns (group centroids, per-group
-    * (cid, vec) member lists from a final assignment against the final
-    * group centroids — every cid in exactly one list). Memoized on the
-    * centroid Seq: assignExpr/probeExpr re-derive the grouping per call
-    * (training calls once per Lloyd round), and at 31k lists one
-    * driver Lloyd is ~2G int ops — paid once, not per plan.
+    * order, integer-truncated means, ties to the earlier group; empty
+    * groups keep their stale centroid during iteration and are DROPPED
+    * from the returned grouping (a probed empty group would scan zero
+    * members). Returns (group centroids, per-group (cid, vec) member
+    * lists from a final assignment against the final group centroids —
+    * every cid in exactly one list). Memoized structurally:
+    * assignExpr/probeExpr re-derive the grouping per call (training
+    * calls once per Lloyd round), and at 31k lists one driver Lloyd is
+    * ~2G int ops — paid once, not per plan.
     */
   @transient private val groupMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Seq[(Long, Array[Long])],
-      Int), (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]])]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Seq[(Long, Seq[Long])]),
+      (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]])]()
 
   private def groupCentroids(cs: Seq[(Long, Array[Long])], ngroups: Int,
       iters: Int = 5): (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]]) = {
-    val memoKey = (cs, ngroups)
+    // Structural key: Array[Long] compares by REFERENCE inside tuples,
+    // so a key holding the raw arrays can never hit for centroids
+    // re-collected from a DataFrame (per-batch serving would re-run the
+    // ~2G-op driver Lloyd on every call and leak a dead entry each
+    // time). Converting to Seq costs O(nlist·dims) — microseconds
+    // against the Lloyd it memoizes — and equality is structural.
+    val memoKey = (ngroups,
+      cs.map { case (cid, v) => (cid, v.toSeq) })
     val hit = groupMemo.get(memoKey)
     if (hit != null) return hit
     if (groupMemo.size > 64) groupMemo.clear()
@@ -428,7 +441,13 @@ object Similarity {
     val members = Array.fill(ngroups)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])])
     sorted.indices.foreach(i => members(finalAsg(i)) += sorted(i))
-    (gc.toSeq, members.map(_.toSeq).toSeq)
+    // Drop empty groups (Lloyd keeps a stale centroid for them): a row
+    // whose gProbes nearest group centroids were ALL empty would scan
+    // zero members and emit a bogus Long.MaxValue list_id. No member is
+    // lost — exactness at full probes is unchanged — and both hier
+    // expressions then only ever descend into populated groups.
+    val keep = (0 until ngroups).filter(g => members(g).nonEmpty)
+    (keep.map(g => gc(g)).toSeq, keep.map(g => members(g).toSeq).toSeq)
   }
 
   /** The serving half: each query probes its nprobe nearest centroid
@@ -1442,10 +1461,15 @@ object Similarity {
       .toDF("cid", "cv")
     if (cents.isEmpty) {
       val bookDf = Seq.empty[(Int, Long, Seq[Long])].toDF("s", "cid", "cv")
+      // Placeholder book vectors must be SUBSPACE-LENGTH (here m=1, so
+      // dims): the cross-term table is built eagerly on the driver and
+      // indexes book vectors positionally — a 1-element stub would
+      // throw before the filter(false) ever masks the rows.
       return (centDf, bookDf,
         residualCodesFrom(
           e.withColumn("list_id", lit(0L)).withColumn("rv", $"v"),
-          Seq((0L, Array.fill(dims)(0L))), Seq(Seq((0L, Array(0L)))),
+          Seq((0L, Array.fill(dims)(0L))),
+          Seq(Seq((0L, Array.fill(dims)(0L)))),
           dims).filter(lit(false)))
     }
     val eRes = registry.cache(residualAssign(e, cents, dims))
@@ -1455,11 +1479,14 @@ object Similarity {
       cs.map { case (cid, cv) => (s, cid, cv.toSeq) }
     }.toDF("s", "cid", "cv")
     val codes =
-      if (books.exists(_.isEmpty))
+      if (books.exists(_.isEmpty)) {
+        // Subspace-length placeholders — see the cents.isEmpty note.
+        val len = dims / math.max(1, books.size)
         residualCodesFrom(eRes, cents,
-          Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims)
+          Seq.fill(math.max(1, books.size))(
+            Seq((0L, Array.fill(len)(0L)))), dims)
           .filter(lit(false))
-      else residualCodesFrom(eRes, cents, books, dims)
+      } else residualCodesFrom(eRes, cents, books, dims)
     (centDf, bookDf, codes)
   }
 
@@ -1479,12 +1506,16 @@ object Similarity {
     val e = vectors
       .select($"vec_id", quantize($"embedding").as("v"))
       .withColumn("nsq", normSqQ($"v"))
-    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty))
+    if (cents.isEmpty || books.isEmpty || books.exists(_.isEmpty)) {
+      // Subspace-length placeholders — see the ivfPqResidualIndex note.
+      val len = dims / math.max(1, books.size)
       return residualCodesFrom(
         e.withColumn("list_id", lit(0L)).withColumn("rv", $"v"),
         Seq((0L, Array.fill(dims)(0L))),
-        Seq.fill(math.max(1, books.size))(Seq((0L, Array(0L)))), dims)
+        Seq.fill(math.max(1, books.size))(
+          Seq((0L, Array.fill(len)(0L)))), dims)
         .filter(lit(false))
+    }
     residualCodesFrom(residualAssign(e, cents, dims), cents, books, dims)
   }
 
@@ -1916,7 +1947,8 @@ object Similarity {
         // deployments can pin it for reproducibility. An empty sample
         // falls back to the full hot mass inside trainCentroidsSampled.
         val subCents = trainCentroidsSampled(hotDf, kSub, iters,
-          trainFrac, ppc = subTrainPpc)
+          trainFrac, ppc = subTrainPpc,
+          knownN = Some(hot.map(_._2).sum))
         mark(s"subtrain_r$round")
         if (subCents.isEmpty) round = 3
         else {

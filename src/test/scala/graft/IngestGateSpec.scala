@@ -280,6 +280,25 @@ class IngestGateSpec extends SparkSpec {
     assert(out(100L) == (("exact", 5L)), s"d100: ${out(100L)}")
     assert(out(101L) == (("simhash", 7L)), s"d101: ${out(101L)}")
     assert(out(103L) == (("pass", -1L)), s"d103: ${out(103L)}")
+    // admit must carry the width forward: a near-edit of the batch-1
+    // survivor (d103) arriving in batch 2 is only catchable if batch 2
+    // is signed at the STORED 60-bit width — a state that silently
+    // reverted to 16 bits would chunk 60-bit signatures as 16-bit ones
+    // and the tier would go blind.
+    val d1 = IngestGate.gate(state, batchDocs, batchEmb,
+      maxDist = 11, minCos = 0.9).localCheckpoint()
+    val admitted = IngestGate.admit(state, d1, batchDocs, batchEmb)
+    assert(admitted.simhashBits == 60)
+    val b2Docs = Seq((200L,
+      ("unrelated treatise on the migration patterns of arctic " +
+        "terns across hemispheres every single year")
+        .replace("arctic", "antarctic"))).toDF("doc_id", "text")
+    val b2Emb = Seq((200L, stateEmb(103))).toDF("vec_id", "embedding")
+    val out2 = IngestGate.gate(admitted, b2Docs, b2Emb,
+        maxDist = 11, minCos = 0.9).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out2(200L) == (("simhash", 103L)), s"d200: ${out2(200L)}")
     Dedup.releaseIndexes()
     Similarity.releaseIndexes()
   }

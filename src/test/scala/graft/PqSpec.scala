@@ -382,6 +382,23 @@ class PqSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("residual builders: empty corpus and empty codebooks return empty frames, no crash") {
+    import spark.implicits._
+    // The degenerate branches embed placeholder codebooks; the eager
+    // driver-side cross-term table indexes book vectors positionally,
+    // so the placeholders must be subspace-length — a regression here
+    // throws IndexOutOfBoundsException at BUILD time, before the
+    // filter(false) masks any row.
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val (c0, b0, k0) = Similarity.ivfPqResidualIndex(empty)
+    assert(c0.count() == 0 && b0.count() == 0 && k0.count() == 0)
+    // Add served against an empty stored index: same degenerate path.
+    val one = Seq((1L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val added = Similarity.ivfPqResidualAdd(c0, b0, one)
+    assert(added.count() == 0)
+    Similarity.releaseIndexes()
+  }
+
   test("annParams: pinned verify geometry, monotone in target, auto entry equals explicit geometry") {
     import spark.implicits._
     // The q99 oracle replays exactly this geometry — a drift here is a
