@@ -50,7 +50,7 @@ object Dedup {
     * CacheManager keys on the canonical plan, so sibling operators over
     * the same corpus share one copy ([[releaseIndexes]] frees them).
     */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  private[operators] def shingleRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sh = docs
       .select($"doc_id", split($"text", " ").as("toks"))

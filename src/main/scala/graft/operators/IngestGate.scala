@@ -81,7 +81,7 @@ object IngestGate {
     */
   def gate(state: GateState, batchDocs: DataFrame, batchEmb: DataFrame,
       maxDist: Int = 3, minCos: Double = 0.9,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4, minShingles: Int = 0): DataFrame = {
     import batchDocs.sparkSession.implicits._
     def hits(pairs: DataFrame, stage: String): DataFrame =
       pairs.groupBy($"doc_id").agg(min($"dup_of").as("dup_of"))
@@ -99,8 +99,24 @@ object IngestGate {
 
     // Stage 2 — SimHash: survivors signed batch-locally (a signature
     // depends only on its own text) and probed via the q96 serve path.
+    // minShingles > 0 routes very short survivors AROUND this tier:
+    // signature stability scales with feature count (each bit is the
+    // sign of a ±1 sum over the doc's shingles — at ~10 shingles the
+    // sums are shallow and the bits near-random), so a short novel doc
+    // can land within maxDist of stored signatures by chance and be
+    // falsely trimmed (measured: the 50k-doc GATEPROBE-WIDE false hit;
+    // catastrophically at 16 bits, where 50k stored docs collide at
+    // distance ZERO). Bypassed docs still face the exact tier before
+    // and the content-based embedding tier after — they lose only the
+    // unreliable signature check, never dedup coverage.
+    val simInput =
+      if (minShingles <= 0) s1
+      else s1.join(broadcast(
+        Dedup.shingleRows(s1).groupBy($"doc_id")
+          .agg(count(lit(1)).as("_n")).filter($"_n" >= minShingles)
+          .select($"doc_id")), Seq("doc_id"))
     val simHits = hits(
-      Dedup.simhashNearDupsFromState(state.sims, s1, maxDist,
+      Dedup.simhashNearDupsFromState(state.sims, simInput, maxDist,
           state.simhashBits)
         .select($"doc_id", $"dup_of"), "simhash")
     val s2 = s1.join(broadcast(simHits.select($"doc_id")),

@@ -334,4 +334,43 @@ class IngestGateSpec extends SparkSpec {
     assert(wideHits == 0, s"60-bit tier discriminates, got $wideHits hits")
     Dedup.releaseIndexes()
   }
+
+  test("minShingles routes short docs around the unreliable signature tier") {
+    import spark.implicits._
+    // The same 2000-doc saturated 16-bit state; the batch doc is SHORT
+    // (6 words -> 4 shingles), novel in text and embedding. Its shallow
+    // signature lands within maxDist=3 of the saturated state by chance
+    // (expected ~21 collisions) and the gate falsely trims it; with
+    // minShingles=5 it bypasses the signature tier, the embedding tier
+    // finds nothing, and the novel doc survives.
+    val words = Array("alpha", "bravo", "cedar", "delta", "ember",
+      "fjord", "grove", "haven", "islet", "joule", "krill", "lumen",
+      "maple", "noble", "ochre", "pearl", "quartz", "raven", "sable",
+      "tulip", "umber", "vapor", "walnut", "xenon", "yucca", "zephyr")
+    def salad(seed: Int, n: Int): String =
+      Array.tabulate(n)(k => words(
+        math.abs(scala.util.hashing.MurmurHash3.productHash((seed, k)))
+          % words.length)).mkString(" ")
+    def emb(id: Long): Seq[Float] = Array.tabulate(64)(j =>
+      (scala.util.hashing.MurmurHash3.productHash((id, j)) % 1000) / 1000f)
+      .toSeq
+    val docs = (0 until 2000).map(i => (i.toLong, salad(i, 30)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 2000).map(i => (i.toLong, emb(i.toLong)))
+      .toDF("vec_id", "embedding")
+    val state = IngestGate.buildState(docs, embs, nlist = 8)
+    val shortDoc = Seq((9000L, "shingle fragment too short to sign"))
+      .toDF("doc_id", "text")
+    val shortEmb = Seq((9000L, emb(9000L))).toDF("vec_id", "embedding")
+    val trimmed = IngestGate.gate(state, shortDoc, shortEmb, maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(trimmed(9000L) == "simhash",
+      s"expected the saturated tier to falsely trim the short doc: $trimmed")
+    val kept = IngestGate.gate(state, shortDoc, shortEmb, maxDist = 3,
+        minShingles = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(9000L) == "pass", s"short doc should bypass and pass: $kept")
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
 }
