@@ -58,6 +58,22 @@ class PropertySpec extends SparkSpec {
     assert(got.filter(!($"flatP" === $"hierP")).count() == 0)
   }
 
+  test("simhash widths are prefix-consistent: the low 16 bits of a 60-bit signature ARE the 16-bit signature") {
+    // Bit j is the sign of the same ±1 sum at every width, so widening
+    // only appends bits. Deployment consequence: persisted 60-bit state
+    // can serve a legacy 16-bit probe by masking — widths interoperate
+    // without re-signing the corpus.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = tables.documents
+    val s16 = Dedup.simhashes(docs, 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s60 = Dedup.simhashes(docs, 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s16.keySet == s60.keySet && s16.nonEmpty)
+    assert(s16.forall { case (id, s) => (s60(id) & 0xFFFFL) == s })
+  }
+
   test("dot_q rejects non-long arrays at analysis time") {
     import spark.implicits._
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
