@@ -39,9 +39,10 @@ object GateProbe {
     // Materialize the state exactly as a deployment would persist it:
     // localCheckpoint is the in-probe analog of the parquet round-trip
     // IngestGateSpec proves, and it keeps serve timing free of build work.
-    val state = operators.IngestGate.GateState(
-      state0.fps.localCheckpoint(), state0.sims.localCheckpoint(),
-      state0.cents.localCheckpoint(), state0.assigned.localCheckpoint())
+    val state = state0.copy(
+      fps = state0.fps.localCheckpoint(), sims = state0.sims.localCheckpoint(),
+      cents = state0.cents.localCheckpoint(),
+      assigned = state0.assigned.localCheckpoint())
     val buildS = (System.nanoTime() - t0) / 1e9
 
     // Incoming docs carry NEW ids (a re-crawl of known content arrives
@@ -94,9 +95,10 @@ object GateProbe {
     val dMat = decisions.localCheckpoint()
     val admitted0 = operators.IngestGate.admit(state, dMat,
       batchDocs, batchEmb)
-    val admitted = operators.IngestGate.GateState(
-      admitted0.fps.localCheckpoint(), admitted0.sims.localCheckpoint(),
-      admitted0.cents, admitted0.assigned.localCheckpoint())
+    val admitted = admitted0.copy(
+      fps = admitted0.fps.localCheckpoint(),
+      sims = admitted0.sims.localCheckpoint(),
+      assigned = admitted0.assigned.localCheckpoint())
     val admitS = (System.nanoTime() - t2) / 1e9
     // Batch 2 re-sends batch 1 under fresh ids: every doc that PASSED
     // batch 1 must now be caught (its survivor is in state), at the
