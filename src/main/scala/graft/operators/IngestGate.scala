@@ -182,4 +182,33 @@ object IngestGate {
       Similarity.ivfAssign(state.cents, sEmb))
     state.copy(fps = newFps, sims = newSims, assigned = newAssigned)
   }
+
+  /** Compact gate state grown by [[admit]] under at-least-once replay:
+    * every consumer is duplicate-tolerant (each tier aggregates hits by
+    * min), so replayed appends are never WRONG — but each replay is
+    * dead rows every subsequent serve scans. Compaction is the
+    * periodic maintenance a real deployment runs under the sink's
+    * batch-id gate, alongside the drift check
+    * ([[Similarity.ivfAssignCost]] → [[Similarity.ivfReindex]] when the
+    * centroids themselves have staled):
+    *
+    *  - fingerprints: min-merge per fp (the same reduction every gate
+    *    consumer applies on read — compaction just makes it durable);
+    *  - simhashes / assignment: one row per doc/vec id (signatures and
+    *    assignments are pure functions of the stored content and
+    *    centroids, so replayed rows are exact copies and any
+    *    representative is THE row).
+    *
+    * One shuffle per family, each keyed the way its serve side already
+    * blocks, and the result is byte-for-byte what a replay-free run
+    * would have produced — gate decisions are identical before and
+    * after (the spec drives both).
+    */
+  def compact(state: GateState): GateState = {
+    import state.fps.sparkSession.implicits._
+    state.copy(
+      fps = state.fps.groupBy($"fp").agg(min($"keep_id").as("keep_id")),
+      sims = state.sims.dropDuplicates("doc_id"),
+      assigned = state.assigned.dropDuplicates("vec_id"))
+  }
 }

@@ -253,6 +253,48 @@ class IngestGateSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("compact: an at-least-once replayed admit collapses to the replay-free state, decisions unchanged") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val state0 = IngestGate.buildState(docs, embs, nlist = 4)
+    val batch = Seq(
+      (300L, "unrelated treatise on the migration patterns of arctic " +
+        "terns across hemispheres every single year")
+    ).toDF("doc_id", "text")
+    val bEmb = Seq((300L, stateEmb(300))).toDF("vec_id", "embedding")
+    val d = IngestGate.gate(state0, batch, bEmb).localCheckpoint()
+    // The replay: the same (decisions, batch) admitted twice — the
+    // at-least-once failure mode a checkpointed sink can produce.
+    val once = IngestGate.admit(state0, d, batch, bEmb)
+    val twice = IngestGate.admit(once, d, batch, bEmb)
+    assert(twice.sims.count() == once.sims.count() + 1)
+    assert(twice.assigned.count() == once.assigned.count() + 1)
+    val compacted = IngestGate.compact(twice)
+    // Byte-for-byte the replay-free state, per family.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(compacted.fps) == rows(once.fps))
+    assert(rows(compacted.sims) == rows(once.sims))
+    assert(rows(compacted.assigned) == rows(once.assigned))
+    assert(compacted.simhashBits == twice.simhashBits)
+    // And the gate behaves identically on the bloated and compacted
+    // states: a verbatim copy of the admitted doc is caught either way.
+    val b2 = Seq((301L, ("unrelated treatise on the migration patterns " +
+      "of arctic terns across hemispheres every single year")))
+      .toDF("doc_id", "text")
+    val b2e = Seq((301L, stateEmb(300))).toDF("vec_id", "embedding")
+    def decide(st: IngestGate.GateState) =
+      IngestGate.gate(st, b2, b2e).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decide(twice) == decide(compacted))
+    assert(decide(compacted)(301L) == "exact")
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
   test("wide gate: 60-bit state catches the near-edit with a width-scaled maxDist") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
