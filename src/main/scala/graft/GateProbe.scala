@@ -138,6 +138,23 @@ object GateProbe {
     println(s"GATEPROBE-WIDE dir=$sfDir sim_build_s=${s3(wideBuildS)} " +
       s"serve_s=${s3(serveWS)} stages=${byStageW.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:$v" }.mkString(",")}")
+
+    // The short-doc guard on top of the wide tier: the probe's novel
+    // docs carry ~10 shingles (12 words), exactly the shallow-signature
+    // regime where the 50k run measured a chance false hit at
+    // maxDist=11. minShingles=11 routes them around the signature
+    // probe; the edited corpus docs are long and still die at the
+    // SimHash tier. Expected: pass == all novel docs, simhash == all
+    // edits, embedding zero rows.
+    val t6 = System.nanoTime()
+    val dm = operators.IngestGate.gate(wideState, batchDocs, batchEmb,
+      maxDist = 11, minShingles = 11)
+    val byStageM = dm.groupBy($"stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val serveMS = (System.nanoTime() - t6) / 1e9
+    println(s"GATEPROBE-WIDE-MINSH dir=$sfDir serve_s=${s3(serveMS)} " +
+      s"stages=${byStageM.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")}")
     spark.stop()
   }
 }
