@@ -8,12 +8,24 @@ import org.apache.spark.sql.functions._
   * signatures, IVF index) over the corpus at SPARK_GRAFT_SF_DIR, then
   * gates a 50-doc batch constructed to exercise every tier: 25 verbatim
   * corpus docs (exact hits), 25 with one appended token (fingerprint
-  * broken; SimHash distance stays small, and the unchanged embedding is
-  * an exact cosine hit for whatever SimHash misses). Build and serve are
+  * broken; the SimHash tier catches the edit at the default 60-bit
+  * width), plus 25 novel docs (short — the minShingles floor routes
+  * them around the signature tier and they pass). Build and serve are
   * timed separately — the claim under test is the q77/q95/q96 one
   * composed: build is corpus-linear, SERVE is corpus-size-insensitive.
   *
+  * Since r14 the DEFAULT leg runs the width-derived policy (60-bit
+  * state, maxDist 11, minShingles 11 — IngestGate.simhashParams); the
+  * 16-bit reference-parity leg is kept explicitly, at the maxDist=0
+  * floor that width's saturation forces at corpus scale.
+  *
   *   SPARK_GRAFT_SF_DIR=bench/sf1 tools/run.sh graft.GateProbe
+  *
+  * SPARK_GRAFT_GATE_SOAK=<n> appends the longevity leg: n consecutive
+  * micro-batches of gate→admit (replayed every 5th) →compact (every
+  * 5th) →drift-check, with the whole state round-tripping through
+  * parquet between batches and one mid-soak ivfReindex — the
+  * IngestGateSpec soak at corpus scale, timed.
   */
 object GateProbe {
   def main(args: Array[String]): Unit = {
@@ -71,20 +83,20 @@ object GateProbe {
       .unionByName(novelEmb)
       .localCheckpoint()
 
-    // maxDist=0 for the probe: the reference-shaped 16-bit SimHash space
-    // saturates at this corpus size (5k signatures × ~700 neighbors at
-    // dist≤3 covers 2^16 many times over, so EVERY novel doc collides at
-    // the default maxDist=3) — at distance 0 a novel doc passes ~92% of
-    // the time and the admit leg has survivors to append.
+    // DEFAULT leg: the width-derived policy end-to-end — 60-bit state,
+    // maxDist/minShingles resolved from the stored width, no per-call
+    // arguments. Expected shape: exact=25 (verbatim), simhash=25 (the
+    // one-token edits), pass=25 (novel docs — short, routed around the
+    // signature tier by the shingle floor, and embedding-novel).
     val t1 = System.nanoTime()
-    val decisions = operators.IngestGate.gate(state, batchDocs, batchEmb,
-      maxDist = 0)
+    val decisions = operators.IngestGate.gate(state, batchDocs, batchEmb)
     val byStage = decisions.groupBy($"stage").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val serveS = (System.nanoTime() - t1) / 1e9
 
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     println(s"GATEPROBE dir=$sfDir build_s=${s3(buildS)} serve_s=${s3(serveS)} " +
+      s"bits=${state.simhashBits} " +
       s"stages=${byStage.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")}")
 
     // The closed loop: admit batch-1 survivors, then gate a SECOND batch
@@ -102,14 +114,13 @@ object GateProbe {
     val admitS = (System.nanoTime() - t2) / 1e9
     // Batch 2 re-sends batch 1 under fresh ids: every doc that PASSED
     // batch 1 must now be caught (its survivor is in state), at the
-    // exact tier for the even (verbatim) docs.
+    // exact tier for the verbatim re-sends.
     val b2Docs = batchDocs.select(($"doc_id" + 1000000L).as("doc_id"),
       $"text").localCheckpoint()
     val b2Emb = batchEmb.select(($"vec_id" + 1000000L).as("vec_id"),
       $"embedding").localCheckpoint()
     val t3 = System.nanoTime()
-    val d2 = operators.IngestGate.gate(admitted, b2Docs, b2Emb,
-      maxDist = 0)
+    val d2 = operators.IngestGate.gate(admitted, b2Docs, b2Emb)
     val byStage2 = d2.groupBy($"stage").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val serve2S = (System.nanoTime() - t3) / 1e9
@@ -117,44 +128,85 @@ object GateProbe {
       s"serve2_s=${s3(serve2S)} stages2=${byStage2.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:$v" }.mkString(",")}")
 
-    // The wide-signature leg: the SAME batch against a 60-bit SimHash
-    // state at the width-scaled edit threshold (maxDist = 11 ≈ 60·3/16)
-    // — the de-saturated form of the maxDist=3 run the 16-bit space
-    // cannot support at this corpus size. Expected shape: the odd
-    // (one-token-edited) docs land at the simhash tier instead of
-    // falling through to the embedding probe, and the novel docs STILL
-    // pass — near-edit sensitivity at corpus scale without saturation.
+    // Reference-parity 16-bit leg (opt-in width): the saturated space —
+    // at this corpus size every novel doc has a ≤3-bit neighbor, so the
+    // probe runs at the maxDist=0 floor, where a novel doc still passes
+    // only ~92% of the time. Kept as the measured record of WHY the
+    // default moved to 60.
     val t4 = System.nanoTime()
-    val wideSims = operators.Dedup.simhashes(t.documents, 60)
+    val narrowSims = operators.Dedup.simhashes(t.documents, 16)
       .localCheckpoint()
-    val wideBuildS = (System.nanoTime() - t4) / 1e9
-    val wideState = state.copy(sims = wideSims, simhashBits = 60)
+    val narrowBuildS = (System.nanoTime() - t4) / 1e9
+    val narrowState = state.copy(sims = narrowSims, simhashBits = 16)
     val t5 = System.nanoTime()
-    val dw = operators.IngestGate.gate(wideState, batchDocs, batchEmb,
-      maxDist = 11)
-    val byStageW = dw.groupBy($"stage").count().collect()
+    val dn = operators.IngestGate.gate(narrowState, batchDocs, batchEmb,
+      maxDist = 0)
+    val byStageN = dn.groupBy($"stage").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val serveWS = (System.nanoTime() - t5) / 1e9
-    println(s"GATEPROBE-WIDE dir=$sfDir sim_build_s=${s3(wideBuildS)} " +
-      s"serve_s=${s3(serveWS)} stages=${byStageW.toSeq.sortBy(_._1)
+    val serveNS = (System.nanoTime() - t5) / 1e9
+    println(s"GATEPROBE-NARROW16 dir=$sfDir sim_build_s=${s3(narrowBuildS)} " +
+      s"serve_s=${s3(serveNS)} stages=${byStageN.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k:$v" }.mkString(",")}")
 
-    // The short-doc guard on top of the wide tier: the probe's novel
-    // docs carry ~10 shingles (12 words), exactly the shallow-signature
-    // regime where the 50k run measured a chance false hit at
-    // maxDist=11. minShingles=11 routes them around the signature
-    // probe; the edited corpus docs are long and still die at the
-    // SimHash tier. Expected: pass == all novel docs, simhash == all
-    // edits, embedding zero rows.
-    val t6 = System.nanoTime()
-    val dm = operators.IngestGate.gate(wideState, batchDocs, batchEmb,
-      maxDist = 11, minShingles = 11)
-    val byStageM = dm.groupBy($"stage").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val serveMS = (System.nanoTime() - t6) / 1e9
-    println(s"GATEPROBE-WIDE-MINSH dir=$sfDir serve_s=${s3(serveMS)} " +
-      s"stages=${byStageM.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k:$v" }.mkString(",")}")
+    // Longevity soak: n batches of the full maintenance loop with
+    // parquet state between every batch (IngestGateSpec's soak, timed
+    // at corpus scale). Batch k: 20 novel docs + 20 dups of batch
+    // k-1's survivors. Reported: total wall, per-batch mean, first/last
+    // serve to show corpus-size insensitivity as state grows.
+    sys.env.get("SPARK_GRAFT_GATE_SOAK").map(_.toInt).foreach { nBatches =>
+      val root = java.nio.file.Files.createTempDirectory("gatesoak").toString
+      var st = state
+      var firstServe = 0.0; var lastServe = 0.0
+      val tS = System.nanoTime()
+      def soakEmb(id: Long) =
+        Array.tabulate(64)(j => novelComp(id, j)).toSeq
+      var prevIds: Seq[Long] = (0 until 20).map(_.toLong) // corpus targets
+      var prevTexts: Map[Long, String] = t.documents
+        .filter($"doc_id" < 20).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      for (k <- 1 to nBatches) {
+        val base = 3000000L + 100L * k
+        val novelK = (0 until 20).map { i =>
+          (base + i, s"soak document ${base + i} cycle $k treating the " +
+            s"long subject ${i * 37 + k} with synthetic narrative prose " +
+            s"carrying token${i * 13} and token${i * 29} through passage " +
+            s"${k * 7 + i}")
+        }
+        val dupK = prevIds.zipWithIndex.map { case (pid, i) =>
+          (base + 50 + i, prevTexts(pid))
+        }
+        val bd = (novelK ++ dupK).toDF("doc_id", "text").localCheckpoint()
+        val be = (novelK.map(_._1) ++ dupK.map(_._1)).zipWithIndex.map {
+          case (id, i) =>
+            if (i < 20) (id, soakEmb(id))
+            else (id, soakEmb(prevIds(i - 20)))
+        }.toDF("vec_id", "embedding").localCheckpoint()
+        val tG = System.nanoTime()
+        val d = operators.IngestGate.gate(st, bd, be).localCheckpoint()
+        d.count()
+        val serve = (System.nanoTime() - tG) / 1e9
+        if (k == 1) firstServe = serve
+        if (k == nBatches) lastServe = serve
+        var st2 = operators.IngestGate.admit(st, d, bd, be)
+        if (k % 5 == 3) st2 = operators.IngestGate.admit(st2, d, bd, be)
+        if (k % 5 == 0) st2 = operators.IngestGate.compact(st2)
+        if (k == nBatches / 2) {
+          val (c2, a2) = operators.Similarity.ivfReindex(st2.assigned)
+          st2 = st2.copy(cents = c2, assigned = a2)
+        }
+        operators.Similarity.ivfAssignCost(st2.cents, st2.assigned)
+        operators.IngestGate.saveState(st2, s"$root/b$k")
+        st = operators.IngestGate.loadState(spark, s"$root/b$k")
+        prevIds = novelK.map(_._1)
+        prevTexts = novelK.toMap
+      }
+      val totalS = (System.nanoTime() - tS) / 1e9
+      val simsN = st.sims.count(); val asgN = st.assigned.count()
+      println(s"GATEPROBE-SOAK dir=$sfDir batches=$nBatches " +
+        s"total_s=${s3(totalS)} per_batch_s=${s3(totalS / nBatches)} " +
+        s"first_serve_s=${s3(firstServe)} last_serve_s=${s3(lastServe)} " +
+        s"sims_rows=$simsN assigned_rows=$asgN")
+    }
     spark.stop()
   }
 }

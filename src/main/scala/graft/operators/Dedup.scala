@@ -464,16 +464,29 @@ object Dedup {
   }
 
   /** Hamming-adjacent SimHash pairs (near-dup at the signature level):
-    * all doc pairs whose 16-bit simhashes differ in ≤ maxDist bits.
+    * all doc pairs whose simhashes differ in ≤ maxDist bits, at the
+    * 16-bit reference-parity width (q28/q47's shape).
     *
-    * Exact without an O(n²) self-join: split the signature into
-    * (maxDist+1) chunks — by pigeonhole, any pair within maxDist shares at
-    * least one chunk exactly — join on (chunk index, chunk value), then
-    * verify bit_count(xor) on the candidates. This is the standard
-    * multi-index hamming search; the only shuffle is on 4-bit chunk keys.
+    * CORPUS-SCALE CALLERS: 16 bits saturate at ~5k docs (every novel
+    * signature has a ≤3-bit neighbor once n·ball approaches 2¹⁶ — the
+    * measured GateProbe failure); route through the width-parametric
+    * overload at 60 bits with a width-scaled maxDist (≈ bits·3/16, the
+    * q101/q102 geometry), or take the whole policy from
+    * [[graft.operators.IngestGate.simhashParams]].
     */
   def simhashNearPairs(docs: DataFrame, maxDist: Int): DataFrame =
-    hammingNearPairs(simhashes(docs), "doc_id", "simhash", 16, maxDist)
+    simhashNearPairs(docs, maxDist, bits = 16)
+
+  /** [[simhashNearPairs]] at an explicit signature width (bits ≤ 60 —
+    * the shingle hash is the bit source). Exact without an O(n²)
+    * self-join: split the signature into (maxDist+1) chunks — by
+    * pigeonhole, any pair within maxDist shares at least one chunk
+    * exactly — join on (chunk index, chunk value), then verify
+    * bit_count(xor) on the candidates. This is the standard multi-index
+    * hamming search; the only shuffle is on chunk keys.
+    */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int, bits: Int): DataFrame =
+    hammingNearPairs(simhashes(docs, bits), "doc_id", "simhash", bits, maxDist)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
 
   /** Generic exact hamming-≤maxDist pair join over any (id, signature)

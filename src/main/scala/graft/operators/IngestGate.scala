@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed per-batch ingest gate: the three serve-half dedup
@@ -31,13 +31,94 @@ import org.apache.spark.sql.functions._
   */
 object IngestGate {
 
+  /** The SimHash tier's whole policy — width, hamming threshold, and
+    * the shallow-signature routing floor — as one value, the
+    * [[Similarity.annParams]]/[[Dedup.lshParams]] analog for the
+    * signature tier. Derived by [[simhashParams]]; the per-width pieces
+    * are [[widthMaxDist]] and [[widthMinShingles]].
+    */
+  final case class SimhashPolicy(bits: Int, maxDist: Int, minShingles: Int)
+
+  /** Hamming threshold equivalent to the reference 16-bit maxDist=3
+    * at another width: hamming scales ~linearly with signature width
+    * (each bit is an independent sign over the same feature diff — the
+    * one-word edit measures 3/16 narrow and 9/60 wide, IngestGateSpec),
+    * so the near-verbatim-edit threshold is bits·3/16 — 3 at 16, 11
+    * at 60.
+    */
+  def widthMaxDist(bits: Int): Int = math.max(1, bits * 3 / 16)
+
+  /** Shallow-signature routing floor per width: signature stability
+    * scales with feature count (each bit is the sign of a ±1 sum over
+    * the doc's shingles — at ~10 shingles the sums are shallow and the
+    * bits near-random), and the measured 50k-corpus false hit
+    * (bench_r13_sf1.json §simhash_wide_gate) sets the floor at 11
+    * shingles for the wide widths. The 16-bit reference-parity width
+    * keeps 0 — no routing — so the opt-in narrow gate behaves exactly
+    * as the reference shape does (q96 and the r12/r13 captures).
+    */
+  def widthMinShingles(bits: Int): Int = if (bits > 16) 11 else 0
+
+  /** Corpus-size-driven SimHash policy: the smallest width (of 16, 32,
+    * 60 — the shingle hash caps the ceiling at 60) whose expected
+    * false-hit count per NOVEL document,
+    * n · ball(bits, maxDist) / 2^bits with ball = Σ_{i≤maxDist}
+    * C(bits, i), stays under 1e-3 — i.e. fewer than one in a thousand
+    * genuinely novel docs chance-trimmed by the signature tier at n
+    * stored docs, under the uniform-random-signature model. The
+    * measured anchor: 16 bits at maxDist 3 carry a ~697-signature
+    * neighbor ball, so the tier misfires from n ≈ 100 and saturates
+    * completely by ~5k (GateProbe r13 — every novel doc collides).
+    * The uniform model is deliberately conservative — real long-doc
+    * signatures cluster by content, and the measured 50k-doc wide run
+    * saw zero long-doc false hits where the model predicts a few — so
+    * the selection saturates at the 60-bit ceiling (the shingle hash
+    * width) within a few hundred docs. That is why 60/11/11 is also
+    * the STATIC default everywhere in this object; this function
+    * exists to make the selection auditable, and to pick the cheaper
+    * narrow widths for the handful-of-docs regimes where they are
+    * honestly safe.
+    */
+  def simhashParams(nDocs: Long): SimhashPolicy = {
+    def ball(bits: Int, maxDist: Int): Double = {
+      var total = 0.0; var c = 1.0
+      for (i <- 0 to maxDist) {
+        total += c
+        c = c * (bits - i) / (i + 1)
+      }
+      total
+    }
+    val bits = Seq(16, 32, 60).find { b =>
+      nDocs.toDouble * ball(b, widthMaxDist(b)) / math.pow(2.0, b) <= 1e-3
+    }.getOrElse(60)
+    SimhashPolicy(bits, widthMaxDist(bits), widthMinShingles(bits))
+  }
+
   /** The gate's persisted state: one table per stage plus the IVF
     * centroids — all plain parquet, the same shapes the individual
     * serve operators build ([[Dedup.exactDedupGroups]]-style fps,
-    * [[Dedup.simhashes]], [[Similarity.ivfIndex]]).
+    * [[Dedup.simhashes]], [[Similarity.ivfIndex]]) — and the signature
+    * width the sims table was signed at, which [[gate]]/[[admit]]
+    * always honor (a batch signed at any other width would chunk
+    * incompatibly and the tier would go blind).
     */
   final case class GateState(fps: DataFrame, sims: DataFrame,
-      cents: DataFrame, assigned: DataFrame, simhashBits: Int = 16)
+      cents: DataFrame, assigned: DataFrame, simhashBits: Int = 60)
+
+  /** Keep only docs with at least `minShingles` distinct shingles —
+    * the shallow-signature routing shared by the gate's batch side,
+    * [[admit]]'s state side, and [[buildState]]: a signature that
+    * would be unreliable to PROBE with is equally unreliable to STORE
+    * (a stored short-doc signature can chance-trim future long docs).
+    * The count side is batch-/corpus-grouped and broadcast, never a
+    * state-sized shuffle.
+    */
+  private def withEnoughShingles(docs: DataFrame, minShingles: Int): DataFrame =
+    if (minShingles <= 0) docs
+    else docs.join(broadcast(
+      Dedup.shingleRows(docs).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") >= minShingles)
+        .select(col("doc_id"))), Seq("doc_id"))
 
   /** Build all three state tables from a document corpus and its
     * embeddings (embeddings keyed by the SAME ids as doc_id). Each
@@ -47,22 +128,86 @@ object IngestGate {
     *
     * `simhashBits` sizes the SimHash tier's signature space and rides
     * in the state so gate/admit always sign at the stored width. The
-    * 16-bit default matches the reference's shape and the q96 oracle,
-    * but saturates at ~5k stored docs (GateProbe: every novel doc has a
-    * hamming≤3 neighbor once ~700·n approaches 2¹⁶) — corpus-scale
-    * deployments should build at 60 (the q101/q102 width), where the
-    * same neighbor ball covers 2⁻³⁸ of the space.
+    * default is the corpus-scale 60-bit width ([[simhashParams]] — the
+    * q101/q102 shape): 16 bits saturate at ~5k stored docs (GateProbe:
+    * every novel doc has a hamming≤3 neighbor once ~700·n approaches
+    * 2¹⁶) while the 60-bit ball covers 2⁻³⁸ of its space; 16 remains
+    * the reference-parity opt-in. Docs below the width's
+    * [[widthMinShingles]] floor are not signed into state — their
+    * shallow signatures would chance-trim future novel docs; they keep
+    * full exact- and embedding-tier coverage.
     */
   def buildState(docs: DataFrame, embeddings: DataFrame,
-      nlist: Int = 16, simhashBits: Int = 16): GateState = {
+      nlist: Int = 16, simhashBits: Int = 60): GateState = {
     import docs.sparkSession.implicits._
     val fps = docs
       .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
-    val sims = Dedup.simhashes(docs, simhashBits)
+    val sims = Dedup.simhashes(
+      withEnoughShingles(docs, widthMinShingles(simhashBits)), simhashBits)
     val (cents, assigned) = Similarity.ivfIndex(embeddings, nlist = nlist)
     GateState(fps, sims, cents, assigned, simhashBits)
   }
+
+  /** Persist a gate state under `dir`: the four tables as parquet plus
+    * a one-row `meta` table carrying the signature width — the piece
+    * of state that is NOT recoverable from the tables themselves (a
+    * 60-bit signature is just a long). Engine-native parquet
+    * everywhere, so the layout is cluster-safe and the same
+    * checkpointed foreachBatch sink that persists the tables persists
+    * the width.
+    */
+  def saveState(state: GateState, dir: String): Unit = {
+    import state.fps.sparkSession.implicits._
+    state.fps.write.mode("overwrite").parquet(s"$dir/fps")
+    state.sims.write.mode("overwrite").parquet(s"$dir/sims")
+    state.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    state.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    Seq(state.simhashBits).toDF("simhash_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a gate state persisted by [[saveState]]. A layout WITHOUT
+    * the meta table (state persisted before the width rode in it) is
+    * detected and assumed 16-bit — the only width that ever existed
+    * then — with a one-line migration pointer: the right move for a
+    * corpus-scale deployment is [[resignSims]] to 60 from the raw
+    * document corpus, because signatures are not invertible (the same
+    * rebuild-input doctrine as the IVF-PQ index: stored codes cannot
+    * regenerate themselves at a new geometry).
+    */
+  def loadState(spark: SparkSession, dir: String): GateState = {
+    val bits =
+      try spark.read.parquet(s"$dir/meta").select("simhash_bits")
+        .head().getInt(0)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          println(s"GRAFT gate state at $dir has no meta table — legacy " +
+            "16-bit layout assumed; re-sign via IngestGate.resignSims(" +
+            "state, docs, 60) to migrate (signatures are not invertible: " +
+            "the rebuild reads the raw document corpus)")
+          16
+      }
+    GateState(
+      spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/sims"),
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/assigned"), simhashBits = bits)
+  }
+
+  /** Width migration: rebuild the signature table at `bits` from the
+    * RAW document corpus (state + every admitted survivor — whatever
+    * the deployment's durable doc store holds for the ids in state).
+    * Signatures are not invertible, so this is necessarily a corpus
+    * re-read — one linear sign pass, the exact analog of
+    * [[Similarity.ivfReindex]]'s raw-corpus rebuild. Docs below the
+    * new width's [[widthMinShingles]] floor are dropped from the
+    * signature table, as [[buildState]] would.
+    */
+  def resignSims(state: GateState, docs: DataFrame, bits: Int): GateState =
+    state.copy(
+      sims = Dedup.simhashes(
+        withEnoughShingles(docs, widthMinShingles(bits)), bits),
+      simhashBits = bits)
 
   /** Run one batch through the cascade. `batchEmb` carries (vec_id,
     * embedding) rows keyed by the batch's doc_ids (docs without an
@@ -78,11 +223,20 @@ object IngestGate {
     * see it, which is the short-circuit the cascade exists for. The
     * per-stage trim accounting CurationFlowSpec-style reports need is
     * one groupBy(stage) away.
+    *
+    * `maxDist` and `minShingles` default (-1) to the width-derived
+    * policy of the STATE's stored signature width — [[widthMaxDist]]
+    * and [[widthMinShingles]] — so a gate over the default 60-bit
+    * state needs no per-call tuning; explicit values override.
     */
   def gate(state: GateState, batchDocs: DataFrame, batchEmb: DataFrame,
-      maxDist: Int = 3, minCos: Double = 0.9,
-      nprobe: Int = 4, minShingles: Int = 0): DataFrame = {
+      maxDist: Int = -1, minCos: Double = 0.9,
+      nprobe: Int = 4, minShingles: Int = -1): DataFrame = {
     import batchDocs.sparkSession.implicits._
+    val md = if (maxDist < 0) widthMaxDist(state.simhashBits) else maxDist
+    val ms =
+      if (minShingles < 0) widthMinShingles(state.simhashBits)
+      else minShingles
     def hits(pairs: DataFrame, stage: String): DataFrame =
       pairs.groupBy($"doc_id").agg(min($"dup_of").as("dup_of"))
         .select($"doc_id", lit(stage).as("stage"), $"dup_of")
@@ -109,14 +263,9 @@ object IngestGate {
     // distance ZERO). Bypassed docs still face the exact tier before
     // and the content-based embedding tier after — they lose only the
     // unreliable signature check, never dedup coverage.
-    val simInput =
-      if (minShingles <= 0) s1
-      else s1.join(broadcast(
-        Dedup.shingleRows(s1).groupBy($"doc_id")
-          .agg(count(lit(1)).as("_n")).filter($"_n" >= minShingles)
-          .select($"doc_id")), Seq("doc_id"))
+    val simInput = withEnoughShingles(s1, ms)
     val simHits = hits(
-      Dedup.simhashNearDupsFromState(state.sims, simInput, maxDist,
+      Dedup.simhashNearDupsFromState(state.sims, simInput, md,
           state.simhashBits)
         .select($"doc_id", $"dup_of"), "simhash")
     val s2 = s1.join(broadcast(simHits.select($"doc_id")),
@@ -149,7 +298,11 @@ object IngestGate {
     *    against STATE, not against itself) collapse batch-locally to
     *    the smaller id;
     *  - simhashes: the survivor's signature rows (batch-local compute,
-    *    [[Dedup.simhashes]]);
+    *    [[Dedup.simhashes]]) — EXCEPT survivors below the width's
+    *    shingle floor, mirroring [[gate]]'s batch-side routing: a
+    *    shallow signature is as unreliable stored as probed, and a
+    *    stored one can chance-trim future novel docs (`minShingles`
+    *    defaults to the state width's policy, explicit overrides);
     *  - IVF assignment: the survivor's vectors assigned to the EXISTING
     *    centroids ([[Similarity.ivfAssign]] — the FAISS `add`-without-
     *    retrain path; [[Similarity.ivfAssignCost]] is the drift metric
@@ -166,8 +319,11 @@ object IngestGate {
     * the per-family serve operators (q77/q95/q96).
     */
   def admit(state: GateState, decisions: DataFrame, batchDocs: DataFrame,
-      batchEmb: DataFrame): GateState = {
+      batchEmb: DataFrame, minShingles: Int = -1): GateState = {
     import batchDocs.sparkSession.implicits._
+    val ms =
+      if (minShingles < 0) widthMinShingles(state.simhashBits)
+      else minShingles
     val survivors = decisions.filter($"stage" === "pass")
       .select($"doc_id").distinct()
     val sDocs = batchDocs.join(broadcast(survivors), Seq("doc_id"))
@@ -175,7 +331,7 @@ object IngestGate {
       sDocs.select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id")
         .groupBy($"fp").agg(min($"doc_id").as("keep_id")))
     val newSims = state.sims.unionByName(
-      Dedup.simhashes(sDocs, state.simhashBits))
+      Dedup.simhashes(withEnoughShingles(sDocs, ms), state.simhashBits))
     val sEmb = batchEmb.join(
       broadcast(survivors.select($"doc_id".as("vec_id"))), Seq("vec_id"))
     val newAssigned = state.assigned.unionByName(

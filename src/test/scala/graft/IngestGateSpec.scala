@@ -51,8 +51,9 @@ class IngestGateSpec extends SparkSpec {
       (102L, near(stateEmb(9))), (103L, stateEmb(103))
     ).toDF("vec_id", "embedding")
 
-    val out = IngestGate.gate(state, batchDocs, batchEmb,
-        maxDist = 3, minCos = 0.9).collect()
+    // Width-derived defaults: the 60-bit state resolves maxDist=11 and
+    // minShingles=11 on its own — no per-call width arguments.
+    val out = IngestGate.gate(state, batchDocs, batchEmb).collect()
       .map(r => r.getLong(0) ->
         ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
     assert(out.size == 4)
@@ -62,8 +63,7 @@ class IngestGateSpec extends SparkSpec {
     assert(out(103L) == (("pass", -1L)), s"d103: ${out(103L)}")
 
     // Per-stage trim accounting — the report a curation flow logs.
-    val acct = IngestGate.gate(state, batchDocs, batchEmb,
-        maxDist = 3, minCos = 0.9)
+    val acct = IngestGate.gate(state, batchDocs, batchEmb)
       .groupBy($"stage").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(acct == Map("exact" -> 1L, "simhash" -> 1L,
@@ -73,7 +73,8 @@ class IngestGateSpec extends SparkSpec {
     // on the full batch — d100 would be claimed by both (it is a
     // verbatim copy, so SimHash distance 0 and cosine 1), yet the
     // cascade reported it at 'exact' only.
-    val simAll = Dedup.simhashNearDupsFromState(state.sims, batchDocs, 3)
+    val simAll = Dedup.simhashNearDupsFromState(state.sims, batchDocs,
+        11, bits = 60)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(simAll.contains(100L))
     val embAll = Similarity.cosineNearDupsFromIndex(state.cents,
@@ -83,8 +84,7 @@ class IngestGateSpec extends SparkSpec {
 
     // Deterministic across runs and partitionings.
     val again = IngestGate.gate(state,
-        batchDocs.repartition(3), batchEmb.repartition(5),
-        maxDist = 3, minCos = 0.9).collect()
+        batchDocs.repartition(3), batchEmb.repartition(5)).collect()
       .map(r => r.getLong(0) ->
         ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
     assert(again == out)
@@ -138,8 +138,7 @@ class IngestGateSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val b1Emb = Seq((100L, stateEmb(5)), (103L, stateEmb(103)))
       .toDF("vec_id", "embedding")
-    val d1 = IngestGate.gate(state0, b1Docs, b1Emb,
-      maxDist = 3, minCos = 0.9)
+    val d1 = IngestGate.gate(state0, b1Docs, b1Emb)
     val state1 = IngestGate.admit(state0, d1, b1Docs, b1Emb)
 
     // Durability: the admitted state round-trips through parquet, the
@@ -172,8 +171,7 @@ class IngestGateSpec extends SparkSpec {
       (200L, stateEmb(103)), (201L, stateEmb(103)),
       (202L, near(stateEmb(103))), (203L, stateEmb(203))
     ).toDF("vec_id", "embedding")
-    val out2 = IngestGate.gate(state1L, b2Docs, b2Emb,
-        maxDist = 3, minCos = 0.9).collect()
+    val out2 = IngestGate.gate(state1L, b2Docs, b2Emb).collect()
       .map(r => r.getLong(0) ->
         ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
     assert(out2(200L) == (("exact", 103L)), s"d200: ${out2(200L)}")
@@ -183,8 +181,7 @@ class IngestGateSpec extends SparkSpec {
 
     // WITHOUT admit the same batch sails through — the catches above
     // really come from the admitted survivor rows.
-    val noAdmit = IngestGate.gate(state0, b2Docs, b2Emb,
-        maxDist = 3, minCos = 0.9).collect()
+    val noAdmit = IngestGate.gate(state0, b2Docs, b2Emb).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(noAdmit.values.forall(_ == "pass"), s"no-admit: $noAdmit")
 
@@ -232,8 +229,7 @@ class IngestGateSpec extends SparkSpec {
           val be = bd.select($"doc_id").collect().map(_.getLong(0))
             .map(id => (id, stateEmb(id.toInt))).toSeq
             .toDF("vec_id", "embedding")
-          val d = IngestGate.gate(state, bd, be, maxDist = 3,
-            minCos = 0.9).localCheckpoint()
+          val d = IngestGate.gate(state, bd, be).localCheckpoint()
           d.collect().foreach(r =>
             decisions(r.getLong(0)) = r.getString(1))
           // Real deployments write the admitted tables to parquet under
@@ -377,14 +373,15 @@ class IngestGateSpec extends SparkSpec {
     Dedup.releaseIndexes()
   }
 
-  test("minShingles routes short docs around the unreliable signature tier") {
+  test("defaults protect the short novel doc; the 16-bit opt-in reproduces the false trim") {
     import spark.implicits._
-    // The same 2000-doc saturated 16-bit state; the batch doc is SHORT
-    // (6 words -> 4 shingles), novel in text and embedding. Its shallow
-    // signature lands within maxDist=3 of the saturated state by chance
-    // (expected ~21 collisions) and the gate falsely trims it; with
-    // minShingles=5 it bypasses the signature tier, the embedding tier
-    // finds nothing, and the novel doc survives.
+    // 2000 stored docs; the batch doc is SHORT (6 words -> 4 shingles),
+    // novel in text and embedding. Under the REFERENCE-PARITY 16-bit
+    // opt-in (policy: maxDist=3, no shingle routing) its shallow
+    // signature lands within maxDist of the saturated state by chance
+    // (expected ~21 collisions) and the gate falsely trims it. Under
+    // the DEFAULT state — no per-call width arguments anywhere — the
+    // 60-bit width plus the minShingles=11 routing keep it alive.
     val words = Array("alpha", "bravo", "cedar", "delta", "ember",
       "fjord", "grove", "haven", "islet", "joule", "krill", "lumen",
       "maple", "noble", "ochre", "pearl", "quartz", "raven", "sable",
@@ -400,18 +397,233 @@ class IngestGateSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val embs = (0 until 2000).map(i => (i.toLong, emb(i.toLong)))
       .toDF("vec_id", "embedding")
-    val state = IngestGate.buildState(docs, embs, nlist = 8)
     val shortDoc = Seq((9000L, "shingle fragment too short to sign"))
       .toDF("doc_id", "text")
     val shortEmb = Seq((9000L, emb(9000L))).toDF("vec_id", "embedding")
-    val trimmed = IngestGate.gate(state, shortDoc, shortEmb, maxDist = 3)
+    val narrow = IngestGate.buildState(docs, embs, nlist = 8,
+      simhashBits = 16)
+    val trimmed = IngestGate.gate(narrow, shortDoc, shortEmb)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(trimmed(9000L) == "simhash",
-      s"expected the saturated tier to falsely trim the short doc: $trimmed")
-    val kept = IngestGate.gate(state, shortDoc, shortEmb, maxDist = 3,
-        minShingles = 5)
+      s"expected the saturated 16-bit tier to falsely trim: $trimmed")
+    val state = IngestGate.buildState(docs, embs, nlist = 8)
+    val kept = IngestGate.gate(state, shortDoc, shortEmb)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(kept(9000L) == "pass", s"short doc should bypass and pass: $kept")
+    assert(kept(9000L) == "pass", s"default gate should pass it: $kept")
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
+  test("simhashParams selects width by expected false-hit rate; defaults match its corpus-scale pick") {
+    // The measured anchors: 16 bits misfire from ~100 stored docs
+    // (~0.01 false-hit probability per novel doc at n=1 already), so
+    // only near-empty states select narrow widths; every realistic
+    // corpus lands on 60/11/11 — the static defaults.
+    val tiny = IngestGate.simhashParams(1)
+    assert(tiny.bits <= 32, s"tiny corpus may stay narrow: $tiny")
+    val p5k = IngestGate.simhashParams(5000)
+    assert(p5k == IngestGate.SimhashPolicy(60, 11, 11), s"5k: $p5k")
+    val p1e8 = IngestGate.simhashParams(100000000L)
+    assert(p1e8.bits == 60 && p1e8.maxDist == 11, s"1e8: $p1e8")
+    // Width-derived pieces are consistent with the policy.
+    assert(IngestGate.widthMaxDist(16) == 3)
+    assert(IngestGate.widthMaxDist(60) == 11)
+    assert(IngestGate.widthMinShingles(16) == 0)
+    assert(IngestGate.widthMinShingles(60) == 11)
+  }
+
+  test("saveState/loadState persist the signature width; legacy layouts detect as 16-bit; resignSims migrates") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val built = IngestGate.buildState(docs, embs, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("gatesave").toString
+    IngestGate.saveState(built, s"$dir/state")
+    val loaded = IngestGate.loadState(spark, s"$dir/state")
+    assert(loaded.simhashBits == 60)
+    // The loaded state serves identically to the built one.
+    val batchDocs = Seq(
+      (101L, stateText(7).replace("ripe", "rotten"))).toDF("doc_id", "text")
+    val batchEmb = Seq((101L, stateEmb(7))).toDF("vec_id", "embedding")
+    def decide(st: IngestGate.GateState) =
+      IngestGate.gate(st, batchDocs, batchEmb).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decide(loaded) == decide(built))
+    assert(decide(loaded)(101L) == "simhash")
+    // A legacy layout — the four tables, no meta — is a pre-width
+    // state: 16-bit by construction, and loadState must say so rather
+    // than silently mis-chunk 16-bit signatures as 60-bit ones.
+    val narrow = IngestGate.buildState(docs, embs, nlist = 4,
+      simhashBits = 16)
+    narrow.fps.write.parquet(s"$dir/legacy/fps")
+    narrow.sims.write.parquet(s"$dir/legacy/sims")
+    narrow.cents.write.parquet(s"$dir/legacy/cents")
+    narrow.assigned.write.parquet(s"$dir/legacy/assigned")
+    val legacy = IngestGate.loadState(spark, s"$dir/legacy")
+    assert(legacy.simhashBits == 16)
+    assert(decide(legacy)(101L) == "simhash") // 16-bit policy: maxDist=3
+    // Migration: re-sign from the raw corpus at 60 — equal to a fresh
+    // 60-bit build, signature table and width alike.
+    val migrated = IngestGate.resignSims(legacy, docs, 60)
+    assert(migrated.simhashBits == 60)
+    assert(migrated.sims.collect().map(_.toSeq).toSet ==
+      built.sims.collect().map(_.toSeq).toSet)
+    assert(decide(migrated) == decide(built))
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
+  test("soak: 20 micro-batches of gate→admit→compact with replays, parquet state, and a mid-soak reindex") {
+    import spark.implicits._
+    // The composed longevity run the individual pieces never exercise
+    // together: per batch — gate, admit, parquet save/load of the whole
+    // state; at-least-once REPLAYED admits at batches 3/8/13/18;
+    // compaction at every 5th batch; ivfAssignCost drift check every
+    // batch; a full ivfReindex at batch 10. Claims proven:
+    //   1. decisions at every batch equal a replay-free run's,
+    //   2. state row counts end exactly O(corpus): base + one row per
+    //      survivor, replays compacted away,
+    //   3. prior decisions remain valid across the mid-soak reindex.
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    def novelId(k: Int): Long = 1000L + 10L * k
+    // ~51 tokens, 44 of them k-dependent filler, so the one-word edit
+    // touches 3 of ~49 shingles (hamming 2-11 of the 60-bit budget,
+    // maxDist 11) while every novel pair — not just consecutive ones —
+    // stays at distance ≥ 17 (measured over all 190 pairs + the 40
+    // base docs; a shared template scaffold put non-adjacent novels
+    // inside the ball).
+    def novelText(k: Int): String = {
+      val filler = Array.tabulate(44)(p => "w" + ((k * 131 + p * 17) % 9973))
+      s"soak batch $k chronicle weaving through chapter ${k * 7} " +
+        filler.mkString(" ")
+    }
+    def embOf(id: Long): Seq[Float] = Array.tabulate(64)(j =>
+      (scala.util.hashing.MurmurHash3.productHash((id, j)) % 1000) / 1000f)
+      .toSeq
+    def near(base: Seq[Float]): Seq[Float] = base.map(x => x + 0.001f)
+    // Batch k: one novel doc, plus a verbatim / one-word-edit /
+    // embedding-near dup of the PREVIOUS batch's survivor (batch 1
+    // targets corpus doc 5) — every tier fires every batch, and every
+    // catch after batch 1 depends on the admitted loop.
+    def batchOf(k: Int): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      val (prevText, prevEmb) =
+        if (k == 1) (stateText(5), stateEmb(5))
+        else (novelText(k - 1), embOf(novelId(k - 1)))
+      val bd = Seq(
+        (novelId(k), novelText(k)),
+        (novelId(k) + 1, prevText),
+        (novelId(k) + 2, prevText.replace("through", "across")),
+        (novelId(k) + 3, s"entirely fresh prose for batch $k describing " +
+          s"harvest rites in village ${k * 19} with lanterns drums and " +
+          s"long processions after dusk")
+      ).toDF("doc_id", "text")
+      val be = Seq(
+        (novelId(k), embOf(novelId(k))),
+        (novelId(k) + 1, prevEmb),
+        (novelId(k) + 2, prevEmb),
+        (novelId(k) + 3, near(prevEmb))
+      ).toDF("vec_id", "embedding")
+      (bd, be)
+    }
+    val root = java.nio.file.Files.createTempDirectory("gatesoak").toString
+    def runSoak(replays: Boolean, persist: Boolean)
+        : (Map[Long, (String, Long)], IngestGate.GateState) = {
+      var state = IngestGate.buildState(docs, embs, nlist = 4)
+      val all = scala.collection.mutable.Map[Long, (String, Long)]()
+      for (k <- 1 to 20) {
+        val (bd, be) = batchOf(k)
+        val d = IngestGate.gate(state, bd, be).localCheckpoint()
+        d.collect().foreach(r => all(r.getLong(0)) =
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        var st = IngestGate.admit(state, d, bd, be)
+        if (replays && k % 5 == 3) st = IngestGate.admit(st, d, bd, be)
+        if (k % 5 == 0) st = IngestGate.compact(st)
+        if (k == 10) {
+          val (c2, a2) = Similarity.ivfReindex(st.assigned, nlist = 4)
+          st = st.copy(cents = c2, assigned = a2)
+        }
+        val drift = Similarity.ivfAssignCost(st.cents, st.assigned)
+        assert(!drift.isNaN && drift >= 0.0, s"batch $k drift: $drift")
+        state =
+          if (persist) {
+            IngestGate.saveState(st, s"$root/b$k")
+            IngestGate.loadState(spark, s"$root/b$k")
+          } else st.copy(
+            fps = st.fps.localCheckpoint(),
+            sims = st.sims.localCheckpoint(),
+            cents = st.cents.localCheckpoint(),
+            assigned = st.assigned.localCheckpoint())
+      }
+      (all.toMap, state)
+    }
+    val (withReplays, finalState) = runSoak(replays = true, persist = true)
+    // Every batch decided every tier correctly, against the LOOP's
+    // survivors (not just the original corpus).
+    for (k <- 1 to 20) {
+      val prev = if (k == 1) 5L else novelId(k - 1)
+      assert(withReplays(novelId(k)) == (("pass", -1L)), s"b$k novel")
+      assert(withReplays(novelId(k) + 1) == (("exact", prev)), s"b$k exact")
+      assert(withReplays(novelId(k) + 2) == (("simhash", prev)), s"b$k edit")
+      assert(withReplays(novelId(k) + 3) == (("embedding", prev)),
+        s"b$k embnear")
+    }
+    // Replay-free run (in-memory state): identical decisions at every
+    // batch — replays are invisible to the gate, not merely tolerable.
+    val (noReplays, _) = runSoak(replays = false, persist = false)
+    assert(noReplays == withReplays)
+    // State stays O(corpus): batch 20 compacted, so exactly base rows +
+    // one per admitted survivor in every family (all texts are long
+    // enough to sign; the replayed appends are gone).
+    assert(finalState.sims.count() == 40L + 20L)
+    assert(finalState.assigned.count() == 40L + 20L)
+    assert(finalState.fps.count() == 40L + 20L)
+    // The mid-soak reindex preserved decision validity: batch 10's dup
+    // docs re-gated against the FINAL state are still caught with the
+    // same survivors (and the batch-10 survivor remains its own keep).
+    val (b10d, b10e) = batchOf(10)
+    val regate = IngestGate.gate(finalState, b10d, b10e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(regate(novelId(10) + 1) == (("exact", novelId(9))))
+    assert(regate(novelId(10) + 2) == (("simhash", novelId(9))))
+    assert(regate(novelId(10) + 3) == (("embedding", novelId(9))))
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
+  test("admit mirrors the shingle floor: short survivors get no signature row in state") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val state0 = IngestGate.buildState(docs, embs, nlist = 4)
+    // One long novel survivor (signed) and one short novel survivor
+    // (routed at the gate AND skipped at admit): its shallow signature,
+    // stored, could chance-trim future long docs.
+    val longText = "unrelated treatise on the migration patterns of " +
+      "arctic terns across hemispheres every single year"
+    val batch = Seq((300L, longText),
+      (301L, "short novel fragment stays unsigned"))
+      .toDF("doc_id", "text")
+    val bEmb = Seq((300L, stateEmb(300)), (301L, stateEmb(301)))
+      .toDF("vec_id", "embedding")
+    val d = IngestGate.gate(state0, batch, bEmb).localCheckpoint()
+    assert(d.filter($"stage" === "pass").count() == 2)
+    val state1 = IngestGate.admit(state0, d, batch, bEmb)
+    val simIds = state1.sims.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(simIds.contains(300L), "long survivor signed into state")
+    assert(!simIds.contains(301L), "short survivor must not be signed")
+    // Both survivors still enter the exact and embedding families.
+    assert(state1.fps.filter($"keep_id" === 301L).count() == 1)
+    assert(state1.assigned.filter($"vec_id" === 301L).count() == 1)
     Dedup.releaseIndexes()
     Similarity.releaseIndexes()
   }
