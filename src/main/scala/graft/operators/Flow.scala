@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 
 /** Composed-flow plumbing: the stage-boundary materialization rule as a
@@ -33,24 +34,57 @@ object Flow {
     *    parquet round-trip under `<dir>/<name>` — what a production
     *    pipeline does between curation stages. Durable across sessions,
     *    recomputable from disk on executor loss, inspectable, and the
-    *    natural resume point when a later stage fails.
+    *    natural resume point when a later stage fails: a NAMED boundary
+    *    that already exists complete (its `_SUCCESS` marker present) is
+    *    REUSED — the upstream plan is never executed — so re-running a
+    *    flow that died after stage N replays stages 1..N as parquet
+    *    scans and computes only from N+1 on. Set
+    *    `graft.flow.resume=false` to force every boundary to recompute
+    *    (the move after editing a stage's logic or inputs: resume
+    *    trusts the name, it cannot see that the upstream plan changed —
+    *    same contract as any checkpoint/restart scheme).
     *
-    * `name` disambiguates boundaries when persisted (an anonymous
-    * boundary gets a session-unique ordinal — fine locally, but name
-    * your stages when resuming matters). The returned frame's CONTENT
-    * is identical either way; only the storage of the cut differs.
+    * `name` disambiguates boundaries when persisted — name your stages
+    * when resuming matters. An anonymous boundary gets an ordinal
+    * salted with the Spark application id (two sessions sharing a
+    * boundaryDir must not clobber each other's `stage-1`), and never
+    * resumes: the ordinal is assigned per materialization call, so a
+    * re-run could not match it to the right prior artifact anyway.
+    * The returned frame's CONTENT is identical in every mode; only the
+    * storage of the cut differs.
     */
   def stageBoundary(df: DataFrame, name: String = ""): DataFrame = {
     val spark = df.sparkSession
     val dir = spark.conf.getOption("graft.flow.boundaryDir")
     dir match {
       case Some(root) =>
+        val named = name.nonEmpty
         val stage =
-          if (name.nonEmpty) name else s"stage-${counter.incrementAndGet()}"
+          if (named) name
+          else s"stage-${spark.sparkContext.applicationId}-" +
+            s"${counter.incrementAndGet()}"
         val path = s"$root/$stage"
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
+        val resume =
+          spark.conf.getOption("graft.flow.resume").forall(_.toBoolean)
+        if (named && resume && boundaryComplete(spark, path))
+          spark.read.parquet(path)
+        else {
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
       case None => df.localCheckpoint()
     }
+  }
+
+  /** A boundary is reusable iff its directory holds a completed parquet
+    * write — the `_SUCCESS` marker the committer drops only after every
+    * task's output is in place. A died-mid-write directory (no marker)
+    * is recomputed, not trusted.
+    */
+  private def boundaryComplete(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
   }
 }

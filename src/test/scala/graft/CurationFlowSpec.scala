@@ -136,4 +136,60 @@ class CurationFlowSpec extends SparkSpec {
       assert(stages.count(_.startsWith("stage-")) == 2, s"stages: $stages")
     } finally spark.conf.unset("graft.flow.boundaryDir")
   }
+
+  test("Flow.stageBoundary: named boundaries resume across sessions without recomputing upstream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("flowresume").toString
+    spark.conf.set("graft.flow.boundaryDir", dir)
+    try {
+      // Run 1: a two-stage flow, both boundaries persisted.
+      val df = (0 until 50).map(i => (i.toLong, s"doc $i"))
+        .toDF("doc_id", "text")
+      val s1 = Flow.stageBoundary(df, "res-scrub")
+      val s2 = Flow.stageBoundary(s1.filter($"doc_id" < 25), "res-dedup")
+      val run1 = s2.collect().map(_.toSeq).toSet
+      assert(run1.size == 25)
+
+      // "Kill the flow, start fresh": a NEW session re-runs the same
+      // flow — with its stage-1 input POISONED by a throwing UDF. If
+      // resume really replays the boundaries as parquet scans, the
+      // poison is never evaluated and the output matches run 1 exactly;
+      // any recompute detonates it.
+      val spark2 = spark.newSession()
+      spark2.conf.set("graft.flow.boundaryDir", dir)
+      val boom = udf { (i: Long) =>
+        if (i >= 0)
+          throw new RuntimeException("stage-1 recomputed on resume")
+        s"doc $i"
+      }
+      val poisoned = spark2.range(50)
+        .select($"id".as("doc_id"), boom($"id").as("text"))
+      val r1 = Flow.stageBoundary(poisoned, "res-scrub")
+      val r2 = Flow.stageBoundary(r1.filter($"doc_id" < 25), "res-dedup")
+      assert(r2.collect().map(_.toSeq).toSet == run1)
+      // And the resumed stages really are file scans of the boundary.
+      val plan = r2.queryExecution.executedPlan.toString
+      assert(plan.contains("res-dedup") && plan.contains("Parquet"),
+        s"expected a parquet scan of the boundary, got:\n$plan")
+
+      // A died-mid-write boundary (no _SUCCESS marker) is NOT trusted:
+      // the stage recomputes and overwrites it.
+      val partial = new java.io.File(s"$dir/res-partial")
+      partial.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/res-partial/part-junk"), "junk")
+      val healed = Flow.stageBoundary(df.filter($"doc_id" < 5),
+        "res-partial")
+      assert(healed.count() == 5)
+
+      // graft.flow.resume=false forces recompute — the post-edit knob.
+      spark.conf.set("graft.flow.resume", "false")
+      val recomputed = Flow.stageBoundary(df.filter($"doc_id" < 10),
+        "res-scrub")
+      assert(recomputed.count() == 10)
+    } finally {
+      spark.conf.unset("graft.flow.boundaryDir")
+      spark.conf.unset("graft.flow.resume")
+    }
+  }
 }
