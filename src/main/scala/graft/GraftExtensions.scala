@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
         "pii_redact"),
       (exprs: Seq[Expression]) => GraftExtensions.buildPiiRedact(exprs)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("ann_topk_auto"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "ann_topk_auto"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildAnnTopKAuto(exprs)))
   }
 }
 
@@ -64,6 +68,54 @@ object GraftExtensions {
         classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
         "pii_redact"),
       (exprs: Seq[Expression]) => buildPiiRedact(exprs))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new FunctionIdentifier("ann_topk_auto"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "ann_topk_auto"),
+      (exprs: Seq[Expression]) => buildAnnTopKAuto(exprs))
+  }
+
+  /** SQL table-function builder:
+    * `ann_topk_auto('view_name', n_queries, k, target_recall)` — the
+    * recall-targeted ANN entry point
+    * ([[graft.operators.Similarity.cosineTopKAuto]]) reachable from pure
+    * SQL: `SELECT * FROM ann_topk_auto('embeddings_v', 10, 3, 0.9)`.
+    *
+    * The builder is macro expansion at analysis time: arguments must be
+    * literals (the view name names the (vec_id, embedding) relation —
+    * a table function cannot take a relation-typed argument in SQL),
+    * and the expansion RUNS the operator's driver-side phases (corpus
+    * count → [[graft.operators.Similarity.annParams]] geometry →
+    * capped k-means/PQ training collects) before returning the serve
+    * plan, exactly as the Column-API call does eagerly. The returned
+    * plan is the operator's analyzed serve plan — (qid, nid, cos, rk) —
+    * so SQL callers compose it (joins, filters, CTEs) like any relation.
+    */
+  private[graft] def buildAnnTopKAuto(
+      exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 4 && exprs.forall(_.foldable),
+      "ann_topk_auto(view STRING, n_queries INT, k INT, " +
+        "target_recall DOUBLE) — all arguments must be literals")
+    def asInt(e: Expression): Int = e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal, got $other")
+    }
+    def asDouble(e: Expression): Double = e.eval() match {
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case i: java.lang.Integer => i.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal, got $other")
+    }
+    val view = exprs.head.eval().toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.operators.Similarity.cosineTopKAuto(spark.table(view),
+        asInt(exprs(1)), asInt(exprs(2)), targetRecall = asDouble(exprs(3)))
+      .queryExecution.analyzed
   }
 
   /** SQL builder: pii_redact(text) — the ordered email→IP→phone scrub of

@@ -308,10 +308,25 @@ object Similarity {
       graft.functions.VecExprs.argminCentroid(col("v"), cs)
     else {
       val ng = math.max(1, math.ceil(math.sqrt(cs.size.toDouble)).toInt)
+      // The switch is silent work-alike otherwise — announce it once per
+      // geometry so a recall shift at large nlist is attributable (the
+      // hier argmin is measured recall-neutral at serve nprobe, but it
+      // IS approximate near group boundaries).
+      val tag = (cs.size, ng, hierAssignProbes)
+      if (hierLogged.add(tag))
+        println(s"GRAFT hier-assign active: nlist=${cs.size} ngroups=$ng " +
+          s"gProbes=$hierAssignProbes (flat argmin above " +
+          s"graft.hier.assign.min.lists=$hierAssignMinLists)")
       val (gc, members) = groupCentroids(cs, ng)
       graft.functions.VecExprs.argminCentroidHier(col("v"), gc, members,
         hierAssignProbes)
     }
+
+  /** Geometries the hier-assignment switch has already announced (one
+    * line per distinct (nlist, ngroups, gProbes), not per Lloyd call).
+    */
+  @transient private val hierLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int, Int)]()
 
   /** Query/batch-side top-nprobe probe. Deliberately ASYMMETRIC with
     * [[assignExpr]]: assignment goes two-level automatically (corpus-
@@ -378,22 +393,51 @@ object Similarity {
     * ~2G int ops — paid once, not per plan.
     */
   @transient private val groupMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Seq[(Long, Seq[Long])]),
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long, Long),
       (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]])]()
+
+  /** Structural 128-bit fingerprint of a centroid set: two independent
+    * polynomial hashes (distinct odd multipliers, rotated mixing) over
+    * the (cid, values…) stream, plus ngroups and the set size in the
+    * key. Array[Long] compares by REFERENCE inside tuples, so a key
+    * holding the raw arrays can never hit for centroids re-collected
+    * from a DataFrame (per-batch serving would re-run the ~2G-op driver
+    * Lloyd on every call and leak a dead entry each time) — and the
+    * earlier deep-copy key (cid, v.toSeq) held the whole boxed centroid
+    * set per entry, tens of MB at 31k lists. The fingerprint is 32
+    * bytes per entry; a non-adversarial collision at 128 bits is
+    * beyond-astronomical, and the worst case is a recomputed grouping,
+    * not a wrong one used silently — both hash inputs would have to
+    * collide simultaneously.
+    */
+  private def centsFingerprint(cs: Seq[(Long, Array[Long])],
+      ngroups: Int): (Int, Int, Long, Long) = {
+    var h1 = 1125899906842597L
+    var h2 = -7046029254386353131L
+    cs.foreach { case (cid, v) =>
+      h1 = h1 * 31 + cid
+      h2 = h2 * 131 + java.lang.Long.rotateLeft(cid, 17)
+      var i = 0
+      while (i < v.length) {
+        h1 = h1 * 31 + v(i)
+        h2 = h2 * 131 + java.lang.Long.rotateLeft(v(i), 31)
+        i += 1
+      }
+    }
+    (ngroups, cs.size, h1, h2)
+  }
 
   private def groupCentroids(cs: Seq[(Long, Array[Long])], ngroups: Int,
       iters: Int = 5): (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]]) = {
-    // Structural key: Array[Long] compares by REFERENCE inside tuples,
-    // so a key holding the raw arrays can never hit for centroids
-    // re-collected from a DataFrame (per-batch serving would re-run the
-    // ~2G-op driver Lloyd on every call and leak a dead entry each
-    // time). Converting to Seq costs O(nlist·dims) — microseconds
-    // against the Lloyd it memoizes — and equality is structural.
-    val memoKey = (ngroups,
-      cs.map { case (cid, v) => (cid, v.toSeq) })
+    val memoKey = centsFingerprint(cs, ngroups)
     val hit = groupMemo.get(memoKey)
     if (hit != null) return hit
-    if (groupMemo.size > 64) groupMemo.clear()
+    // The VALUE still holds the member lists (the centroid vectors
+    // themselves — what the hier expressions need), so the bound stays
+    // in the low single digits: 4 live geometries ≈ one serve + one
+    // build + two probes, beyond which wholesale clear-and-recompute
+    // beats multi-GB driver retention.
+    if (groupMemo.size >= 4) groupMemo.clear()
     val out = groupCentroidsCompute(cs, ngroups, iters)
     groupMemo.put(memoKey, out)
     out
@@ -472,6 +516,14 @@ object Similarity {
     * training and assignment run offline per corpus generation;
     * [[cosineTopKIvfFromIndex]] then answers query batches against the
     * stored index without touching raw embeddings or re-training.
+    *
+    * Above 4096 lists (`graft.hier.assign.min.lists`) corpus assignment
+    * automatically switches from the exact flat argmin to the two-level
+    * approximate form — measured recall-neutral at serve-grade nprobe
+    * and ~4.7× less assignment wall at nlist=8192, but list membership
+    * near group boundaries can differ from a flat build at the same
+    * parameters; the switch announces itself with one `GRAFT
+    * hier-assign active` line.
     */
   def ivfIndex(embeddings: DataFrame, nlist: Int = 16,
       iters: Int = 2, trainFrac: Double = 1.0): (DataFrame, DataFrame) = {
@@ -559,7 +611,8 @@ object Similarity {
     * large the corpus.
     */
   private def pqTrain(e: DataFrame, m: Int, ksub: Int, iters: Int,
-      dims: Int, trainFrac: Double = 1.0): Seq[Seq[(Long, Array[Long])]] = {
+      dims: Int, trainFrac: Double = 1.0,
+      knownN: Option[Long] = None): Seq[Seq[(Long, Array[Long])]] = {
     import e.sparkSession.implicits._
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val len = dims / m
@@ -615,7 +668,8 @@ object Similarity {
       books
     }
 
-    val f = cappedTrainFrac(e, ksub, trainFrac, trainPointsPerCentroid)
+    val f = cappedTrainFrac(e, ksub, trainFrac, trainPointsPerCentroid,
+      knownN)
     if (f >= 1.0) trainOn(e)
     else {
       val sample = e.filter(
@@ -1278,7 +1332,7 @@ object Similarity {
   def cosineTopKIvfPqResidualRefined(embeddings: DataFrame, nQueries: Int,
       k: Int, kFactor: Int = 16, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ksub: Int = 256, iters: Int = 2, dims: Int = 64,
-      trainFrac: Double = 1.0): DataFrame = {
+      trainFrac: Double = 1.0, knownN: Option[Long] = None): DataFrame = {
     import embeddings.sparkSession.implicits._
     val dbg = sys.props.contains("graft.debug.pq")
     var tM = System.nanoTime()
@@ -1287,14 +1341,20 @@ object Similarity {
       println(s"PQPHASE $tag ${(now - tM) / 1e9}"); tM = now
     }
     val e = quantized(embeddings)
-    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac)
+    // Both trainers price their points-per-centroid cap against the
+    // corpus size; count once here (or not at all when the caller —
+    // cosineTopKAuto, which already counted for annParams — passes it)
+    // instead of one count job per trainer.
+    val n = knownN.getOrElse(e.count())
+    val cents = trainCentroidsSampled(e, nlist, iters, trainFrac,
+      knownN = Some(n))
     mark("coarse_train")
     if (cents.isEmpty)
       return e.filter(lit(false)).select($"vec_id".as("qid"),
         $"vec_id".as("nid"), lit(0d).as("cos"), lit(0L).as("rk"))
     val eRes = registry.cache(residualAssign(e, cents, dims))
     val books = pqTrain(eRes.select($"vec_id", $"rv".as("v")), m, ksub,
-      iters, dims, trainFrac)
+      iters, dims, trainFrac, knownN = Some(n))
     mark("pq_train")
     if (books.exists(_.isEmpty))
       return e.filter(lit(false)).select($"vec_id".as("qid"),
@@ -1697,10 +1757,11 @@ object Similarity {
     */
   def cosineTopKAuto(embeddings: DataFrame, nQueries: Int, k: Int,
       targetRecall: Double = 0.9, dims: Int = 64): DataFrame = {
-    val g = annParams(quantized(embeddings).count(), k, targetRecall)
+    val n = quantized(embeddings).count()
+    val g = annParams(n, k, targetRecall)
     cosineTopKIvfPqResidualRefined(embeddings, nQueries, k,
       kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe, m = g.m,
-      ksub = 256, dims = dims)
+      ksub = 256, dims = dims, knownN = Some(n))
   }
 
   /** Embedding-cosine near-duplicate pairs: banded hyperplane LSH
@@ -1860,6 +1921,13 @@ object Similarity {
     * corpus peaks near 2× mean), so the static replay stays valid;
     * capFactor = 0 disables the guard outright. Split lists report
     * their final (sub-list / chunk) id in the output's list_id.
+    *
+    * Above 4096 lists (`graft.hier.assign.min.lists`) the corpus
+    * assignment inside this operator goes two-level automatically —
+    * see [[ivfIndex]]'s note; cluster membership near group boundaries
+    * can then differ from a flat run at the same nlist, which moves
+    * WHICH near-identical pair shares a list, not whether the kept
+    * representative is deterministic.
     */
   def semanticDedupAt(embeddings: DataFrame, minCos: Double,
       nlist: Int, iters: Int = 2, trainFrac: Double = 1.0,
@@ -2606,6 +2674,17 @@ object Similarity {
           |    FROM e q JOIN e x ON x.vec_id <> q.vec_id
           |    WHERE q.vec_id < 8))
           |WHERE rk = 1""".stripMargin)
+    }),
+    // The recall-targeted auto entry point from pure SQL: the
+    // ann_topk_auto TABLE function (GraftExtensions) macro-expands to
+    // cosineTopKAuto's serve plan at analysis time — same runtime
+    // corpus-count → annParams geometry as q99, reached without a line
+    // of Scala. The oracle replays q99's pinned verify-corpus geometry.
+    "q103_sql_ann_auto" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      Tables.load(s, d).embeddings.createOrReplaceTempView("embeddings_v")
+      s.sql(
+        "SELECT qid, nid, cos, rk FROM ann_topk_auto('embeddings_v', 10, 3, 0.9)")
     })
   )
 
@@ -2718,6 +2797,12 @@ object Similarity {
     "q100_cosine_topk_ivfpq_residual" -> ivfPqResidualOracleSql(
       nQueries = 10, k = 3, nlist = 16, nprobe = 4, m = 8, ksub = 256,
       iters = 2, dims = 64, refine = Some(48)),
+    // q103 is q99 reached through the SQL table function — identical
+    // operator, identical pinned-geometry oracle.
+    "q103_sql_ann_auto" -> ivfPqResidualOracleSql(nQueries = 10, k = 3,
+      nlist = q99Geom.nlist, nprobe = q99Geom.nprobe, m = q99Geom.m,
+      ksub = 256, iters = 2, dims = 64,
+      refine = Some(3 * q99Geom.kFactor)),
     "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
       minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

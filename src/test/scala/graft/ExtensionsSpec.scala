@@ -83,6 +83,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("ann_topk_auto table function matches the Column-API cosineTopKAuto") {
+    import spark.implicits._
+    val emb = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (scala.util.hashing.MurmurHash3.productHash((i, j)) % 1000) / 1000f)
+        .toSeq)
+    }.toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("ann_emb_v")
+    val viaSql = spark.sql(
+      "SELECT qid, nid, cos, rk FROM ann_topk_auto('ann_emb_v', 5, 3, 0.9)")
+      .collect().map(_.toSeq).toSet
+    val viaCol = operators.Similarity.cosineTopKAuto(emb, 5, 3,
+        targetRecall = 0.9)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // The expansion composes like any relation: an outer filter + agg.
+    val nQ = spark.sql(
+      """SELECT count(DISTINCT qid) AS nq
+        |FROM ann_topk_auto('ann_emb_v', 5, 3, 0.9) WHERE rk <= 3"""
+        .stripMargin).first().getLong(0)
+    assert(nQ == 5)
+    // Non-literal arguments are rejected at analysis, not at runtime.
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM range(2), LATERAL ann_topk_auto('ann_emb_v', CAST(id AS INT), 3, 0.9)")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+    operators.Similarity.releaseIndexes()
+  }
 }
 
 class SessionWindowSpec extends SparkSpec {
