@@ -6,18 +6,28 @@ import org.apache.spark.sql.functions._
 /** Scratch scale probe for the composed ingest gate — NOT part of the
   * driver contract. Builds the three-tier gate state (exact fp, SimHash
   * signatures, IVF index) over the corpus at SPARK_GRAFT_SF_DIR, then
-  * gates a 50-doc batch constructed to exercise every tier: 25 verbatim
-  * corpus docs (exact hits), 25 with one appended token (fingerprint
-  * broken; the SimHash tier catches the edit at the default 60-bit
-  * width), plus 25 novel docs (short — the minShingles floor routes
-  * them around the signature tier and they pass). Build and serve are
-  * timed separately — the claim under test is the q77/q95/q96 one
-  * composed: build is corpus-linear, SERVE is corpus-size-insensitive.
+  * gates a 100-doc batch constructed to exercise every tier: 25
+  * verbatim corpus docs (exact hits), 25 with one appended token
+  * (fingerprint broken; the SimHash tier catches long-doc edits at the
+  * state's budget radius, while edits of BELOW-FLOOR corpus docs route
+  * to the embedding tier and are caught by their unchanged vectors),
+  * 25 short novel docs (below the minShingles floor — routed around
+  * the signature tier, pass), and 25 long novel docs (signed and
+  * probed — pass, the false-trim budget claim under load). Build and
+  * serve are timed separately — the claim under test is the
+  * q77/q95/q96 one composed: build is corpus-linear, SERVE is
+  * corpus-size-insensitive.
   *
-  * Since r14 the DEFAULT leg runs the width-derived policy (60-bit
-  * state, maxDist 11, minShingles 11 — IngestGate.simhashParams); the
+  * Since r14 the DEFAULT leg runs the corpus-size policy end-to-end
+  * (IngestGate.simhashParams at buildState: 60-bit state, budget-
+  * shrunk maxDist — 10 at 5k docs, 9 at 50k — minShingles 11); the
   * 16-bit reference-parity leg is kept explicitly, at the maxDist=0
-  * floor that width's saturation forces at corpus scale.
+  * floor that width's saturation forces at corpus scale. The r14-early
+  * capture at the static (60, 11) radius measured exactly one at-floor
+  * (11-shingle) novel doc falsely trimmed at distance 10 against 50k
+  * stored docs — the uniform model's ~0.02/doc prediction in the
+  * flesh, and the measurement that put the budget shrink into
+  * simhashParams.
   *
   *   SPARK_GRAFT_SF_DIR=bench/sf1 tools/run.sh graft.GateProbe
   *
@@ -60,16 +70,24 @@ object GateProbe {
     // Incoming docs carry NEW ids (a re-crawl of known content arrives
     // under a fresh id — matching the serve operators' contract; a batch
     // doc that IS the stored survivor would be its own keep and pass).
-    // 25 novel docs ride along so the admit leg below has survivors to
+    // 50 novel docs ride along so the admit leg below has survivors to
     // append — their texts and hash-spread embeddings match nothing.
+    // 25 are SHORT (12 tokens → 10 shingles, below the 11-shingle
+    // floor: routed around the signature tier), 25 are LONG (40+
+    // tokens, signed and probed at the budget radius — the per-doc
+    // false-trim budget is the claim).
     def novelComp(id: Long, j: Int): Float =
       (scala.util.hashing.MurmurHash3.productHash((id, j)) % 1000) / 1000f
-    val novel = (0 until 25).map { i =>
+    val novelShort = (0 until 25).map { i =>
       (2000000L + i, s"novel probe document $i about subject ${i * 37} " +
-        s"carrying entirely synthetic prose token${i * 13} token${i * 29}")
-    }.toDF("doc_id", "text")
-    val novelEmb = (0 until 25).map { i =>
-      val id = 2000000L + i
+        s"carrying synthetic prose token${i * 13} token${i * 29}")
+    }
+    val novelLong = (0 until 25).map { i =>
+      val filler = Array.tabulate(36)(p => "n" + ((i * 151 + p * 19) % 9973))
+      (2100000L + i, s"long novel chronicle $i " + filler.mkString(" "))
+    }
+    val novel = (novelShort ++ novelLong).toDF("doc_id", "text")
+    val novelEmb = (novelShort ++ novelLong).map { case (id, _) =>
       (id, Array.tabulate(64)(j => novelComp(id, j)).toSeq)
     }.toDF("vec_id", "embedding")
     val batchDocs = t.documents.filter($"doc_id" < 50)
@@ -83,11 +101,12 @@ object GateProbe {
       .unionByName(novelEmb)
       .localCheckpoint()
 
-    // DEFAULT leg: the width-derived policy end-to-end — 60-bit state,
-    // maxDist/minShingles resolved from the stored width, no per-call
-    // arguments. Expected shape: exact=25 (verbatim), simhash=25 (the
-    // one-token edits), pass=25 (novel docs — short, routed around the
-    // signature tier by the shingle floor, and embedding-novel).
+    // DEFAULT leg: the corpus-size policy end-to-end — auto-built
+    // state, maxDist/minShingles resolved from the stored policy, no
+    // per-call arguments. Expected shape: exact=25 (verbatim),
+    // simhash≈25 (the one-token edits; edits of below-floor corpus
+    // docs route to embedding, where their unchanged vectors catch
+    // them), pass=50 (all novel docs, short AND long).
     val t1 = System.nanoTime()
     val decisions = operators.IngestGate.gate(state, batchDocs, batchEmb)
     val byStage = decisions.groupBy($"stage").count().collect()
@@ -96,7 +115,7 @@ object GateProbe {
 
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     println(s"GATEPROBE dir=$sfDir build_s=${s3(buildS)} serve_s=${s3(serveS)} " +
-      s"bits=${state.simhashBits} " +
+      s"bits=${state.simhashBits} max_dist=${state.simhashMaxDist} " +
       s"stages=${byStage.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")}")
 
     // The closed loop: admit batch-1 survivors, then gate a SECOND batch

@@ -69,15 +69,25 @@ object IngestGate {
     * measured anchor: 16 bits at maxDist 3 carry a ~697-signature
     * neighbor ball, so the tier misfires from n ≈ 100 and saturates
     * completely by ~5k (GateProbe r13 — every novel doc collides).
-    * The uniform model is deliberately conservative — real long-doc
-    * signatures cluster by content, and the measured 50k-doc wide run
-    * saw zero long-doc false hits where the model predicts a few — so
-    * the selection saturates at the 60-bit ceiling (the shingle hash
-    * width) within a few hundred docs. That is why 60/11/11 is also
-    * the STATIC default everywhere in this object; this function
-    * exists to make the selection auditable, and to pick the cheaper
-    * narrow widths for the handful-of-docs regimes where they are
-    * honestly safe.
+    *
+    * Once even the 60-bit ceiling (the shingle hash width) cannot hold
+    * the budget at the full edit-grade maxDist — from n ≈ 2.2k — the
+    * selection keeps the width and SHRINKS maxDist to the largest
+    * radius the budget allows: (60, 10) at 5k stored docs, (60, 9) at
+    * 50k, (60, 7) at 1M, (60, 5) at 100M. That trades edit
+    * sensitivity, but only where it is cheap: a one-word edit flips a
+    * hamming distance proportional to the edited SHINGLE fraction, so
+    * short docs (whose edits measure 9–11 bits) age out of the tier
+    * first while long docs (2–5 bits) stay caught at every realistic
+    * n — and anything the narrowed tier misses still faces the
+    * content-based embedding probe, which is what caught it anyway in
+    * the saturated-16-bit world. The uniform model is honest here:
+    * the r14 GateProbe measured one at-floor (11-shingle) novel doc
+    * falsely trimmed at distance 10 against 50k stored docs, right at
+    * the model's predicted ~0.02/doc — the budget-shrunk maxDist 9
+    * removes it. Long-doc signatures cluster by content and measure
+    * BELOW the model (zero false hits in the 50k run), so the budget
+    * is conservative exactly for the shallow signatures that need it.
     */
   def simhashParams(nDocs: Long): SimhashPolicy = {
     def ball(bits: Int, maxDist: Int): Double = {
@@ -88,10 +98,14 @@ object IngestGate {
       }
       total
     }
-    val bits = Seq(16, 32, 60).find { b =>
-      nDocs.toDouble * ball(b, widthMaxDist(b)) / math.pow(2.0, b) <= 1e-3
-    }.getOrElse(60)
-    SimhashPolicy(bits, widthMaxDist(bits), widthMinShingles(bits))
+    def fits(b: Int, d: Int): Boolean =
+      nDocs.toDouble * ball(b, d) / math.pow(2.0, b) <= 1e-3
+    Seq(16, 32, 60).find(b => fits(b, widthMaxDist(b))) match {
+      case Some(b) => SimhashPolicy(b, widthMaxDist(b), widthMinShingles(b))
+      case None =>
+        val d = (widthMaxDist(60) to 1 by -1).find(fits(60, _)).getOrElse(1)
+        SimhashPolicy(60, d, widthMinShingles(60))
+    }
   }
 
   /** The gate's persisted state: one table per stage plus the IVF
@@ -101,9 +115,28 @@ object IngestGate {
     * width the sims table was signed at, which [[gate]]/[[admit]]
     * always honor (a batch signed at any other width would chunk
     * incompatibly and the tier would go blind).
+    *
+    * `simhashMaxDist` is the probe radius the state was sized for:
+    * [[buildState]]'s auto policy stores [[simhashParams]]' budget-
+    * shrunk radius here (9 at a 50k-doc corpus), so gates over this
+    * state inherit the corpus-scale policy without per-call arguments.
+    * Negative means "width-derived" ([[widthMaxDist]]) — the
+    * reference-parity behavior of explicitly-widthed states.
     */
   final case class GateState(fps: DataFrame, sims: DataFrame,
-      cents: DataFrame, assigned: DataFrame, simhashBits: Int = 60)
+      cents: DataFrame, assigned: DataFrame, simhashBits: Int = 60,
+      simhashMaxDist: Int = -1)
+
+  /** The effective SimHash policy of a state: its stored width, its
+    * stored budget radius (falling back to the width-derived edit
+    * radius when the state predates or bypassed the auto policy), and
+    * the width's shingle floor.
+    */
+  def statePolicy(state: GateState): SimhashPolicy =
+    SimhashPolicy(state.simhashBits,
+      if (state.simhashMaxDist >= 0) state.simhashMaxDist
+      else widthMaxDist(state.simhashBits),
+      widthMinShingles(state.simhashBits))
 
   /** Keep only docs with at least `minShingles` distinct shingles —
     * the shallow-signature routing shared by the gate's batch side,
@@ -128,25 +161,35 @@ object IngestGate {
     *
     * `simhashBits` sizes the SimHash tier's signature space and rides
     * in the state so gate/admit always sign at the stored width. The
-    * default is the corpus-scale 60-bit width ([[simhashParams]] — the
-    * q101/q102 shape): 16 bits saturate at ~5k stored docs (GateProbe:
-    * every novel doc has a hamming≤3 neighbor once ~700·n approaches
-    * 2¹⁶) while the 60-bit ball covers 2⁻³⁸ of its space; 16 remains
-    * the reference-parity opt-in. Docs below the width's
-    * [[widthMinShingles]] floor are not signed into state — their
-    * shallow signatures would chance-trim future novel docs; they keep
-    * full exact- and embedding-tier coverage.
+    * default (-1) takes the WHOLE policy — width, probe radius,
+    * shingle floor — from [[simhashParams]] at the corpus's measured
+    * size (one count job per build), the [[Similarity.annParams]]
+    * analog: 16 bits saturate at ~5k stored docs (GateProbe: every
+    * novel doc has a hamming≤3 neighbor once ~700·n approaches 2¹⁶),
+    * the 60-bit ball covers 2⁻³⁸ of its space, and past ~2k docs the
+    * radius budget-shrinks (9 at 50k — removing the measured at-floor
+    * false trim) while staying wide enough for every long-doc edit.
+    * An EXPLICIT width keeps the width-derived radius — the
+    * reference-parity opt-in (16/3), and the pinned q101/q102 shape
+    * (60/11). Docs below the width's [[widthMinShingles]] floor are
+    * not signed into state — their shallow signatures would
+    * chance-trim future novel docs; they keep full exact- and
+    * embedding-tier coverage.
     */
   def buildState(docs: DataFrame, embeddings: DataFrame,
-      nlist: Int = 16, simhashBits: Int = 60): GateState = {
+      nlist: Int = 16, simhashBits: Int = -1): GateState = {
     import docs.sparkSession.implicits._
+    val pol =
+      if (simhashBits > 0)
+        SimhashPolicy(simhashBits, -1, widthMinShingles(simhashBits))
+      else simhashParams(docs.count())
     val fps = docs
       .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
     val sims = Dedup.simhashes(
-      withEnoughShingles(docs, widthMinShingles(simhashBits)), simhashBits)
+      withEnoughShingles(docs, pol.minShingles), pol.bits)
     val (cents, assigned) = Similarity.ivfIndex(embeddings, nlist = nlist)
-    GateState(fps, sims, cents, assigned, simhashBits)
+    GateState(fps, sims, cents, assigned, pol.bits, pol.maxDist)
   }
 
   /** Persist a gate state under `dir`: the four tables as parquet plus
@@ -163,7 +206,8 @@ object IngestGate {
     state.sims.write.mode("overwrite").parquet(s"$dir/sims")
     state.cents.write.mode("overwrite").parquet(s"$dir/cents")
     state.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
-    Seq(state.simhashBits).toDF("simhash_bits")
+    Seq((state.simhashBits, state.simhashMaxDist))
+      .toDF("simhash_bits", "simhash_max_dist")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -177,21 +221,31 @@ object IngestGate {
     * regenerate themselves at a new geometry).
     */
   def loadState(spark: SparkSession, dir: String): GateState = {
-    val bits =
-      try spark.read.parquet(s"$dir/meta").select("simhash_bits")
-        .head().getInt(0)
-      catch {
+    val (bits, maxDist) =
+      try {
+        val meta = spark.read.parquet(s"$dir/meta")
+        val b = meta.select("simhash_bits").head().getInt(0)
+        // A meta written before the radius rode in it (r14-early) is a
+        // width-only layout: fall back to width-derived, as GateState
+        // defaults do.
+        val d =
+          if (meta.columns.contains("simhash_max_dist"))
+            meta.select("simhash_max_dist").head().getInt(0)
+          else -1
+        (b, d)
+      } catch {
         case _: org.apache.spark.sql.AnalysisException =>
           println(s"GRAFT gate state at $dir has no meta table — legacy " +
             "16-bit layout assumed; re-sign via IngestGate.resignSims(" +
             "state, docs, 60) to migrate (signatures are not invertible: " +
             "the rebuild reads the raw document corpus)")
-          16
+          (16, -1)
       }
     GateState(
       spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/sims"),
       spark.read.parquet(s"$dir/cents"),
-      spark.read.parquet(s"$dir/assigned"), simhashBits = bits)
+      spark.read.parquet(s"$dir/assigned"), simhashBits = bits,
+      simhashMaxDist = maxDist)
   }
 
   /** Width migration: rebuild the signature table at `bits` from the
@@ -207,7 +261,14 @@ object IngestGate {
     state.copy(
       sims = Dedup.simhashes(
         withEnoughShingles(docs, widthMinShingles(bits)), bits),
-      simhashBits = bits)
+      simhashBits = bits,
+      // The migrated corpus's size is in hand — re-price the probe
+      // radius the way a fresh auto build would (only ever shrinks the
+      // width-derived radius; simhashParams' budget leg).
+      simhashMaxDist = simhashParams(docs.count()) match {
+        case SimhashPolicy(60, d, _) if bits == 60 => d
+        case _ => -1
+      })
 
   /** Run one batch through the cascade. `batchEmb` carries (vec_id,
     * embedding) rows keyed by the batch's doc_ids (docs without an
@@ -224,19 +285,19 @@ object IngestGate {
     * per-stage trim accounting CurationFlowSpec-style reports need is
     * one groupBy(stage) away.
     *
-    * `maxDist` and `minShingles` default (-1) to the width-derived
-    * policy of the STATE's stored signature width — [[widthMaxDist]]
-    * and [[widthMinShingles]] — so a gate over the default 60-bit
-    * state needs no per-call tuning; explicit values override.
+    * `maxDist` and `minShingles` default (-1) to the STATE's stored
+    * policy ([[statePolicy]]: the build-time budget radius when the
+    * state was auto-built, else the width-derived edit radius), so a
+    * gate over a default-built state needs no per-call tuning;
+    * explicit values override.
     */
   def gate(state: GateState, batchDocs: DataFrame, batchEmb: DataFrame,
       maxDist: Int = -1, minCos: Double = 0.9,
       nprobe: Int = 4, minShingles: Int = -1): DataFrame = {
     import batchDocs.sparkSession.implicits._
-    val md = if (maxDist < 0) widthMaxDist(state.simhashBits) else maxDist
-    val ms =
-      if (minShingles < 0) widthMinShingles(state.simhashBits)
-      else minShingles
+    val pol = statePolicy(state)
+    val md = if (maxDist < 0) pol.maxDist else maxDist
+    val ms = if (minShingles < 0) pol.minShingles else minShingles
     def hits(pairs: DataFrame, stage: String): DataFrame =
       pairs.groupBy($"doc_id").agg(min($"dup_of").as("dup_of"))
         .select($"doc_id", lit(stage).as("stage"), $"dup_of")
@@ -322,7 +383,7 @@ object IngestGate {
       batchEmb: DataFrame, minShingles: Int = -1): GateState = {
     import batchDocs.sparkSession.implicits._
     val ms =
-      if (minShingles < 0) widthMinShingles(state.simhashBits)
+      if (minShingles < 0) statePolicy(state).minShingles
       else minShingles
     val survivors = decisions.filter($"stage" === "pass")
       .select($"doc_id").distinct()

@@ -418,18 +418,51 @@ class IngestGateSpec extends SparkSpec {
     // The measured anchors: 16 bits misfire from ~100 stored docs
     // (~0.01 false-hit probability per novel doc at n=1 already), so
     // only near-empty states select narrow widths; every realistic
-    // corpus lands on 60/11/11 — the static defaults.
+    // corpus lands at the 60-bit ceiling, with the full edit radius up
+    // to ~2k stored docs and a budget-shrunk radius beyond — (60,10)
+    // at 5k, (60,9) at 50k (which removes the measured at-floor false
+    // trim: the one 11-shingle novel doc that chance-collided at
+    // distance 10 against 50k signatures), (60,5) at 100M.
     val tiny = IngestGate.simhashParams(1)
     assert(tiny.bits <= 32, s"tiny corpus may stay narrow: $tiny")
-    val p5k = IngestGate.simhashParams(5000)
-    assert(p5k == IngestGate.SimhashPolicy(60, 11, 11), s"5k: $p5k")
-    val p1e8 = IngestGate.simhashParams(100000000L)
-    assert(p1e8.bits == 60 && p1e8.maxDist == 11, s"1e8: $p1e8")
+    assert(IngestGate.simhashParams(40) ==
+      IngestGate.SimhashPolicy(60, 11, 11))
+    assert(IngestGate.simhashParams(2000) ==
+      IngestGate.SimhashPolicy(60, 11, 11))
+    assert(IngestGate.simhashParams(5000) ==
+      IngestGate.SimhashPolicy(60, 10, 11))
+    assert(IngestGate.simhashParams(50000) ==
+      IngestGate.SimhashPolicy(60, 9, 11))
+    assert(IngestGate.simhashParams(100000000L) ==
+      IngestGate.SimhashPolicy(60, 5, 11))
+    // Within the 60-bit regime the radius never grows with n (the
+    // budget only tightens; across the width switch the radius is
+    // per-width, so the comparison starts where 60 bits begin).
+    val rads = Seq(100L, 10000L, 1000000L, 100000000L, 10000000000L)
+      .map(IngestGate.simhashParams(_).maxDist)
+    assert(rads == rads.sorted.reverse, s"radii must be monotone: $rads")
     // Width-derived pieces are consistent with the policy.
     assert(IngestGate.widthMaxDist(16) == 3)
     assert(IngestGate.widthMaxDist(60) == 11)
     assert(IngestGate.widthMinShingles(16) == 0)
     assert(IngestGate.widthMinShingles(60) == 11)
+    // buildState's auto policy lands the spec corpus at the full-radius
+    // default and stores the radius in the state; an explicit width
+    // keeps the width-derived radius (reference parity).
+    import spark.implicits._
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val auto = IngestGate.buildState(docs, embs, nlist = 4)
+    assert(auto.simhashBits == 60 && auto.simhashMaxDist == 11)
+    assert(IngestGate.statePolicy(auto) ==
+      IngestGate.SimhashPolicy(60, 11, 11))
+    val pinned = IngestGate.buildState(docs, embs, nlist = 4,
+      simhashBits = 16)
+    assert(pinned.simhashBits == 16 && pinned.simhashMaxDist == -1)
+    assert(IngestGate.statePolicy(pinned) ==
+      IngestGate.SimhashPolicy(16, 3, 0))
   }
 
   test("saveState/loadState persist the signature width; legacy layouts detect as 16-bit; resignSims migrates") {
@@ -443,6 +476,9 @@ class IngestGateSpec extends SparkSpec {
     IngestGate.saveState(built, s"$dir/state")
     val loaded = IngestGate.loadState(spark, s"$dir/state")
     assert(loaded.simhashBits == 60)
+    // The budget radius rides in the meta table with the width.
+    assert(loaded.simhashMaxDist == built.simhashMaxDist &&
+      loaded.simhashMaxDist == 11)
     // The loaded state serves identically to the built one.
     val batchDocs = Seq(
       (101L, stateText(7).replace("ripe", "rotten"))).toDF("doc_id", "text")
