@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ann_topk_auto"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "ann_topk_auto"),
       (exprs: Seq[Expression]) => GraftExtensions.buildAnnTopKAuto(exprs)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("simhash_near_pairs"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "simhash_near_pairs"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildSimhashNearPairs(exprs)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("semantic_dedup"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "semantic_dedup"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildSemanticDedup(exprs)))
   }
 }
 
@@ -72,6 +81,15 @@ object GraftExtensions {
       new FunctionIdentifier("ann_topk_auto"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "ann_topk_auto"),
       (exprs: Seq[Expression]) => buildAnnTopKAuto(exprs))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new FunctionIdentifier("simhash_near_pairs"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "simhash_near_pairs"),
+      (exprs: Seq[Expression]) => buildSimhashNearPairs(exprs))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new FunctionIdentifier("semantic_dedup"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "semantic_dedup"),
+      (exprs: Seq[Expression]) => buildSemanticDedup(exprs))
   }
 
   /** SQL table-function builder:
@@ -90,31 +108,78 @@ object GraftExtensions {
     * plan is the operator's analyzed serve plan — (qid, nid, cos, rk) —
     * so SQL callers compose it (joins, filters, CTEs) like any relation.
     */
+  private def asInt(e: Expression): Int = e.eval() match {
+    case i: java.lang.Integer => i.intValue()
+    case l: java.lang.Long => l.intValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+
+  private def asDouble(e: Expression): Double = e.eval() match {
+    case d: java.lang.Double => d.doubleValue()
+    case f: java.lang.Float => f.doubleValue()
+    case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+    case i: java.lang.Integer => i.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
   private[graft] def buildAnnTopKAuto(
       exprs: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(exprs.length == 4 && exprs.forall(_.foldable),
       "ann_topk_auto(view STRING, n_queries INT, k INT, " +
         "target_recall DOUBLE) — all arguments must be literals")
-    def asInt(e: Expression): Int = e.eval() match {
-      case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long => l.intValue()
-      case d: org.apache.spark.sql.types.Decimal => d.toInt
-      case other => throw new IllegalArgumentException(
-        s"expected an integer literal, got $other")
-    }
-    def asDouble(e: Expression): Double = e.eval() match {
-      case d: java.lang.Double => d.doubleValue()
-      case f: java.lang.Float => f.doubleValue()
-      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-      case i: java.lang.Integer => i.doubleValue()
-      case other => throw new IllegalArgumentException(
-        s"expected a numeric literal, got $other")
-    }
     val view = exprs.head.eval().toString
     val spark = org.apache.spark.sql.SparkSession.active
     graft.operators.Similarity.cosineTopKAuto(spark.table(view),
         asInt(exprs(1)), asInt(exprs(2)), targetRecall = asDouble(exprs(3)))
+      .queryExecution.analyzed
+  }
+
+  /** SQL table-function builder:
+    * `simhash_near_pairs('view_name', max_dist, bits)` — exact
+    * hamming-≤maxDist near-duplicate pairs over a (doc_id, text) view
+    * ([[graft.operators.Dedup.simhashNearPairs]]) from pure SQL:
+    * `SELECT * FROM simhash_near_pairs('documents_v', 5, 60)`. Same
+    * macro-expansion contract as [[buildAnnTopKAuto]]: literal
+    * arguments, returns the operator's analyzed (doc_a, doc_b, hamming)
+    * plan — the pigeonhole multi-index join, never an O(n²) self-join —
+    * composable like any relation.
+    */
+  private[graft] def buildSimhashNearPairs(
+      exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3 && exprs.forall(_.foldable),
+      "simhash_near_pairs(view STRING, max_dist INT, bits INT) — " +
+        "all arguments must be literals")
+    val view = exprs.head.eval().toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.operators.Dedup.simhashNearPairs(spark.table(view),
+        maxDist = asInt(exprs(1)), bits = asInt(exprs(2)))
+      .queryExecution.analyzed
+  }
+
+  /** SQL table-function builder:
+    * `semantic_dedup('view_name', min_cos)` — the auto-sized SemDeDup
+    * verdict relation ([[graft.operators.Similarity.semanticDedup]])
+    * from pure SQL:
+    * `SELECT * FROM semantic_dedup('embeddings_v', 0.35) WHERE kept`.
+    * The expansion runs the operator's driver-side phases (corpus count
+    * → √n nlist → capped hash-seeded Lloyd training) at analysis time,
+    * then returns the analyzed (vec_id, list_id, kept) serve plan.
+    */
+  private[graft] def buildSemanticDedup(
+      exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2 && exprs.forall(_.foldable),
+      "semantic_dedup(view STRING, min_cos DOUBLE) — " +
+        "all arguments must be literals")
+    val view = exprs.head.eval().toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.operators.Similarity.semanticDedup(spark.table(view),
+        minCos = asDouble(exprs(1)))
       .queryExecution.analyzed
   }
 

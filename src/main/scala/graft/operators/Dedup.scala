@@ -846,6 +846,16 @@ object Dedup {
       simhashNearDupsFromState(simhashes(docs, 60),
         docs.filter($"doc_id" < 200), 5, bits = 60)
     }),
+    // q101 reached through the SQL table function (GraftExtensions):
+    // identical pigeonhole-join operator, macro-expanded at analysis
+    // time, so SQL-first users get corpus-scale near-dup pairs without
+    // a line of Scala.
+    "q104_sql_simhash_pairs" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      Tables.load(s, d).documents.createOrReplaceTempView("documents_v")
+      s.sql(
+        "SELECT doc_a, doc_b, hamming FROM simhash_near_pairs('documents_v', 5, 60)")
+    }),
     "q64_decontaminate" -> ((s, d) =>
       decontaminate(Tables.load(s, d).documents, "src0", 5)),
     "q67_neardup_clusters" -> ((s, d) =>
@@ -1033,6 +1043,14 @@ object Dedup {
          |FROM sig b JOIN sig a ON a.doc_id <> b.doc_id
          |WHERE b.doc_id < 200
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
+    // q104 is q101 reached through the SQL table function — identical
+    // operator, identical brute-force oracle.
+    "q104_sql_simhash_pairs" ->
+      s"""WITH ${simhashCteAt(60)}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""".stripMargin,
     // The LSH path is exact-verified; at 16×4 bands the candidate recall at
     // j ≥ 0.9 is 1 - (1-j⁴)¹⁶ > 1 - 5e-8, so brute force is the oracle.
     "q27_neardup_lsh" -> jaccardSql(0.9),

@@ -2685,6 +2685,15 @@ object Similarity {
       Tables.load(s, d).embeddings.createOrReplaceTempView("embeddings_v")
       s.sql(
         "SELECT qid, nid, cos, rk FROM ann_topk_auto('embeddings_v', 10, 3, 0.9)")
+    }),
+    // q92 reached through the SQL table function — the auto-sized
+    // SemDeDup verdict relation composable from pure SQL (the outer
+    // projection proves it composes like any relation).
+    "q105_sql_semantic_dedup" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      Tables.load(s, d).embeddings.createOrReplaceTempView("embeddings_v")
+      s.sql(
+        "SELECT vec_id, list_id, kept FROM semantic_dedup('embeddings_v', 0.35)")
     })
   )
 
@@ -2803,6 +2812,10 @@ object Similarity {
       nlist = q99Geom.nlist, nprobe = q99Geom.nprobe, m = q99Geom.m,
       ksub = 256, iters = 2, dims = 64,
       refine = Some(3 * q99Geom.kFactor)),
+    // q105 is q92 reached through the SQL table function — identical
+    // operator, identical pinned-geometry Lloyd-replay oracle.
+    "q105_sql_semantic_dedup" -> semanticDedupOracleSql("0.35",
+      nlist = q92Nlist, iters = 2, trainFrac = 0.5),
     "q95_cosine_neardup_serve" -> ivfServeOracleSql(nQueries = 20,
       minCosSql = "0.35", nlist = 16, nprobe = 4, iters = 2),
     "q80_cosine_topk_ivf_sampled" -> ivfOracleSql(nQueries = 10, k = 3,

@@ -114,6 +114,63 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("literal"))
     operators.Similarity.releaseIndexes()
   }
+
+  test("simhash_near_pairs table function matches the Column-API pairs") {
+    import spark.implicits._
+    // 40 base docs + 5 one-token edits of the first five: the edits are
+    // the near pairs the 60-bit signature must surface at maxDist 5.
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}")
+        .mkString(" "))
+    }
+    val edits = (0 until 5).map { i =>
+      (100L + i, base(i)._2.replaceFirst("\\bw\\d+\\b", "zz"))
+    }
+    (base ++ edits).toDF("doc_id", "text")
+      .createOrReplaceTempView("sim_docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_a, doc_b, hamming FROM simhash_near_pairs('sim_docs_v', 5, 60)")
+      .collect().map(_.toSeq).toSet
+    val viaCol = operators.Dedup.simhashNearPairs(
+        spark.table("sim_docs_v"), maxDist = 5, bits = 60)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // Composes like a relation: count the docs with any near-twin.
+    val nDocs = spark.sql(
+      """SELECT count(DISTINCT doc_a) AS n
+        |FROM simhash_near_pairs('sim_docs_v', 5, 60)""".stripMargin)
+      .first().getLong(0)
+    assert(nDocs >= 1)
+  }
+
+  test("semantic_dedup table function matches the Column-API semanticDedup") {
+    import spark.implicits._
+    val emb = (0 until 200).map { i =>
+      // 100 sources + 100 exact copies: every copy must be dropped.
+      val src = i % 100
+      (i.toLong, Array.tabulate(64)(j =>
+        (scala.util.hashing.MurmurHash3.productHash((src, j)) % 1000) / 1000f)
+        .toSeq)
+    }.toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("sem_emb_v")
+    val viaSql = spark.sql(
+      "SELECT vec_id, list_id, kept FROM semantic_dedup('sem_emb_v', 0.35)")
+      .collect().map(_.toSeq).toSet
+    val viaCol = operators.Similarity.semanticDedup(emb, 0.35)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+    // The verdict relation filters like any relation. Never BOTH members
+    // of an identical pair survive (chance ≥0.35 cosine between distinct
+    // random sources can dedup a few of those too, so kept < 100).
+    val bothKept = spark.sql(
+      """SELECT count(*) AS n
+        |FROM semantic_dedup('sem_emb_v', 0.35) a
+        |JOIN semantic_dedup('sem_emb_v', 0.35) b
+        |  ON b.vec_id = a.vec_id + 100
+        |WHERE a.kept AND b.kept""".stripMargin).first().getLong(0)
+    assert(bothKept == 0L)
+    operators.Similarity.releaseIndexes()
+  }
 }
 
 class SessionWindowSpec extends SparkSpec {
