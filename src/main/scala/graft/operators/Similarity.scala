@@ -498,15 +498,25 @@ object Similarity {
     * lists (same integer squared-L2 metric and tiebreak as assignment —
     * one native ProbeCentroids top-nprobe per query row), then scores
     * only those lists.
+    *
+    * TWO broadcasts on purpose: the (qid, list_id) probe pairs prune
+    * the corpus, then the per-query payload (qv, qnsq) attaches by qid.
+    * A single exploded broadcast would replicate every query's payload
+    * nprobe times — at the √n-scaled nprobe a large corpus needs, that
+    * duplication alone breaches driver collect limits (measured: the
+    * 2M-vector probe died at nprobe=766 when the per-probe-row LUT
+    * variant of this shape crossed spark.driver.maxResultSize).
     */
   private def probeAndScore(assigned: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Array[Long])], k: Int, nprobe: Int): DataFrame = {
     import assigned.sparkSession.implicits._
-    val qProbes = queries
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"),
-        explode(probeExpr($"v", cents, nprobe))
-          .as("list_id"))
-    scoreTopK(assigned.join(broadcast(qProbes), Seq("list_id"))
+    val qPairs = queries
+      .select($"vec_id".as("qid"),
+        explode(probeExpr($"v", cents, nprobe)).as("list_id"))
+    val qPayload = queries
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nsq".as("qnsq"))
+    scoreTopK(assigned.join(broadcast(qPairs), Seq("list_id"))
+      .join(broadcast(qPayload), Seq("qid"))
       .filter($"vec_id" =!= $"qid"), k)
   }
 
@@ -873,15 +883,24 @@ object Similarity {
     import codes.sparkSession.implicits._
     val m = books.size
     val len = dims / m
-    val qq = queries
+    // Probe pairs and per-query LUTs broadcast SEPARATELY: the m luts
+    // are m·ksub longs per query (32 KB at m=16·ksub=256) and depend
+    // only on qid — folding them into the exploded probe frame would
+    // replicate each query's luts nprobe times, and at the √n-scaled
+    // nprobe a 2M-vector corpus needs (~770) that duplication alone is
+    // a multi-GB broadcast (measured: breached maxResultSize at 2M,
+    // target 0.9). Split, the pair side is 16 bytes/row and the lut
+    // side is nq rows total.
+    val qPairs = queries.select($"vec_id".as("qid"),
+      explode(probeExpr($"v", cents, nprobe)).as("list_id"))
+    val qLuts = queries
       .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
-        explode(probeExpr($"v", cents, nprobe))
-          .as("list_id") +:
         (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
           .as(s"lut$s"))): _*)
     val adot = (0 until m).map(s =>
       lutAt(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
-    val scored = codes.join(broadcast(qq), Seq("list_id"))
+    val scored = codes.join(broadcast(qPairs), Seq("list_id"))
+      .join(broadcast(qLuts), Seq("qid"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
         (adot.cast("double") / sqrt($"qnsq".cast("double")) /
@@ -989,11 +1008,15 @@ object Similarity {
     if (cents.isEmpty)
       return q.filter(lit(false)).select($"vec_id",
         $"vec_id".as("dup_of"), lit(0d).as("cos"))
-    val qProbes = q.select($"vec_id".as("qid"), $"v".as("qv"),
-      $"nsq".as("qnsq"),
-      explode(probeExpr($"v", cents, nprobe))
-        .as("list_id"))
-    assigned.join(broadcast(qProbes), Seq("list_id"))
+    // Two broadcasts (see [[probeAndScore]]'s scale note): probe pairs
+    // prune the corpus, the per-query vector attaches once by qid
+    // instead of riding every probe row.
+    val qPairs = q.select($"vec_id".as("qid"),
+      explode(probeExpr($"v", cents, nprobe)).as("list_id"))
+    val qPayload = q.select($"vec_id".as("qid"), $"v".as("qv"),
+      $"nsq".as("qnsq"))
+    assigned.join(broadcast(qPairs), Seq("list_id"))
+      .join(broadcast(qPayload), Seq("qid"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("dup_of"),
         (dotQ($"qv", $"v").cast("double") /
@@ -1485,17 +1508,24 @@ object Similarity {
     val (centVecs, _) = centDense(cents, dims)
     val m = books.size
     val len = dims / m
-    val qq = queries
-      .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +: $"v".as("qv") +:
-        explode(probeExpr($"v", cents, nprobe)).as("list_id") +:
-        (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
-          .as(s"lut$s"))): _*)
+    // Same two-broadcast split as [[pqScoreProbed]] (see the scale note
+    // there): only cent_dot genuinely varies per (query, probed list),
+    // so it rides the 24-byte pair rows; the m per-query residual luts
+    // and qnsq broadcast once per query, never per probe.
+    val qPairs = queries
+      .select($"vec_id".as("qid"), $"v".as("qv"),
+        explode(probeExpr($"v", cents, nprobe)).as("list_id"))
       .withColumn("cent_dot", dotQ($"qv",
         element_at(lit2dLong(centVecs), ($"list_id" + 1).cast("int"))))
       .drop("qv")
+    val qLuts = queries
+      .select(($"vec_id".as("qid") +: $"nsq".as("qnsq") +:
+        (0 until m).map(s => pqLut(slice($"v", s * len + 1, len), books(s))
+          .as(s"lut$s"))): _*)
     val adot = $"cent_dot" + (0 until m).map(s =>
       lutAt(col(s"lut$s"), col(s"c$s"))).reduce(_ + _)
-    val scored = codes.join(broadcast(qq), Seq("list_id"))
+    val scored = codes.join(broadcast(qPairs), Seq("list_id"))
+      .join(broadcast(qLuts), Seq("qid"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"),
         (adot.cast("double") / sqrt($"qnsq".cast("double")) /
