@@ -134,16 +134,31 @@ object RecallProbe {
             kFactor = kff, nlist = nlist, nprobe = np, m = 8, ksub = 256))
       }
     } else if (args.contains("auto")) {
+      // SPARK_GRAFT_AUTO_VARIANTS selects arms so a follow-up run can
+      // add one arm without re-paying the others at corpus scale:
+      //   direct — the annParams-pinned IvfPqRefined + the auto entry
+      //   resid  — cosineTopKIvfPqResidualRefined at the SAME auto
+      //            geometry (recall delta attributable to encoding)
+      val arms = sys.env.getOrElse("SPARK_GRAFT_AUTO_VARIANTS", "direct")
+        .split(",").map(_.trim).toSet
       val n = emb.count()
       for (target <- Seq(0.8, 0.9)) {
         val g = operators.Similarity.annParams(n, k, target)
-        measure(s"auto_ivfpq[target=$target,nlist=${g.nlist}," +
-          s"np=${g.nprobe},kf=${g.kFactor},m=${g.m}]", () =>
-          operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
-            kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe,
-            m = g.m, ksub = 256))
-        measure(s"auto_entry[target=$target]", () =>
-          operators.Similarity.cosineTopKAuto(emb, nq, k, target))
+        if (arms("direct")) {
+          measure(s"auto_ivfpq[target=$target,nlist=${g.nlist}," +
+            s"np=${g.nprobe},kf=${g.kFactor},m=${g.m}]", () =>
+            operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
+              kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe,
+              m = g.m, ksub = 256))
+          measure(s"auto_entry[target=$target]", () =>
+            operators.Similarity.cosineTopKAuto(emb, nq, k, target))
+        }
+        if (arms("resid"))
+          measure(s"auto_resid[target=$target,nlist=${g.nlist}," +
+            s"np=${g.nprobe},kf=${g.kFactor},m=${g.m}]", () =>
+            operators.Similarity.cosineTopKIvfPqResidualRefined(emb, nq,
+              k, kFactor = g.kFactor, nlist = g.nlist, nprobe = g.nprobe,
+              m = g.m, ksub = 256))
       }
     } else variants.foreach { case (name, thunk) => measure(name, thunk) }
     spark.stop()
