@@ -133,6 +133,24 @@ object RecallProbe {
           operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
             kFactor = kff, nlist = nlist, nprobe = np, m = 8, ksub = 256))
       }
+    } else if (args.contains("lowf")) {
+      // Low-nprobe-fraction curve at the annParams NATURAL geometry
+      // (nlist=√n, and m/kFactor exactly what annParams picks at this
+      // n): the refit data for the nprobe inversion's upper decades.
+      // The r13 curve was fitted at 2k/20k with kf=256 fixed; at
+      // 200k/2M the auto kFactor scales with n (cFrac·n), so recall at
+      // a given fraction is much higher — these are the points the
+      // refit anchors on. Build artifacts are session-cached, so arms
+      // beyond the first pay only their own probe scan.
+      val n = emb.count()
+      val g = operators.Similarity.annParams(n, k, 0.9)
+      for (f <- Seq(0.0125, 0.025, 0.05, 0.1, 0.2, 0.4)) {
+        val np = math.max(1, math.ceil(g.nlist * f).toInt)
+        measure(s"lowf_ivfpq[m=${g.m},kf=${g.kFactor},np=$np/${g.nlist}]",
+          () => operators.Similarity.cosineTopKIvfPqRefined(emb, nq, k,
+            kFactor = g.kFactor, nlist = g.nlist, nprobe = np,
+            m = g.m, ksub = 256))
+      }
     } else if (args.contains("auto")) {
       // SPARK_GRAFT_AUTO_VARIANTS selects arms so a follow-up run can
       // add one arm without re-paying the others at corpus scale:

@@ -479,11 +479,8 @@ object Dedup {
 
   /** [[simhashNearPairs]] at an explicit signature width (bits ≤ 60 —
     * the shingle hash is the bit source). Exact without an O(n²)
-    * self-join: split the signature into (maxDist+1) chunks — by
-    * pigeonhole, any pair within maxDist shares at least one chunk
-    * exactly — join on (chunk index, chunk value), then verify
-    * bit_count(xor) on the candidates. This is the standard multi-index
-    * hamming search; the only shuffle is on chunk keys.
+    * self-join via multi-index hamming blocking — see
+    * [[hammingNearPairs]].
     */
   def simhashNearPairs(docs: DataFrame, maxDist: Int, bits: Int): DataFrame =
     hammingNearPairs(simhashes(docs, bits), "doc_id", "simhash", bits, maxDist)
@@ -494,17 +491,49 @@ object Dedup {
     * ([[graft.stages.ImageStage.aHashStage]]) alike, which makes image
     * near-dup the same operator as text near-dup.
     *
-    * Exact without an O(n²) self-join: split the signature into
-    * (maxDist+1) chunks — by pigeonhole, any pair within maxDist shares at
-    * least one chunk exactly — join on (chunk index, chunk value), then
-    * verify bit_count(xor) on the candidates. This is the standard
-    * multi-index hamming search; the only shuffle is on chunk keys.
+    * Exact without an O(n²) self-join: multi-index hamming search
+    * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
+    * Multi-Index Hashing", CVPR 2012). Split the signature into c
+    * chunks; by the GENERALIZED pigeonhole, a pair within maxDist
+    * agrees within r = ⌊maxDist/c⌋ on at least one chunk (if every
+    * chunk disagreed by ≥ r+1, the total would be ≥ c·(r+1) > maxDist).
+    * The index side emits each chunk's exact value; the probe side
+    * enumerates, per chunk, every value within hamming radius r of its
+    * own (a driver-built xor-mask list — Σ_{i≤r} C(width, i) masks);
+    * candidates join on (chunk, value) and are verified exactly with
+    * bit_count(xor), so false positives are impossible at any geometry.
+    *
+    * Why not the naive c = maxDist+1 / r = 0 split (this operator's
+    * r12–r14 shape): at wide-signature geometries (60 bits, maxDist
+    * 5–11) it degenerates to 5–10-bit chunks whose 2⁵–2¹⁰-value key
+    * space makes the candidate join quadratic in n with a constant
+    * barely under brute force (~0.2–0.4·n² at 60/11). Fewer, WIDER
+    * chunks trade a bounded probe-side fan-out (c·ball rows per doc)
+    * for an exponentially more selective join key; [[mihChunks]] picks
+    * c from the measured corpus size by exactly that cost model, and
+    * recovers the r=0 split automatically where it IS optimal (narrow
+    * widths, tiny corpora). The only shuffle is still on (chunk, value)
+    * keys; candidate volume is tunable so 2^width ≫ n/bucket.
     */
   def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, maxDist: Int): DataFrame = {
+    val s = cacheIndex(
+      sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
+    hammingNearPairsWithChunks(s, bits, maxDist,
+      mihChunks(bits, maxDist, s.count()))
+  }
+
+  /** [[hammingNearPairs]] at an explicit chunk count — the spec's
+    * geometry sweep (every c in 1..maxDist+1 must return the same pair
+    * set) and the probe's old-vs-new comparison hook. `sigs` must
+    * already be in (_id, _sig) shape.
+    */
+  private[graft] def hammingNearPairsWithChunks(sigs: DataFrame,
+      bits: Int, maxDist: Int, chunks: Int): DataFrame = {
     import sigs.sparkSession.implicits._
-    val chunked = cacheIndex(chunkSigs(sigs, idCol, sigCol, bits, maxDist))
-    chunked.as("x").join(chunked.as("y"),
+    val exact = chunkSigs(sigs, bits, maxDist, chunks)
+    val probe = chunkProbes(sigs, bits, maxDist, chunks)
+    exact.as("x").join(probe.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x._id") < col("y._id"))
       .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
@@ -514,48 +543,148 @@ object Dedup {
       .filter($"hamming" <= maxDist)
   }
 
-  /** (id, sig) → one row per pigeonhole chunk: (_id, _sig, c, v). Shared
-    * by the self-join ([[hammingNearPairs]]) and the serve-against-state
-    * join ([[hammingNearPairsAgainst]]) so both sides block identically.
+  /** MIH chunk-count selection from (signature width, radius, corpus
+    * size): minimize per-doc work = probe fan-out (c·ball rows) plus
+    * expected verify candidates (c·ball·n/2^width under the
+    * uniform-signature model — conservative on real corpora, where
+    * near-dup signatures cluster) over c ∈ 1..maxDist+1, capping the
+    * driver-built mask list at 8192 entries. The optimum tracks
+    * 2^width ≈ n (Norouzi's b/log₂n substring rule): 60/5 picks 3×20-bit
+    * chunks at n=60k (r=1, 21-mask ball — ~5× fewer candidates than the
+    * r=0 split) but keeps maxDist+1 chunks at n≲100, where enumeration
+    * would cost more than it saves. Pure function of its arguments, so
+    * plans stay deterministic at a given corpus size.
     */
-  private def chunkSigs(sigs: DataFrame, idCol: String, sigCol: String,
-      bits: Int, maxDist: Int): DataFrame = {
+  private[graft] def mihChunks(bits: Int, maxDist: Int, n: Long): Int = {
+    def ball(w: Int, r: Int): Double = {
+      var total = 0.0; var c = 1.0
+      for (i <- 0 to r) { total += c; c = c * (w - i) / (i + 1) }
+      total
+    }
+    val nd = math.max(1L, n).toDouble
+    var best = maxDist + 1
+    var bestCost = Double.MaxValue
+    for (c <- 1 to math.min(bits, maxDist + 1)) {
+      val w = bits / c // min chunk width (the last chunk only gets wider)
+      val r = maxDist / c
+      val b = ball(w, r)
+      val cost = c * b + c * b * nd / math.pow(2.0, w.toDouble)
+      if (b <= 8192 && cost < bestCost) { bestCost = cost; best = c }
+    }
+    best
+  }
+
+  /** Every xor-mask over `width` low bits with popcount ≤ maxPop, i.e.
+    * the hamming ball of radius maxPop around 0 — the probe side's
+    * per-chunk enumeration table. Driver-built once per plan; size
+    * Σ_{i≤maxPop} C(width, i), capped by [[mihChunks]]' geometry
+    * choice.
+    */
+  private[graft] def xorMasks(width: Int, maxPop: Int): Seq[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def rec(bit: Int, mask: Long, pop: Int): Unit = {
+      buf += mask
+      if (pop < maxPop) {
+        var b = bit
+        while (b < width) { rec(b + 1, mask | (1L << b), pop + 1); b += 1 }
+      }
+    }
+    rec(0, 0L, 0)
+    buf.toSeq
+  }
+
+  private def chunkWidth(bits: Int, chunks: Int, c: Int): Int = {
+    val bitsPer = bits / chunks
+    // The last chunk absorbs the remainder bits when chunks doesn't
+    // divide the width — otherwise the top bits would belong to no chunk
+    // and pairs differing only there would be silently missed.
+    if (c == chunks - 1) bits - bitsPer * (chunks - 1) else bitsPer
+  }
+
+  private def chunkVal(sig: Column, bits: Int, chunks: Int, c: Int): Column = {
+    val width = chunkWidth(bits, chunks, c)
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    shiftright(sig, c * (bits / chunks)).bitwiseAND(lit(mask))
+  }
+
+  /** Index side: (_id, _sig) → one row per chunk with its EXACT value:
+    * (_id, _sig, c, v). This is the stored/persisted/cached side of
+    * both MIH joins — it never fans out beyond `chunks` rows per doc.
+    */
+  private def chunkSigs(sigs: DataFrame, bits: Int, maxDist: Int,
+      chunks: Int): DataFrame = {
     import sigs.sparkSession.implicits._
     require(bits >= 1 && bits <= 64 && maxDist < bits,
       s"need 1 <= bits <= 64 and maxDist < bits, got ($bits, $maxDist)")
-    val chunks = maxDist + 1
-    val bitsPer = bits / chunks
-    // The last chunk absorbs the remainder bits when chunks doesn't divide
-    // the width — otherwise the top bits would belong to no chunk and
-    // pairs differing only there would be silently missed.
+    require(chunks >= 1 && chunks <= bits,
+      s"need 1 <= chunks <= bits, got ($chunks, $bits)")
     val chunkArr = array((0 until chunks).map { c =>
-      val width = if (c == chunks - 1) bits - bitsPer * (chunks - 1) else bitsPer
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      struct(lit(c).as("c"),
-        shiftright(col("_sig"), c * bitsPer).bitwiseAND(lit(mask)).as("v"))
+      struct(lit(c).as("c"), chunkVal(col("_sig"), bits, chunks, c).as("v"))
     }: _*)
-    sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
-      .select($"_id", $"_sig", explode(chunkArr).as("ch"))
+    sigs.select($"_id", $"_sig", explode(chunkArr).as("ch"))
       .select($"_id", $"_sig", col("ch.c").as("c"), col("ch.v").as("v"))
   }
 
+  /** Probe side: (_id, _sig) → one row per (chunk, ball value): every
+    * value within radius ⌊maxDist/chunks⌋ of the doc's own chunk value,
+    * generated by xor against the driver-built mask table (one literal
+    * array, one explode — all map-side). At chunks = maxDist+1 the
+    * radius is 0 and this degenerates to [[chunkSigs]] exactly.
+    */
+  private def chunkProbes(sigs: DataFrame, bits: Int, maxDist: Int,
+      chunks: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val r = maxDist / chunks
+    val cm: Seq[(Int, Long)] = (0 until chunks).flatMap { c =>
+      xorMasks(chunkWidth(bits, chunks, c), r).map(m => (c, m))
+    }
+    val ownVal = coalesce((0 until chunks).map { c =>
+      when(col("cm._1") === c, chunkVal(col("_sig"), bits, chunks, c))
+    }: _*)
+    sigs.select($"_id", $"_sig", explode(typedlit(cm)).as("cm"))
+      .select($"_id", $"_sig", col("cm._1").as("c"),
+        ownVal.bitwiseXOR(col("cm._2")).as("v"))
+  }
+
+  /** Diagnostic: raw candidate volume (join matches before the verify
+    * filter and dedup) of the MIH join at an explicit geometry — the
+    * probe's evidence that the chunk choice controls the quadratic
+    * term. Not a query path.
+    */
+  private[graft] def hammingCandidateCount(sigs: DataFrame, bits: Int,
+      maxDist: Int, chunks: Int): Long =
+    chunkSigs(sigs, bits, maxDist, chunks).as("x")
+      .join(chunkProbes(sigs, bits, maxDist, chunks).as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x._id") < col("y._id"))
+      .count()
+
   /** Hamming-≤maxDist pairs of an INCOMING batch against a stored
     * signature state — the serving-side form of [[hammingNearPairs]],
-    * same pigeonhole blocking but two-sided: the state's chunk index is
-    * the persisted/cached side, the batch's chunks broadcast against it.
-    * Emits ordered (id, dup_of, hamming) — id from the batch, dup_of
-    * from the state — so a batch doc reports EVERY stored near-twin.
+    * same MIH blocking but two-sided: the state holds the exact chunk
+    * index (the persisted/cached side), the batch's enumerated probe
+    * rows broadcast against it. Emits ordered (id, dup_of, hamming) —
+    * id from the batch, dup_of from the state — so a batch doc reports
+    * EVERY stored near-twin.
     *
-    * Scale shape: serve-time work is |batch|·(maxDist+1) chunk rows
-    * joined map-side against the chunked state (broadcast the batch,
-    * never the state); exactness is inherited from the pigeonhole bound.
+    * Scale shape: serve-time work is |batch|·c·ball probe rows joined
+    * map-side against the chunked state (broadcast the batch, never the
+    * state); the chunk geometry derives from the STATE's size — the
+    * side whose candidate volume the key selectivity must control —
+    * and exactness is the generalized pigeonhole bound, verified with
+    * bit_count(xor).
     */
   def hammingNearPairsAgainst(state: DataFrame, batch: DataFrame,
       idCol: String, sigCol: String, bits: Int, maxDist: Int): DataFrame = {
     import state.sparkSession.implicits._
-    val st = cacheIndex(chunkSigs(state, idCol, sigCol, bits, maxDist))
-    val bt = chunkSigs(batch, idCol, sigCol, bits, maxDist)
-    st.as("x").join(broadcast(bt.as("y")),
+    val st = cacheIndex(
+      state.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
+    val chunks = mihChunks(bits, maxDist, st.count())
+    val stChunks = chunkSigs(st, bits, maxDist, chunks)
+    val bt = chunkProbes(
+      batch.select(col(idCol).as("_id"), col(sigCol).as("_sig")),
+      bits, maxDist, chunks)
+    stChunks.as("x").join(broadcast(bt.as("y")),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x._id") =!= col("y._id"))
       .select(col("y._id").as("id"), col("x._id").as("dup_of"),
@@ -829,9 +958,11 @@ object Dedup {
         docs.filter($"doc_id" < 20), 1)
     }),
     // Corpus-scale signature width (see [[simhashes]] scale note): the
-    // same pigeonhole pair join at 60 bits / maxDist 5 — six 10-bit
-    // chunks, so the join keys stay selective while the neighbor ball
-    // shrinks from 2⁻⁶·⁴ of the space (16-bit) to 2⁻³⁸ (60-bit).
+    // MIH pair join at 60 bits / maxDist 5 — [[mihChunks]] picks the
+    // chunk geometry from the corpus size (3×20-bit chunks with radius-1
+    // probe balls at sf0.1+), so the join keys stay selective while the
+    // neighbor ball shrinks from 2⁻⁶·⁴ of the space (16-bit) to 2⁻³⁸
+    // (60-bit).
     "q101_simhash_wide_pairs" -> ((s, d) =>
       hammingNearPairs(simhashes(Tables.load(s, d).documents, 60),
         "doc_id", "simhash", 60, 5)

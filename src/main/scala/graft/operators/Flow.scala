@@ -66,9 +66,15 @@ object Flow {
         val path = s"$root/$stage"
         val resume =
           spark.conf.getOption("graft.flow.resume").forall(_.toBoolean)
-        if (named && resume && boundaryComplete(spark, path))
+        if (named && resume && boundaryComplete(spark, path)) {
+          // Reuse is attributable, never silent (r14 advice): resume
+          // trusts the NAME — it cannot see that a stage's logic or
+          // inputs changed — so every reuse says so, and the opt-out
+          // is printed with it.
+          println(s"GRAFT flow: boundary '$stage' reused from $path " +
+            "(set graft.flow.resume=false to force recompute)")
           spark.read.parquet(path)
-        else {
+        } else {
           df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
         }

@@ -59,21 +59,29 @@ object IngestGate {
     */
   def widthMinShingles(bits: Int): Int = if (bits > 16) 11 else 0
 
-  /** Corpus-size-driven SimHash policy: the smallest width (of 16, 32,
-    * 60 — the shingle hash caps the ceiling at 60) whose expected
-    * false-hit count per NOVEL document,
-    * n · ball(bits, maxDist) / 2^bits with ball = Σ_{i≤maxDist}
-    * C(bits, i), stays under 1e-3 — i.e. fewer than one in a thousand
-    * genuinely novel docs chance-trimmed by the signature tier at n
-    * stored docs, under the uniform-random-signature model. The
-    * measured anchor: 16 bits at maxDist 3 carry a ~697-signature
-    * neighbor ball, so the tier misfires from n ≈ 100 and saturates
-    * completely by ~5k (GateProbe r13 — every novel doc collides).
+  /** Corpus-size-driven SimHash policy: ALWAYS the 60-bit ceiling (the
+    * shingle hash width), with the probe radius budget-shrunk so the
+    * expected false-hit count per NOVEL document,
+    * n · ball(60, maxDist) / 2⁶⁰ with ball = Σ_{i≤maxDist} C(60, i),
+    * stays under 1e-3 — fewer than one in a thousand genuinely novel
+    * docs chance-trimmed by the signature tier at n stored docs, under
+    * the uniform-random-signature model.
     *
-    * Once even the 60-bit ceiling (the shingle hash width) cannot hold
-    * the budget at the full edit-grade maxDist — from n ≈ 2.2k — the
-    * selection keeps the width and SHRINKS maxDist to the largest
-    * radius the budget allows: (60, 10) at 5k stored docs, (60, 9) at
+    * The width is NOT selected from n, on purpose (r14 advice): a
+    * state is priced once at build time but grows through [[admit]]
+    * forever after, so a narrow width that fits a tiny/empty SEED
+    * corpus (16 bits fit only n ≲ 0, 32 bits n ≲ 3) would silently
+    * saturate as the corpus grows — the exact data-loss failure the
+    * policy exists to prevent (16 bits at maxDist 3 carry a
+    * ~697-signature neighbor ball: the tier misfires from n ≈ 100 and
+    * saturates completely by ~5k — GateProbe r13, every novel doc
+    * collides). Narrow widths remain an explicit reference-parity
+    * opt-in via [[buildState]]'s simhashBits argument. A width has no
+    * growth-proof budget; a RADIUS does — it only ever shrinks, and
+    * [[compact]] re-prices it as the corpus grows.
+    *
+    * The radius budget: the full edit-grade maxDist 11 holds to
+    * n ≈ 2.2k, then shrinks — (60, 10) at 5k stored docs, (60, 9) at
     * 50k, (60, 7) at 1M, (60, 5) at 100M. That trades edit
     * sensitivity, but only where it is cheap: a one-word edit flips a
     * hamming distance proportional to the edited SHINGLE fraction, so
@@ -89,8 +97,16 @@ object IngestGate {
     * BELOW the model (zero false hits in the 50k run), so the budget
     * is conservative exactly for the shallow signatures that need it.
     */
-  def simhashParams(nDocs: Long): SimhashPolicy = {
-    def ball(bits: Int, maxDist: Int): Double = {
+  def simhashParams(nDocs: Long): SimhashPolicy =
+    SimhashPolicy(60, budgetMaxDist(60, nDocs), widthMinShingles(60))
+
+  /** The largest probe radius whose expected chance-collision count
+    * per novel document stays under the 1e-3 budget at `nDocs` stored
+    * docs — [[simhashParams]]' radius leg, exposed so [[compact]] can
+    * re-price a grown state against the same budget.
+    */
+  def budgetMaxDist(bits: Int, nDocs: Long): Int = {
+    def ball(maxDist: Int): Double = {
       var total = 0.0; var c = 1.0
       for (i <- 0 to maxDist) {
         total += c
@@ -98,14 +114,9 @@ object IngestGate {
       }
       total
     }
-    def fits(b: Int, d: Int): Boolean =
-      nDocs.toDouble * ball(b, d) / math.pow(2.0, b) <= 1e-3
-    Seq(16, 32, 60).find(b => fits(b, widthMaxDist(b))) match {
-      case Some(b) => SimhashPolicy(b, widthMaxDist(b), widthMinShingles(b))
-      case None =>
-        val d = (widthMaxDist(60) to 1 by -1).find(fits(60, _)).getOrElse(1)
-        SimhashPolicy(60, d, widthMinShingles(60))
-    }
+    def fits(d: Int): Boolean =
+      nDocs.toDouble * ball(d) / math.pow(2.0, bits) <= 1e-3
+    (widthMaxDist(bits) to 1 by -1).find(fits).getOrElse(1)
   }
 
   /** The gate's persisted state: one table per stage plus the IVF
@@ -131,12 +142,22 @@ object IngestGate {
     * stored budget radius (falling back to the width-derived edit
     * radius when the state predates or bypassed the auto policy), and
     * the width's shingle floor.
+    *
+    * A stored radius ABOVE the width's edit-grade ceiling is clamped
+    * to it (r14 advice): a width changed outside [[resignSims]] (e.g.
+    * a GateState.copy to a narrower parity width) can leave a radius
+    * sized for the previous, wider signature — a 16-bit state carrying
+    * the 60-bit budget radius 10 would saturate completely — so a
+    * radius that is impossible under the stored width's own scale is
+    * treated as stale, not obeyed.
     */
-  def statePolicy(state: GateState): SimhashPolicy =
+  def statePolicy(state: GateState): SimhashPolicy = {
+    val ceiling = widthMaxDist(state.simhashBits)
     SimhashPolicy(state.simhashBits,
-      if (state.simhashMaxDist >= 0) state.simhashMaxDist
-      else widthMaxDist(state.simhashBits),
+      if (state.simhashMaxDist >= 0) math.min(state.simhashMaxDist, ceiling)
+      else ceiling,
       widthMinShingles(state.simhashBits))
+  }
 
   /** Keep only docs with at least `minShingles` distinct shingles —
     * the shallow-signature routing shared by the gate's batch side,
@@ -419,13 +440,44 @@ object IngestGate {
     * One shuffle per family, each keyed the way its serve side already
     * blocks, and the result is byte-for-byte what a replay-free run
     * would have produced — gate decisions are identical before and
-    * after (the spec drives both).
+    * after (the spec drives both) UNLESS the corpus has outgrown the
+    * stored probe radius's false-hit budget: compaction is also the
+    * re-pricing point (r14 advice — a policy priced once at build time
+    * would stale as [[admit]] grows the state), so a 60-bit state's
+    * radius is re-derived from the compacted signature count via
+    * [[budgetMaxDist]] (it only ever shrinks — the budget tightens
+    * with n) with a one-line notice. Narrow parity widths are warned,
+    * never silently re-priced: their semantics are the reference's.
     */
   def compact(state: GateState): GateState = {
     import state.fps.sparkSession.implicits._
+    val sims = state.sims.dropDuplicates("doc_id")
+    val n = sims.count()
+    val budget = budgetMaxDist(state.simhashBits, n)
+    val stored = statePolicy(state).maxDist
+    val repriced =
+      if (budget >= stored) state.simhashMaxDist
+      else if (state.simhashMaxDist >= 0) {
+        // Auto-built state (the radius rode in from simhashParams):
+        // the budget is the contract — tighten it.
+        println(s"GRAFT gate compact: $n stored signatures outgrew " +
+          s"the maxDist=$stored false-hit budget — re-priced to " +
+          s"$budget (IngestGate.budgetMaxDist)")
+        budget
+      } else {
+        // Explicit-width state (reference-parity opt-in): its
+        // semantics are the caller's — warn, never silently re-price.
+        println(s"GRAFT gate compact: $n stored signatures outgrew " +
+          s"the ${state.simhashBits}-bit maxDist=$stored budget " +
+          s"(would need $budget); explicit-width states are not " +
+          "auto-re-priced — migrate via IngestGate.resignSims(state, " +
+          "docs, 60)")
+        state.simhashMaxDist
+      }
     state.copy(
       fps = state.fps.groupBy($"fp").agg(min($"keep_id").as("keep_id")),
-      sims = state.sims.dropDuplicates("doc_id"),
-      assigned = state.assigned.dropDuplicates("vec_id"))
+      sims = sims,
+      assigned = state.assigned.dropDuplicates("vec_id"),
+      simhashMaxDist = repriced)
   }
 }

@@ -405,10 +405,14 @@ object Similarity {
     * Lloyd on every call and leak a dead entry each time) — and the
     * earlier deep-copy key (cid, v.toSeq) held the whole boxed centroid
     * set per entry, tens of MB at 31k lists. The fingerprint is 32
-    * bytes per entry; a non-adversarial collision at 128 bits is
-    * beyond-astronomical, and the worst case is a recomputed grouping,
-    * not a wrong one used silently — both hash inputs would have to
-    * collide simultaneously.
+    * bytes per entry. A key collision would be a false cache HIT —
+    * silently serving another centroid set's grouping (wrong group
+    * centroids and member vectors), NOT a harmless recompute — so the
+    * stakes are real; the probability (~2⁻¹²⁸ for non-adversarial
+    * inputs: both independent hashes must collide simultaneously) is
+    * beyond-astronomical, and [[groupCentroids]] additionally
+    * spot-checks every hit against the live centroid set before
+    * trusting it.
     */
   private def centsFingerprint(cs: Seq[(Long, Array[Long])],
       ngroups: Int): (Int, Int, Long, Long) = {
@@ -431,7 +435,20 @@ object Similarity {
       iters: Int = 5): (Seq[Array[Long]], Seq[Seq[(Long, Array[Long])]]) = {
     val memoKey = centsFingerprint(cs, ngroups)
     val hit = groupMemo.get(memoKey)
-    if (hit != null) return hit
+    // Cheap hit sanity check (r14 advice): a 128-bit fingerprint
+    // collision would silently serve the WRONG grouping, so before
+    // trusting a hit, confirm the memoized member lists actually
+    // contain this centroid set's first entry with identical values.
+    // O(nlist) scan of driver-resident arrays — noise next to the
+    // ~2G-op Lloyd a real hit saves.
+    if (hit != null && cs.nonEmpty) {
+      val (cid0, v0) = cs.head
+      val ok = hit._2.exists(_.exists { case (c, v) =>
+        c == cid0 && java.util.Arrays.equals(v, v0)
+      })
+      if (ok) return hit
+      groupMemo.remove(memoKey)
+    } else if (hit != null) return hit
     // The VALUE still holds the member lists (the centroid vectors
     // themselves — what the hier expressions need), so the bound stays
     // in the low single digits: 4 live geometries ≈ one serve + one

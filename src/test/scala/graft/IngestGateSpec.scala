@@ -291,6 +291,37 @@ class IngestGateSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("compact re-prices a grown auto state's radius; explicit widths warn only; statePolicy clamps stale radii") {
+    import spark.implicits._
+    // A state whose signature table has outgrown its build-time budget:
+    // 5000 stored 60-bit signatures against a radius priced at build
+    // (11 holds only to ~2.2k docs; the 5k budget is 10). Families the
+    // re-pricing doesn't touch are minimal valid frames.
+    val fps = Seq(("aa", 1L)).toDF("fp", "keep_id")
+    val sims5k = (0 until 5000).map(i => (i.toLong, i.toLong * 7919))
+      .toDF("doc_id", "simhash")
+    val cents = Seq((0L, Array(0.0f))).toDF("cid", "centroid")
+    val assigned = Seq((0L, 0L)).toDF("vec_id", "cid")
+    val grown = IngestGate.GateState(fps, sims5k, cents, assigned,
+      simhashBits = 60, simhashMaxDist = 11)
+    val c = IngestGate.compact(grown)
+    assert(c.simhashMaxDist == 10,
+      s"auto state must re-price 11 -> 10 at 5k docs: ${c.simhashMaxDist}")
+    assert(IngestGate.budgetMaxDist(60, 5000) == 10)
+    assert(IngestGate.budgetMaxDist(60, 50000) == 9)
+    // Explicit-width (reference-parity) state: same growth, radius is
+    // width-derived (-1) — compact warns but never silently re-prices.
+    val parity = IngestGate.GateState(fps, sims5k, cents, assigned,
+      simhashBits = 16, simhashMaxDist = -1)
+    assert(IngestGate.compact(parity).simhashMaxDist == -1)
+    // statePolicy clamps a radius impossible under the stored width
+    // (a width changed via copy outside resignSims, r14 advice): a
+    // 16-bit state carrying the 60-bit radius 10 probes at 3, not 10.
+    val stale = parity.copy(simhashMaxDist = 10)
+    assert(IngestGate.statePolicy(stale) ==
+      IngestGate.SimhashPolicy(16, 3, 0))
+  }
+
   test("wide gate: 60-bit state catches the near-edit with a width-scaled maxDist") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
@@ -415,16 +446,18 @@ class IngestGateSpec extends SparkSpec {
   }
 
   test("simhashParams selects width by expected false-hit rate; defaults match its corpus-scale pick") {
-    // The measured anchors: 16 bits misfire from ~100 stored docs
-    // (~0.01 false-hit probability per novel doc at n=1 already), so
-    // only near-empty states select narrow widths; every realistic
-    // corpus lands at the 60-bit ceiling, with the full edit radius up
-    // to ~2k stored docs and a budget-shrunk radius beyond — (60,10)
-    // at 5k, (60,9) at 50k (which removes the measured at-floor false
-    // trim: the one 11-shingle novel doc that chance-collided at
-    // distance 10 against 50k signatures), (60,5) at 100M.
-    val tiny = IngestGate.simhashParams(1)
-    assert(tiny.bits <= 32, s"tiny corpus may stay narrow: $tiny")
+    // The auto policy is ALWAYS the 60-bit ceiling — even for an
+    // empty/tiny seed corpus (r14 advice): a state is priced once at
+    // build time but grows through admit forever after, so a narrow
+    // width that fits the seed would silently saturate as the corpus
+    // grows (16 bits misfire from ~100 stored docs). The radius is
+    // what scales with n: the full edit radius up to ~2k stored docs
+    // and a budget-shrunk radius beyond — (60,10) at 5k, (60,9) at
+    // 50k (which removes the measured at-floor false trim: the one
+    // 11-shingle novel doc that chance-collided at distance 10 against
+    // 50k signatures), (60,5) at 100M.
+    assert(IngestGate.simhashParams(1) ==
+      IngestGate.SimhashPolicy(60, 11, 11))
     assert(IngestGate.simhashParams(40) ==
       IngestGate.SimhashPolicy(60, 11, 11))
     assert(IngestGate.simhashParams(2000) ==

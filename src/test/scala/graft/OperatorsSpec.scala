@@ -287,6 +287,63 @@ class TextDedupSpec extends SparkSpec {
     assert(served == expected)
   }
 
+  test("MIH hamming join: every chunk geometry equals brute force") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // Synthetic 16-bit signatures with planted near pairs: id 3k+1 is
+    // id 3k with one bit flipped, 3k+2 with five flipped (outside
+    // maxDist=3) — plus the deterministic spread of the base hashes.
+    val base = (0 until 60).map(i =>
+      (i * 3L, (graft.functions.Fp.detHash32Local("mih", i.toString) & 0xFFFFL)))
+    val sigs = base.flatMap { case (id, s) =>
+      Seq((id, s), (id + 1, s ^ 2L), (id + 2, s ^ 0x1111L + 16L))
+    }.toDF("_id", "_sig")
+    val brute = sigs.as("x").crossJoin(sigs.as("y"))
+      .filter(col("x._id") < col("y._id"))
+      .select(col("x._id"), col("y._id"),
+        bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 3).toSet
+    assert(brute.nonEmpty)
+    // Generalized pigeonhole holds at EVERY chunk count — r=0 (the old
+    // chunks=maxDist+1 split), the wide-chunk MIH geometries, and the
+    // degenerate single-chunk full enumeration all return the same set.
+    for (c <- 1 to 4) {
+      val got = Dedup.hammingNearPairsWithChunks(sigs, 16, 3, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute, s"chunk geometry c=$c diverged from brute force")
+    }
+    // The public entry point (auto geometry) matches too.
+    val auto = Dedup.hammingNearPairs(sigs, "_id", "_sig", 16, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == brute)
+  }
+
+  test("MIH wide geometry on the real corpus equals the r=0 split") {
+    import graft.operators.Dedup
+    // The q101 shape: 60-bit signatures, maxDist 5. The corpus-size-
+    // driven geometry (wider chunks, radius-1 probe balls) must return
+    // exactly the rows the legacy chunks=maxDist+1 exact-match split
+    // returns — the oracle-facing proof that the MIH rewrite changed
+    // the plan, not the answer.
+    val sigs = Dedup.simhashes(tables.documents, 60)
+      .select(col("doc_id").as("_id"), col("simhash").as("_sig"))
+    val legacy = Dedup.hammingNearPairsWithChunks(sigs, 60, 5, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // The geometries the cost model picks at corpus scale (3×20-bit at
+    // n≳10k, 2×30-bit in between) must agree with the r=0 split on the
+    // same signatures; at the 500-doc verify corpus the model itself
+    // still picks r=0 (enumeration would cost more than it saves), so
+    // the wide legs are forced here and exercised live at bench scale.
+    assert(Dedup.mihChunks(60, 5, 500) == 6)
+    assert(Dedup.mihChunks(60, 5, 60000) == 3)
+    for (c <- Seq(2, 3)) {
+      val mih = Dedup.hammingNearPairsWithChunks(sigs, 60, 5, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(mih == legacy && mih.nonEmpty, s"wide geometry c=$c diverged")
+    }
+  }
+
   test("MinhashBands equals the aggregate minhash formulation bit-for-bit") {
     // The persisted-state contract: LSH state written by the pre-r10
     // 64-aggregate formulation must interoperate with signatures computed
