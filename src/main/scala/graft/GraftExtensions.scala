@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("semantic_dedup"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "semantic_dedup"),
       (exprs: Seq[Expression]) => GraftExtensions.buildSemanticDedup(exprs)))
+    ext.injectTableFunction((
+      new FunctionIdentifier("gate_decisions"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "gate_decisions"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildGateDecisions(exprs)))
   }
 }
 
@@ -90,6 +94,10 @@ object GraftExtensions {
       new FunctionIdentifier("semantic_dedup"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "semantic_dedup"),
       (exprs: Seq[Expression]) => buildSemanticDedup(exprs))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      new FunctionIdentifier("gate_decisions"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "gate_decisions"),
+      (exprs: Seq[Expression]) => buildGateDecisions(exprs))
   }
 
   /** SQL table-function builder:
@@ -180,6 +188,42 @@ object GraftExtensions {
     val spark = org.apache.spark.sql.SparkSession.active
     graft.operators.Similarity.semanticDedup(spark.table(view),
         minCos = asDouble(exprs(1)))
+      .queryExecution.analyzed
+  }
+
+  /** SQL table-function builder:
+    * `gate_decisions('state_dir', 'docs_view', 'emb_view'[, min_cos[,
+    * nprobe]])` — the composed three-tier ingest gate
+    * ([[graft.operators.IngestGate.gate]]) over state persisted by
+    * [[graft.operators.IngestGate.saveState]], from pure SQL:
+    * `SELECT * FROM gate_decisions('/state', 'batch_v', 'emb_v')
+    * WHERE stage <> 'pass'`. Same macro-expansion contract as the
+    * other table functions: literal arguments, analysis-time
+    * [[graft.operators.IngestGate.loadState]] of the parquet state
+    * (width + radius ride in its meta table, so the SQL caller needs
+    * no policy knowledge), and the returned plan is the gate's
+    * analyzed (doc_id, stage, dup_of) decision relation, composable
+    * like any relation. maxDist/minShingles always come from the
+    * persisted state's policy — the auto-policy showcase; min_cos
+    * (default 0.9) and nprobe (default 4) tune the embedding tier.
+    */
+  private[graft] def buildGateDecisions(
+      exprs: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length >= 3 && exprs.length <= 5 &&
+        exprs.forall(_.foldable),
+      "gate_decisions(state_dir STRING, docs_view STRING, emb_view " +
+        "STRING[, min_cos DOUBLE[, nprobe INT]]) — all arguments must " +
+        "be literals")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val state = graft.operators.IngestGate.loadState(spark,
+      exprs.head.eval().toString)
+    val docs = spark.table(exprs(1).eval().toString)
+    val emb = spark.table(exprs(2).eval().toString)
+    val minCos = if (exprs.length >= 4) asDouble(exprs(3)) else 0.9
+    val nprobe = if (exprs.length >= 5) asInt(exprs(4)) else 4
+    graft.operators.IngestGate.gate(state, docs, emb, minCos = minCos,
+        nprobe = nprobe)
       .queryExecution.analyzed
   }
 

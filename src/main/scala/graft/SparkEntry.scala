@@ -24,7 +24,7 @@ object SparkEntry {
       Sessions.queries ++ Rules.queries ++ Sampling.queries ++
       Similarity.queries ++ UrlOps.queries ++ VectorStats.queries ++
       Catalog.queries ++ Pairing.queries ++ AsOf.queries ++
-      Reporting.queries ++ Skew.queries
+      Reporting.queries ++ Skew.queries ++ IngestGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
       Sessions.oracles ++ Rules.oracles ++ Sampling.oracles ++
       Similarity.oracles ++ UrlOps.oracles ++ VectorStats.oracles ++
       Catalog.oracles ++ Pairing.oracles ++ AsOf.oracles ++
-      Reporting.oracles ++ Skew.oracles
+      Reporting.oracles ++ Skew.oracles ++ IngestGate.oracles
 }

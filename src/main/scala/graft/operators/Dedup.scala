@@ -1084,7 +1084,7 @@ object Dedup {
     */
   private val simhashCte: String = simhashCteAt(16)
 
-  private def simhashCteAt(width: Int): String = {
+  private[operators] def simhashCteAt(width: Int): String = {
     val h = hash60Sql("s")
     val bitSums = (0 until width).map { j =>
       s"SUM(CASE WHEN (($h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** The composed per-batch ingest gate: the three serve-half dedup
   * operators the engine already proves individually — exact fingerprint
@@ -480,4 +481,98 @@ object IngestGate {
       assigned = state.assigned.dropDuplicates("vec_id"),
       simhashMaxDist = repriced)
   }
+
+  /** The verify-corpus policy pin for the q106 oracle, the
+    * [[Similarity]] q99Geom pattern: the driver's verify corpus holds
+    * 500 documents, and [[buildState]]'s auto policy at that size is a
+    * deterministic constant the static SQL replays. The gate's batch in
+    * q106 is the first 100 docs probed against state built from the
+    * whole corpus.
+    */
+  private val q106Pol = simhashParams(500)
+  private val q106Batch = 100
+
+  /** DuckDB replay of the whole [[gate]] cascade. The cascade is pure
+    * PRECEDENCE logic over three hit relations that are each a
+    * predicate of the batch doc against the FIXED state (no tier's
+    * hit-test depends on another tier's output — [[gate]] merely skips
+    * later tiers for already-trimmed docs as a cost optimization), so
+    * the oracle computes all three relations for the full batch and
+    * applies earliest-tier-wins at the end:
+    *
+    *  - exact: the q24 fingerprint CTE — hit iff the doc is not its
+    *    fp-group's keep_id;
+    *  - simhash: the q101 60-bit signature CTE at the pinned policy
+    *    radius, both sides floored at the policy's minShingles (the
+    *    state floor is [[buildState]]'s, the batch floor is [[gate]]'s
+    *    routing) — brute-force hamming, MIN stored twin;
+    *  - embedding: [[Similarity.ivfServeCtes]] — the q95 IVF-probe
+    *    Lloyd replay — thresholded at min_cos, MIN stored twin.
+    */
+  private def gateOracleSql(nBatch: Int, minCosSql: String,
+      pol: SimhashPolicy): String =
+    s"""${Similarity.ivfServeCtes(nBatch, nlist = 16, nprobe = 4,
+          iters = 2)},
+       |${Dedup.simhashCteAt(60)},
+       |shc AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id),
+       |fpt AS (SELECT doc_id, ${TextAnalysis.fingerprintSql} AS fp
+       |        FROM documents),
+       |fpk AS (SELECT fp, MIN(doc_id) AS keep_id FROM fpt GROUP BY fp),
+       |exact_hits AS (
+       |  SELECT f.doc_id, k.keep_id AS dup_of
+       |  FROM fpt f JOIN fpk k USING (fp)
+       |  WHERE f.doc_id < $nBatch AND f.doc_id <> k.keep_id),
+       |sim_hits AS (
+       |  SELECT b.doc_id, MIN(a.doc_id) AS dup_of
+       |  FROM sig b
+       |  JOIN shc bc ON bc.doc_id = b.doc_id
+       |    AND bc.nsh >= ${pol.minShingles}
+       |  JOIN sig a ON a.doc_id <> b.doc_id
+       |  JOIN shc ac ON ac.doc_id = a.doc_id
+       |    AND ac.nsh >= ${pol.minShingles}
+       |  WHERE b.doc_id < $nBatch
+       |    AND bit_count(xor(a.simhash, b.simhash)) <= ${pol.maxDist}
+       |  GROUP BY b.doc_id),
+       |emb_hits AS (
+       |  SELECT qid AS doc_id, MIN(nid) AS dup_of FROM embcos
+       |  WHERE cos >= CAST($minCosSql AS DOUBLE) GROUP BY qid)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.dup_of IS NOT NULL THEN 'exact'
+       |       WHEN s.dup_of IS NOT NULL THEN 'simhash'
+       |       WHEN m.dup_of IS NOT NULL THEN 'embedding'
+       |       ELSE 'pass' END AS stage,
+       |  COALESCE(e.dup_of, s.dup_of, m.dup_of) AS dup_of
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < $nBatch) d
+       |LEFT JOIN exact_hits e ON e.doc_id = d.doc_id
+       |LEFT JOIN sim_hits s ON s.doc_id = d.doc_id
+       |LEFT JOIN emb_hits m ON m.doc_id = d.doc_id""".stripMargin
+
+  /** Driver-contract binding: the flagship composed operator reached
+    * through the SQL surface — state built from the corpus, persisted
+    * as parquet, re-loaded by the `gate_decisions` table function
+    * ([[graft.GraftExtensions]]), and a 100-doc batch gated from pure
+    * SQL. min_cos 0.35 keeps the embedding tier substantive at verify
+    * scale (the 0.9 production default sees no iid-gaussian pairs).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_sql_gate_decisions" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val t = Tables.load(s, d)
+      val state = buildState(t.documents, t.embeddings)
+      val dir = java.nio.file.Files.createTempDirectory("gatesql")
+        .toString
+      saveState(state, s"$dir/state")
+      t.documents.filter($"doc_id" < q106Batch)
+        .createOrReplaceTempView("gate_docs_v")
+      t.embeddings.filter($"vec_id" < q106Batch)
+        .createOrReplaceTempView("gate_emb_v")
+      s.sql(s"""SELECT doc_id, stage, dup_of FROM gate_decisions(
+               |  '$dir/state', 'gate_docs_v', 'gate_emb_v', 0.35, 4)"""
+        .stripMargin)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q106_sql_gate_decisions" ->
+      gateOracleSql(q106Batch, "0.35", q106Pol))
 }

@@ -2413,7 +2413,19 @@ object Similarity {
     * threshold filter instead of a rank window.
     */
   private def ivfServeOracleSql(nQueries: Int, minCosSql: String,
-      nlist: Int, nprobe: Int, iters: Int): String = {
+      nlist: Int, nprobe: Int, iters: Int): String =
+    s"""${ivfServeCtes(nQueries, nlist, nprobe, iters)}
+       |SELECT qid AS vec_id, nid AS dup_of, cos FROM embcos
+       |WHERE cos >= CAST($minCosSql AS DOUBLE)""".stripMargin
+
+  /** The CTE chain of [[ivfServeOracleSql]] without its final SELECT,
+    * ending in embcos(qid, nid, cos) — every exact pair cosine the IVF
+    * probe of queries vec_id < nQueries surfaces. Shared with the gate
+    * cascade oracle ([[IngestGate.oracles]]), whose embedding tier is
+    * exactly this relation thresholded.
+    */
+  private[operators] def ivfServeCtes(nQueries: Int, nlist: Int,
+      nprobe: Int, iters: Int): String = {
     val f = iters
     s"""${ivfAssignCtes(nlist, iters, 1.0)},
        |probes AS (
@@ -2434,13 +2446,12 @@ object Similarity {
        |  FROM cand c
        |  JOIN u a ON a.vec_id = c.qid
        |  JOIN u b ON b.vec_id = c.nid AND b.i = a.i
-       |  GROUP BY 1, 2)
-       |SELECT qid AS vec_id, nid AS dup_of, cos FROM (
+       |  GROUP BY 1, 2),
+       |embcos AS (
        |  SELECT qid, nid,
        |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE))
        |      / sqrt(CAST(nb.nsq AS DOUBLE)) AS cos
-       |  FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)
-       |WHERE cos >= CAST($minCosSql AS DOUBLE)""".stripMargin
+       |  FROM pd JOIN n na ON na.vec_id = qid JOIN n nb ON nb.vec_id = nid)""".stripMargin
   }
 
   /** DuckDB replay of [[cosineTopKIvfPq]] — the composition of the two

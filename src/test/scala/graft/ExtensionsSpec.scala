@@ -171,6 +171,69 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bothKept == 0L)
     operators.Similarity.releaseIndexes()
   }
+
+  test("gate_decisions table function matches the Column-API gate over persisted state") {
+    import spark.implicits._
+    import operators.IngestGate
+    // A corpus with a planted near-edit and a verbatim copy, state
+    // persisted to parquet, then the SQL route (loadState inside the
+    // table function) against the direct Column-API gate on the SAME
+    // loaded state — decision relations must be identical.
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"doc $i " + base + s" unique tail $i of document $i " +
+        s"with extra words w$i x$i y$i z$i making the signature deep")
+    }.toDF("doc_id", "text")
+    val embs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val state = IngestGate.buildState(docs, embs, nlist = 2)
+    val dir = Files.createTempDirectory("gatefn").toString
+    IngestGate.saveState(state, s"$dir/state")
+    // Batch: a verbatim copy of doc 3, a one-word edit of doc 5, and a
+    // novel doc.
+    val batch = Seq(
+      (100L, docs.collect()(3).getString(1)),
+      (101L, docs.collect()(5).getString(1)
+        .replace("unique", "peculiar")),
+      (102L, "a completely different treatise about maritime law and " +
+        "the history of naval navigation across centuries of seafaring")
+    ).toDF("doc_id", "text")
+    val bEmb = Seq(
+      (100L, Array.tabulate(8)(j => math.sin(3 * 8 + j).toFloat)),
+      (101L, Array.tabulate(8)(j => math.sin(5 * 8 + j).toFloat)),
+      (102L, Array.tabulate(8)(j => math.cos(j * 3.7).toFloat))
+    ).toDF("vec_id", "embedding")
+    batch.createOrReplaceTempView("gatefn_docs_v")
+    bEmb.createOrReplaceTempView("gatefn_emb_v")
+    val viaSql = spark.sql(
+      s"""SELECT doc_id, stage, dup_of
+         |FROM gate_decisions('$dir/state', 'gatefn_docs_v',
+         |  'gatefn_emb_v', 0.9, 2)""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val loaded = IngestGate.loadState(spark, s"$dir/state")
+    val viaApi = IngestGate.gate(loaded, batch, bEmb, minCos = 0.9,
+        nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaApi && viaSql.size == 3)
+    // The decisions themselves: verbatim → exact, near-edit → simhash,
+    // novel → pass — the cascade's short-circuit order from pure SQL.
+    val byId = viaSql.map(r =>
+      r.head.asInstanceOf[Long] -> r(1).asInstanceOf[String]).toMap
+    assert(byId(100L) == "exact" && byId(101L) == "simhash" &&
+      byId(102L) == "pass", s"decisions: $byId")
+    // Composability: the decision relation filters like any relation.
+    val trimmed = spark.sql(
+      s"""SELECT count(*) AS n
+         |FROM gate_decisions('$dir/state', 'gatefn_docs_v',
+         |  'gatefn_emb_v', 0.9, 2) WHERE stage <> 'pass'"""
+        .stripMargin).first().getLong(0)
+    assert(trimmed == 2L)
+    operators.Dedup.releaseIndexes()
+    operators.Similarity.releaseIndexes()
+  }
 }
 
 class SessionWindowSpec extends SparkSpec {
