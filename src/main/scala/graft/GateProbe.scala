@@ -38,6 +38,134 @@ import org.apache.spark.sql.functions._
   * IngestGateSpec soak at corpus scale, timed.
   */
 object GateProbe {
+
+  /** Deterministic soak batch k (pure function of k + the corpus): 20
+    * novel docs + 20 re-sends of batch k-1's novels under fresh ids
+    * (k=1 re-sends corpus docs 0..19). Shared by the restart legs so
+    * two OS processes generate bit-identical inputs.
+    */
+  private def restartBatch(spark: SparkSession, corpus: Map[Long, String],
+      k: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    def emb(id: Long) = Array.tabulate(64)(j =>
+      (scala.util.hashing.MurmurHash3.productHash((id, j)) % 1000) / 1000f)
+      .toSeq
+    val base = 3000000L + 100L * k
+    def novelAt(kk: Int): Seq[(Long, String)] = {
+      val b = 3000000L + 100L * kk
+      (0 until 20).map { i =>
+        (b + i, s"restart document ${b + i} cycle $kk treating the " +
+          s"long subject ${i * 37 + kk} with synthetic narrative prose " +
+          s"carrying token${i * 13} and token${i * 29} through passage " +
+          s"${kk * 7 + i}")
+      }
+    }
+    val novelK = novelAt(k)
+    val dupTexts: Seq[(Long, String)] =
+      if (k == 1) (0 until 20).map(i => (base + 50 + i, corpus(i.toLong)))
+      else novelAt(k - 1).zipWithIndex.map { case ((_, txt), i) =>
+        (base + 50 + i, txt)
+      }
+    val dupEmbIds: Seq[Long] =
+      if (k == 1) (0 until 20).map(_.toLong)
+      else novelAt(k - 1).map(_._1)
+    val bd = (novelK ++ dupTexts).toDF("doc_id", "text")
+    val be = (novelK.map(n => (n._1, emb(n._1))) ++
+        dupTexts.map(_._1).zip(dupEmbIds.map(emb)))
+      .toDF("vec_id", "embedding")
+    (bd.localCheckpoint(), be.localCheckpoint())
+  }
+
+  /** Cross-JVM restart probe (r14 verdict task 4). One OS process per
+    * invocation:
+    *
+    *   GateProbe restart <root> run   <total>            — unbroken leg
+    *   GateProbe restart <root> crash <after> <total>    — killed leg
+    *   GateProbe restart <root> resume <total> [refRoot] — recovery leg
+    *
+    * Every batch persists its decisions through a NAMED
+    * [[operators.Flow.stageBoundary]] (boundaryDir = root/flow) and its
+    * admitted state through [[operators.IngestGate.saveState]]. The
+    * crash leg halts the JVM after batch `after` WITHOUT running
+    * shutdown hooks (Runtime.halt — the kill -9 stand-in; completed
+    * parquet commits are durable, nothing else is). The resume leg, in
+    * a fresh JVM, finds the last complete persisted state
+    * ([[operators.IngestGate.loadState]]), replays the flow — batches
+    * whose decision boundary already exists resume as parquet scans,
+    * the gate never re-executes — and continues to `total`; with a
+    * refRoot it then proves every batch's decision relation equals the
+    * unbroken leg's, row for row.
+    */
+  private def restartLeg(spark: SparkSession, t: Tables,
+      args: Array[String]): Unit = {
+    import spark.implicits._
+    val root = args(1)
+    val mode = args(2)
+    val (crashAfter, total, refRoot) = mode match {
+      case "run" => (Int.MaxValue, args(3).toInt, None)
+      case "crash" => (args(3).toInt, args(4).toInt, None)
+      case "resume" => (Int.MaxValue, args(3).toInt,
+        if (args.length > 4) Some(args(4)) else None)
+      case other => sys.error(s"unknown restart mode $other")
+    }
+    spark.conf.set("graft.flow.boundaryDir", s"$root/flow")
+    val corpus = t.documents.filter($"doc_id" < 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    def stateComplete(dir: String): Boolean =
+      new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/meta/_SUCCESS"))
+
+    // Resume point: the last batch whose saved state committed fully.
+    val startFrom =
+      if (mode != "resume") 0
+      else (total to 0 by -1).find(k => stateComplete(s"$root/state-b$k"))
+        .getOrElse(0)
+    val t0 = System.nanoTime()
+    var st =
+      if (mode == "resume" && startFrom >= 0 &&
+          stateComplete(s"$root/state-b$startFrom"))
+        operators.IngestGate.loadState(spark, s"$root/state-b$startFrom")
+      else {
+        val s0 = operators.IngestGate.buildState(t.documents, t.embeddings)
+        operators.IngestGate.saveState(s0, s"$root/state-b0")
+        operators.IngestGate.loadState(spark, s"$root/state-b0")
+      }
+    println(s"GATEPROBE-RESTART mode=$mode start_from=b$startFrom")
+    for (k <- (startFrom + 1) to total) {
+      val (bd, be) = restartBatch(spark, corpus, k)
+      // The decision boundary is the resume unit: if this batch already
+      // ran in a previous process, the boundary is a parquet scan and
+      // the gate plan underneath is never executed.
+      val d = operators.Flow.stageBoundary(
+        operators.IngestGate.gate(st, bd, be), s"d-b$k")
+      val a = operators.IngestGate.admit(st, d, bd, be)
+      operators.IngestGate.saveState(a, s"$root/state-b$k")
+      st = operators.IngestGate.loadState(spark, s"$root/state-b$k")
+      if (k == crashAfter) {
+        println(s"GATEPROBE-RESTART killed after b$k (halt, no hooks)")
+        Runtime.getRuntime.halt(0)
+      }
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    println(f"GATEPROBE-RESTART mode=$mode total=$total wall_s=$wallS%.3f " +
+      s"sims_rows=${st.sims.count()}")
+    refRoot.foreach { ref =>
+      var allEqual = true
+      for (k <- 1 to total) {
+        val mine = spark.read.parquet(s"$root/flow/d-b$k")
+          .collect().map(_.toSeq).toSet
+        val theirs = spark.read.parquet(s"$ref/flow/d-b$k")
+          .collect().map(_.toSeq).toSet
+        val eq = mine == theirs
+        if (!eq) allEqual = false
+        println(s"GATEPROBE-RESTART b$k equal=$eq rows=${mine.size}")
+      }
+      println(s"GATEPROBE-RESTART-EQUAL $allEqual")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,6 +180,13 @@ object GateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (args.headOption.contains("restart")) {
+      val t = Tables.load(spark, sfDir)
+      restartLeg(spark, t, args)
+      spark.stop()
+      return
+    }
 
     val t = Tables.load(spark, sfDir)
     Seq(t.documents, t.embeddings).foreach(_.count()) // warm scan
