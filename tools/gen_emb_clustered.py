@@ -92,5 +92,14 @@ def gen(n, out):
           f"(reused sources={n_reused}) true_pairs@0.8={true_pairs}")
 
 
-gen(2000, f"{OUTROOT}/embc0.1")
-gen(20000, f"{OUTROOT}/embc1")
+if len(sys.argv) > 2:
+    # One explicit corpus: n and (derived) directory name — how the
+    # embc10 (200k) and embc100 (2M) probe corpora are produced.
+    #   python3 tools/gen_emb_clustered.py bench 200000   -> bench/embc10
+    #   python3 tools/gen_emb_clustered.py bench 2000000  -> bench/embc100
+    n = int(sys.argv[2])
+    name = sys.argv[3] if len(sys.argv) > 3 else f"embc{n // 20000}"
+    gen(n, f"{OUTROOT}/{name}")
+else:
+    gen(2000, f"{OUTROOT}/embc0.1")
+    gen(20000, f"{OUTROOT}/embc1")

@@ -58,5 +58,12 @@ def gen(n, out):
     print(f"{out}: n={n} hot={n_hot} (identical) background={n - n_hot}")
 
 
-gen(2000, f"{OUTROOT}/embh0.1")
-gen(20000, f"{OUTROOT}/embh1")
+if len(sys.argv) > 2:
+    # One explicit corpus, as gen_emb_clustered.py:
+    #   python3 tools/gen_emb_hot.py bench 600000 embh30
+    n = int(sys.argv[2])
+    name = sys.argv[3] if len(sys.argv) > 3 else f"embh{n // 20000}"
+    gen(n, f"{OUTROOT}/{name}")
+else:
+    gen(2000, f"{OUTROOT}/embh0.1")
+    gen(20000, f"{OUTROOT}/embh1")
