@@ -1779,28 +1779,89 @@ object Similarity {
     val cands = math.max(32L * k,
       math.min(n, math.ceil(cFrac * n.toDouble).toLong))
     val kFactor = math.max(1L, (cands + k - 1) / k).toInt
-    // Measured probe-recall curve (the conservative 2k fit), inverted
-    // piecewise-linearly: f such that r_probe(f) >= targetRecall.
-    val curve = Seq((0.0, 0.0), (0.133, 0.517), (0.267, 0.717),
-      (0.511, 0.880), (1.0, 1.0))
-    val f = curve.sliding(2).collectFirst {
-      case Seq((f0, r0), (f1, r1)) if targetRecall <= r1 =>
-        f0 + (targetRecall - r0) / (r1 - r0) * (f1 - f0)
-    }.getOrElse(1.0)
+    val f = probeFraction(n, targetRecall)
     val nprobe = math.max(1, math.min(nlist, math.ceil(nlist * f).toInt))
     AnnGeometry(nlist, nprobe, kFactor, m)
+  }
+
+  /** nprobe/nlist fraction delivering `targetRecall`, inverted from the
+    * MEASURED probe-miss curves (no analytic form fits their heavy
+    * tails — 1−(1−f)^c over-predicts the tail at every constant c).
+    *
+    * The r13 inversion used only the 2k-corpus curve; measured at
+    * 200k/2M it over-delivered by a widening margin (0.953/0.963 at
+    * target 0.8, probing 39% of lists — serve cost ∝ nprobe, so ~2×
+    * wall left on the table; the r14 efficiency note). The refit (r15)
+    * anchors on the curves measured AT the upper decades — RecallProbe
+    * `lowf` on the clustered corpora at the auto geometry (m and
+    * kFactor exactly what annParams picks at that n, bench_r15_sf1.json
+    * §annparams_refit) — and interpolates the required fraction in
+    * log₁₀(n) between anchors:
+    *
+    *  - n ≤ 20k: the original conservative 2k curve, UNCHANGED — this
+    *    pins the verify-corpus geometry (q99/q103 oracles replay n=500)
+    *    and the 2k/20k probes exactly as before;
+    *  - 20k → 200k → 2M: linear in log₁₀(n) between the anchor
+    *    inversions; the upper-decade curves are inverted at
+    *    target+0.03 (capped 0.98) — the conservative bias, kept but
+    *    narrowed from the old curve's +0.15;
+    *  - above 2M: the 2M inversion, clamped — recall at fixed f only
+    *    improves with n on every measured pair of decades, so the last
+    *    measured curve is the conservative bound.
+    */
+  private[operators] def probeFraction(n: Long, targetRecall: Double)
+      : Double = {
+    def invert(curve: Seq[(Double, Double)], r: Double): Double =
+      curve.sliding(2).collectFirst {
+        case Seq((f0, r0), (f1, r1)) if r <= r1 =>
+          f0 + (r - r0) / (r1 - r0) * (f1 - f0)
+      }.getOrElse(1.0)
+    // Measured recall@3 at nprobe-fraction f, natural auto geometry.
+    val curve2k = Seq((0.0, 0.0), (0.133, 0.517), (0.267, 0.717),
+      (0.511, 0.880), (1.0, 1.0))
+    val curve200k = Seq((0.0, 0.0), (0.0134, 0.223), (0.0268, 0.353),
+      (0.0513, 0.467), (0.1004, 0.623), (0.2009, 0.840),
+      (0.4018, 0.957), (1.0, 1.0))
+    val curve2M = Seq((0.0, 0.0), (0.0127, 0.313), (0.0254, 0.470),
+      (0.0502, 0.617), (0.1004, 0.770), (0.2, 0.870), (0.4, 0.967),
+      (1.0, 1.0))
+    val fSmall = invert(curve2k, targetRecall)
+    if (n <= 20000) fSmall
+    else {
+      val padded = math.min(0.98, targetRecall + 0.03)
+      val f200k = invert(curve200k, padded)
+      val f2M = invert(curve2M, padded)
+      val lg = math.log10(n.toDouble)
+      val (lg20k, lg200k, lg2M) =
+        (math.log10(2e4), math.log10(2e5), math.log10(2e6))
+      val f =
+        if (lg <= lg200k)
+          fSmall + (lg - lg20k) / (lg200k - lg20k) * (f200k - fSmall)
+        else if (lg <= lg2M)
+          f200k + (lg - lg200k) / (lg2M - lg200k) * (f2M - f200k)
+        else f2M
+      // The interpolation can only SHRINK the fraction vs the small-n
+      // curve (anchors are monotone in n on every measured target);
+      // never exceed it.
+      math.min(fSmall, f)
+    }
   }
 
   /** [[cosineTopKIvfPqResidualRefined]] with the whole geometry derived
     * from the actual corpus size via [[annParams]] — the one-argument
     * retrieval entry point a pipeline calls: state k and the recall you
-    * need, the index shape follows. Runs the RESIDUAL encoder (FAISS's
-    * by_residual default; measured strictly better recall than direct
-    * encoding at every probed point — bench_r13_sf1.json
-    * §residual_ivfpq), so the annParams constants — fitted on the
-    * direct-encoding curves — are conservative here. The count is a
-    * cheap columnar action over the cached quantized corpus (exactly
-    * [[cosineNearDupsAuto]]'s pattern).
+    * need, the index shape follows. Runs the RESIDUAL encoder — the
+    * r15 default-choice adjudication (bench_r15_sf1.json
+    * §encoder_default): at the natural annParams geometry residual
+    * TIES direct encoding at every measured scale (0.837 == 0.837 at
+    * 200k, 0.847 == 0.847 at 2M — the kFactor refine pool, not
+    * encoding fidelity, sets recall there) with build wall equal
+    * within host variance, while at forced narrow-refine geometries
+    * residual measures up to +0.18 recall (r13 §residual_ivfpq). Equal
+    * cost at the geometry we pick, strictly better at geometries a
+    * caller might force, and FAISS by_residual parity — so residual
+    * stays. The count is a cheap columnar action over the cached
+    * quantized corpus (exactly [[cosineNearDupsAuto]]'s pattern).
     */
   def cosineTopKAuto(embeddings: DataFrame, nQueries: Int, k: Int,
       targetRecall: Double = 0.9, dims: Int = 64): DataFrame = {

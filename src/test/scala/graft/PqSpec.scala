@@ -414,6 +414,23 @@ class PqSpec extends SparkSpec {
     assert(Similarity.annParams(2000, 3, 0.9).m == 8)
     assert(Similarity.annParams(1000000, 3, 0.9).m == 16)
     assert(Similarity.annParams(1000000, 3, 0.9).kFactor == 1667)
+    // r15 refit: the upper decades invert the curves MEASURED at
+    // 200k/2M (RecallProbe lowf) instead of extrapolating the 2k fit —
+    // the 2k-fitted fraction (0.394 at target 0.8) over-delivered
+    // 0.953/0.963 there, at ~2.4x the needed serve cost. The verify
+    // scale and the 2k/20k probes are pinned on the old curve above.
+    assert(Similarity.annParams(200000, 3, 0.8).nprobe == 88)
+    assert(Similarity.annParams(2000000, 3, 0.8).nprobe == 227) // was 554
+    assert(Similarity.annParams(2000000, 3, 0.9).nprobe == 459) // was 839
+    // Above the last measured decade the FRACTION clamps at the 2M
+    // inversion (recall at fixed f only improves with n on every
+    // measured pair of decades, so the last curve is the bound).
+    val g20M = Similarity.annParams(20000000, 3, 0.8)
+    assert(math.abs(g20M.nprobe.toDouble / g20M.nlist - 227.0 / 1415)
+      < 0.002)
+    // Monotone in target at the refit decades too.
+    val bigGeoms = targets.map(Similarity.annParams(2000000, 3, _))
+    assert(bigGeoms.map(_.nprobe) == bigGeoms.map(_.nprobe).sorted)
     // The auto entry point IS the residual operator at the derived
     // geometry — same rows bit-for-bit (residual because it measures
     // strictly better than direct at every probed point, the FAISS
