@@ -628,22 +628,34 @@ object Dedup {
   /** Probe side: (_id, _sig) → one row per (chunk, ball value): every
     * value within radius ⌊maxDist/chunks⌋ of the doc's own chunk value,
     * generated by xor against the driver-built mask table (one literal
-    * array, one explode — all map-side). At chunks = maxDist+1 the
-    * radius is 0 and this degenerates to [[chunkSigs]] exactly.
+    * PRIMITIVE long array — chunk index packed into the high bits so
+    * the explode stays a codegen-friendly array<bigint>, not an array
+    * of structs — one explode, all map-side). At chunks = maxDist+1
+    * the radius is 0 and this degenerates to [[chunkSigs]] exactly.
     */
   private def chunkProbes(sigs: DataFrame, bits: Int, maxDist: Int,
       chunks: Int): DataFrame = {
     import sigs.sparkSession.implicits._
     val r = maxDist / chunks
-    val cm: Seq[(Int, Long)] = (0 until chunks).flatMap { c =>
-      xorMasks(chunkWidth(bits, chunks, c), r).map(m => (c, m))
+    // (c << 48) | mask: with chunks ≥ 2 every chunk is ≤ 32 bits wide
+    // (bits ≤ 64), so masks sit far below bit 48 and the chunk index
+    // (≤ 64) far below the sign bit; chunks == 1 has a constant chunk
+    // index and the mask may use all 64 bits, so it skips the packing.
+    val single = chunks == 1
+    val packed: Seq[Long] = (0 until chunks).flatMap { c =>
+      xorMasks(chunkWidth(bits, chunks, c), r)
+        .map(m => if (single) m else (c.toLong << 48) | m)
     }
+    val cCol =
+      if (single) lit(0) else shiftrightunsigned($"cm", 48).cast("int")
+    val maskCol =
+      if (single) $"cm" else $"cm".bitwiseAND(lit((1L << 48) - 1))
     val ownVal = coalesce((0 until chunks).map { c =>
-      when(col("cm._1") === c, chunkVal(col("_sig"), bits, chunks, c))
+      when(cCol === c, chunkVal(col("_sig"), bits, chunks, c))
     }: _*)
-    sigs.select($"_id", $"_sig", explode(typedlit(cm)).as("cm"))
-      .select($"_id", $"_sig", col("cm._1").as("c"),
-        ownVal.bitwiseXOR(col("cm._2")).as("v"))
+    sigs.select($"_id", $"_sig", explode(typedlit(packed)).as("cm"))
+      .select($"_id", $"_sig", cCol.as("c"),
+        ownVal.bitwiseXOR(maskCol).as("v"))
   }
 
   /** Diagnostic: raw candidate volume (join matches before the verify
