@@ -170,10 +170,27 @@ object IngestGate {
     */
   private def withEnoughShingles(docs: DataFrame, minShingles: Int): DataFrame =
     if (minShingles <= 0) docs
-    else docs.join(broadcast(
-      Dedup.shingleRows(docs).groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("_n")).filter(col("_n") >= minShingles)
-        .select(col("doc_id"))), Seq("doc_id"))
+    else docs.join(floorIds(docs, minShingles), Seq("doc_id"))
+
+  private def floorIds(docs: DataFrame, minShingles: Int): DataFrame =
+    broadcast(Dedup.shingleRows(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= minShingles)
+      .select(col("doc_id")))
+
+  /** Sign `docs` at `bits` and keep only signatures above the shingle
+    * floor. Signature-per-doc is a pure function of the doc's own
+    * shingles, so signing ALL docs and semi-joining the floor set is
+    * row-identical to signing the filtered corpus — but the former
+    * shares the session-cached shingle index and signature aggregate
+    * with every other signer of the same corpus (q28/q101-style
+    * plans), where the filtered-corpus form re-tokenizes from scratch.
+    */
+  private def signedWithFloor(docs: DataFrame, bits: Int,
+      minShingles: Int): DataFrame = {
+    val sigs = Dedup.simhashes(docs, bits)
+    if (minShingles <= 0) sigs
+    else sigs.join(floorIds(docs, minShingles), Seq("doc_id"))
+  }
 
   /** Build all three state tables from a document corpus and its
     * embeddings (embeddings keyed by the SAME ids as doc_id). Each
@@ -208,8 +225,7 @@ object IngestGate {
     val fps = docs
       .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
       .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
-    val sims = Dedup.simhashes(
-      withEnoughShingles(docs, pol.minShingles), pol.bits)
+    val sims = signedWithFloor(docs, pol.bits, pol.minShingles)
     val (cents, assigned) = Similarity.ivfIndex(embeddings, nlist = nlist)
     GateState(fps, sims, cents, assigned, pol.bits, pol.maxDist)
   }
@@ -281,8 +297,7 @@ object IngestGate {
     */
   def resignSims(state: GateState, docs: DataFrame, bits: Int): GateState =
     state.copy(
-      sims = Dedup.simhashes(
-        withEnoughShingles(docs, widthMinShingles(bits)), bits),
+      sims = signedWithFloor(docs, bits, widthMinShingles(bits)),
       simhashBits = bits,
       // The migrated corpus's size is in hand — re-price the probe
       // radius the way a fresh auto build would (only ever shrinks the
@@ -414,7 +429,7 @@ object IngestGate {
       sDocs.select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id")
         .groupBy($"fp").agg(min($"doc_id").as("keep_id")))
     val newSims = state.sims.unionByName(
-      Dedup.simhashes(withEnoughShingles(sDocs, ms), state.simhashBits))
+      signedWithFloor(sDocs, state.simhashBits, ms))
     val sEmb = batchEmb.join(
       broadcast(survivors.select($"doc_id".as("vec_id"))), Seq("vec_id"))
     val newAssigned = state.assigned.unionByName(
