@@ -140,4 +140,53 @@ class PropertySpec extends SparkSpec {
       Seq("vec_id", "cluster_id", "cluster_size", "keep"))
     assert(out.count() == 0)
   }
+
+  test("MIH hamming join equals brute force across random widths, radii and chunk geometries") {
+    import spark.implicits._
+    // Random (bits, maxDist) geometries — including the 64-bit aHash
+    // width whose top-bit masks stress the sign handling, and radii
+    // wide enough that chunk counts from 1 to maxDist+1 all arise.
+    val geoms = Seq((8, 2), (16, 3), (24, 6), (31, 4), (60, 5), (64, 7))
+    for ((bits, maxDist) <- geoms) {
+      val bound = if (bits == 64) -1L else (1L << bits) - 1
+      // Cluster the signatures: random centers plus 1-2-bit mutations,
+      // so the pair set is non-trivial at every geometry.
+      val sigsSeq = (0 until 25).flatMap { i =>
+        val s = rnd.nextLong() & bound
+        Seq((i * 3L, s), (i * 3L + 1, s ^ (1L << rnd.nextInt(bits))),
+          (i * 3L + 2,
+            s ^ (1L << rnd.nextInt(bits)) ^ (1L << rnd.nextInt(bits))))
+      }
+      val sigs = sigsSeq.toDF("_id", "_sig")
+      val brute = sigsSeq.flatMap { case (a, sa) =>
+        sigsSeq.collect { case (b, sb) if a < b &&
+            java.lang.Long.bitCount(sa ^ sb) <= maxDist =>
+          (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)
+        }
+      }.toSet
+      assert(brute.nonEmpty, s"geometry ($bits,$maxDist) planted no pairs")
+      // Every legal chunk count is exact (generalized pigeonhole); the
+      // ball cap in mihChunks only ever REJECTS geometries, so sweep
+      // the small chunk counts whose balls stay spec-sized.
+      val sweep = (1 to (maxDist + 1)).filter { c =>
+        val w = bits / c; val r = maxDist / c
+        (0 to r).map(i =>
+          (0 until i).map(j => (w - j).toDouble / (j + 1)).product)
+          .sum <= 3000
+      }
+      for (c <- sweep) {
+        val got = operators.Dedup
+          .hammingNearPairsWithChunks(sigs, bits, maxDist, c)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(got == brute, s"($bits,$maxDist) chunks=$c diverged")
+      }
+      val auto = operators.Dedup
+        .hammingNearPairs(sigs, "_id", "_sig", bits, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(auto == brute, s"($bits,$maxDist) auto geometry diverged")
+      operators.Dedup.releaseIndexes()
+    }
+  }
 }
