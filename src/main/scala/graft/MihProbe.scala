@@ -55,9 +55,16 @@ object MihProbe {
       (cand, pairs, sec)
     }
 
-    val (cl, pl, sl) = leg("legacy", legacy)
-    val (ca, pa, sa) = leg("mih", auto)
-    require(pl == pa, s"geometries disagree: $pl vs $pa")
+    // SPARK_GRAFT_MIH_LEGS selects legs (mih|legacy|both, default
+    // both) — at 5M docs the legacy leg alone is a ~75G-candidate
+    // join, so the decades are probed as separate processes.
+    val legs = sys.env.getOrElse("SPARK_GRAFT_MIH_LEGS", "both")
+    val (cl, pl, sl) =
+      if (legs != "mih") leg("legacy", legacy) else (0L, -1L, 0.0)
+    val (ca, pa, sa) =
+      if (legs != "legacy") leg("mih", auto) else (0L, -1L, 0.0)
+    if (pl >= 0 && pa >= 0)
+      require(pl == pa, s"geometries disagree: $pl vs $pa")
 
     // Serve leg: a 200-doc batch probed against the full corpus state
     // at the auto geometry (what the gate's signature tier runs).

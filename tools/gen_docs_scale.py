@@ -47,35 +47,47 @@ n_sources = src.source.nunique()
 pair_rate = 256 / len(src)
 n_planted = int(n_out * pair_rate)
 
-lens = rng.choice(lengths, size=n_out)
-lang_col = rng.choice(langs.index.values, size=n_out, p=langs.values)
-# One draw for every word of every doc, then split at doc boundaries --
-# the vectorization that makes 100x feasible.
-bounds = np.concatenate([[0], np.cumsum(lens)])
-all_words = rng.choice(vocab, size=int(bounds[-1]), p=probs)
-texts = [" ".join(all_words[bounds[i]:bounds[i + 1]])
-         for i in range(n_out)]
-
-dup_targets = rng.choice(np.arange(n_out // 2, n_out), size=n_planted,
-                         replace=False)
-for i in dup_targets:
-    j = rng.randint(0, n_out // 2)
-    ws = texts[j].split()
-    for _ in range(rng.randint(1, 3)):
-        ws[rng.randint(0, len(ws))] = vocab[rng.randint(0, len(vocab))]
-    texts[i] = " ".join(ws)
-
-docs = pd.DataFrame({
-    "doc_id": np.arange(n_out, dtype=np.int64),
-    "text": texts,
-    "lang": lang_col,
-    "source": [f"src{i % n_sources}" for i in
-               rng.randint(0, n_sources * 1000, size=n_out)],
-})
-docs["n_chars"] = docs.text.str.len().astype(np.int64)
-pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
-               f"{OUT}/documents.parquet")
-print(f"documents: {len(docs)} rows, {n_planted} planted mutations")
+# Generate in row-group chunks so SCALE=1000 (5M docs, ~500M words)
+# never materializes the whole corpus in memory; planted near-dup
+# mutations stay within a chunk (copy from the chunk's first half) —
+# the pair structure, not cross-chunk placement, is what the probes
+# measure.
+CHUNK = 250000
+writer = None
+planted_total = 0
+for lo in range(0, n_out, CHUNK):
+    hi = min(lo + CHUNK, n_out)
+    m = hi - lo
+    lens = rng.choice(lengths, size=m)
+    lang_col = rng.choice(langs.index.values, size=m, p=langs.values)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    all_words = rng.choice(vocab, size=int(bounds[-1]), p=probs)
+    texts = [" ".join(all_words[bounds[i]:bounds[i + 1]])
+             for i in range(m)]
+    n_pl = int(m * pair_rate)
+    dup_targets = rng.choice(np.arange(m // 2, m), size=n_pl,
+                             replace=False)
+    for i in dup_targets:
+        j = rng.randint(0, m // 2)
+        ws = texts[j].split()
+        for _ in range(rng.randint(1, 3)):
+            ws[rng.randint(0, len(ws))] = vocab[rng.randint(0, len(vocab))]
+        texts[i] = " ".join(ws)
+    planted_total += n_pl
+    docs = pd.DataFrame({
+        "doc_id": np.arange(lo, hi, dtype=np.int64),
+        "text": texts,
+        "lang": lang_col,
+        "source": [f"src{i % n_sources}" for i in
+                   rng.randint(0, n_sources * 1000, size=m)],
+    })
+    docs["n_chars"] = docs.text.str.len().astype(np.int64)
+    tbl = pa.Table.from_pandas(docs, preserve_index=False)
+    if writer is None:
+        writer = pq.ParquetWriter(f"{OUT}/documents.parquet", tbl.schema)
+    writer.write_table(tbl)
+writer.close()
+print(f"documents: {n_out} rows, {planted_total} planted mutations")
 
 for name in ["region", "nation", "customer", "supplier", "part",
              "orders", "lineitem", "events", "embeddings"]:
