@@ -519,19 +519,22 @@ object Dedup {
       bits: Int, maxDist: Int): DataFrame = {
     val s = cacheIndex(
       sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
+    val n = s.count()
     hammingNearPairsWithChunks(s, bits, maxDist,
-      mihChunks(bits, maxDist, s.count()))
+      mihChunks(bits, maxDist, n), n)
   }
 
   /** [[hammingNearPairs]] at an explicit chunk count — the spec's
     * geometry sweep (every c in 1..maxDist+1 must return the same pair
     * set) and the probe's old-vs-new comparison hook. `sigs` must
-    * already be in (_id, _sig) shape.
+    * already be in (_id, _sig) shape; `n` is its row count (drives the
+    * join-strategy choice, not correctness).
     */
   private[graft] def hammingNearPairsWithChunks(sigs: DataFrame,
-      bits: Int, maxDist: Int, chunks: Int): DataFrame = {
+      bits: Int, maxDist: Int, chunks: Int, n: Long = -1L): DataFrame = {
     import sigs.sparkSession.implicits._
-    val exact = chunkSigs(sigs, bits, maxDist, chunks)
+    val exact = indexSide(chunkSigs(sigs, bits, maxDist, chunks),
+      if (n < 0) sigs.count() else n, chunks)
     val probe = chunkProbes(sigs, bits, maxDist, chunks)
     exact.as("x").join(probe.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
@@ -542,6 +545,22 @@ object Dedup {
       .distinct()
       .filter($"hamming" <= maxDist)
   }
+
+  /** Join-strategy control for the MIH index side — the probe side is
+    * always the bigger relation (c·ball rows per doc vs c), so the
+    * index side is the build side, and the one decision that matters
+    * at scale is HOW it builds (measured, bench_r15_sf1.json
+    * §mih_hamming): small index → broadcast (map-side join, the probe
+    * fan-out never shuffles — MIH 3.9 s vs 15.4 s at 500k docs); big
+    * index → SHUFFLE_HASH hint, because the default sort-merge SORTS
+    * the multi-hundred-million-row probe side, which dominated the
+    * whole join at 5M docs (65 s, vs 42 s for the r=0 split that MIH
+    * should beat) — a hash build per partition needs no sort on
+    * either side.
+    */
+  private def indexSide(exact: DataFrame, n: Long, chunks: Int): DataFrame =
+    if (n * chunks <= 4_000_000L) broadcast(exact)
+    else exact.hint("shuffle_hash")
 
   /** MIH chunk-count selection from (signature width, radius, corpus
     * size): minimize per-doc work = probe fan-out (c·ball rows) plus
