@@ -563,16 +563,27 @@ object Dedup {
     else exact.hint("shuffle_hash")
 
   /** MIH chunk-count selection from (signature width, radius, corpus
-    * size): minimize per-doc work = probe fan-out (c·ball rows) plus
-    * expected verify candidates (c·ball·n/2^width under the
-    * uniform-signature model — conservative on real corpora, where
-    * near-dup signatures cluster) over c ∈ 1..maxDist+1, capping the
-    * driver-built mask list at 8192 entries. The optimum tracks
-    * 2^width ≈ n (Norouzi's b/log₂n substring rule): 60/5 picks 3×20-bit
-    * chunks at n=60k (r=1, 21-mask ball — ~5× fewer candidates than the
-    * r=0 split) but keeps maxDist+1 chunks at n≲100, where enumeration
-    * would cost more than it saves. Pure function of its arguments, so
-    * plans stay deterministic at a given corpus size.
+    * size): minimize per-doc work = probe fan-out (c·ball rows, cost-
+    * weighted by HOW the join moves them) plus expected in-join verify
+    * candidates (c·ball·n/2^width under the uniform-signature model —
+    * conservative on real corpora, where near-dup signatures cluster)
+    * over c ∈ 1..maxDist+1, capping the driver-built mask list at 8192
+    * entries. The optimum tracks 2^width ≈ n (Norouzi's b/log₂n
+    * substring rule): 60/5 picks 3×20-bit chunks at n=60k (r=1,
+    * 21-mask ball — ~90× fewer candidates than the r=0 split) but
+    * keeps maxDist+1 chunks at n≲100, where enumeration would cost
+    * more than it saves.
+    *
+    * The row weight is regime-dependent (measured, bench_r15_sf1.json
+    * §mih_hamming): while the index side broadcasts (c·n ≤ the
+    * [[indexSide]] threshold) probe rows never shuffle and cost about
+    * one in-join eval; once the join shuffles, a probe row costs ~30
+    * evals (90 ns/row vs the measured ~2G in-join evals/s at 5M docs).
+    * Without the weight the model flips to wide 2-chunk geometries
+    * past ~20M docs, whose 900+-row per-doc fan-out (46G shuffled rows
+    * at 50M) costs far more than the candidate evals it saves. Pure
+    * function of its arguments, so plans stay deterministic at a given
+    * corpus size.
     */
   private[graft] def mihChunks(bits: Int, maxDist: Int, n: Long): Int = {
     def ball(w: Int, r: Int): Double = {
@@ -587,7 +598,8 @@ object Dedup {
       val w = bits / c // min chunk width (the last chunk only gets wider)
       val r = maxDist / c
       val b = ball(w, r)
-      val cost = c * b + c * b * nd / math.pow(2.0, w.toDouble)
+      val rowW = if (c * nd <= 4_000_000d) 1.0 else 30.0
+      val cost = rowW * c * b + c * b * nd / math.pow(2.0, w.toDouble)
       if (b <= 8192 && cost < bestCost) { bestCost = cost; best = c }
     }
     best
