@@ -724,10 +724,19 @@ object Dedup {
       state.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
     val chunks = mihChunks(bits, maxDist, st.count())
     val stChunks = chunkSigs(st, bits, maxDist, chunks)
-    val bt = chunkProbes(
-      batch.select(col(idCol).as("_id"), col(sigCol).as("_sig")),
-      bits, maxDist, chunks)
-    stChunks.as("x").join(broadcast(bt.as("y")),
+    val b = cacheIndex(
+      batch.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
+    val bt = chunkProbes(b, bits, maxDist, chunks)
+    // Per-micro-batch serve broadcasts the batch's probe fan-out (the
+    // state never moves); a BACKFILL-sized batch whose fan-out exceeds
+    // the broadcast budget degrades to a shuffled hash join instead —
+    // build still on the batch side, and nothing is ever sorted.
+    val r = maxDist / chunks
+    val fanOut = b.count() * (0 until chunks)
+      .map(c => xorMasks(chunkWidth(bits, chunks, c), r).size.toLong).sum
+    val probeSide =
+      if (fanOut <= 4_000_000L) broadcast(bt) else bt.hint("shuffle_hash")
+    stChunks.as("x").join(probeSide.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x._id") =!= col("y._id"))
       .select(col("y._id").as("id"), col("x._id").as("dup_of"),
