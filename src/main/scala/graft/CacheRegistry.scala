@@ -13,6 +13,8 @@ import org.apache.spark.sql.DataFrame
 final class CacheRegistry {
   private val persisted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+  private val counts = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
 
   /** Persist df and track it for [[release]]. */
   def cache(df: DataFrame): DataFrame = {
@@ -24,9 +26,27 @@ final class CacheRegistry {
   /** Track an already-persisted frame for [[release]]. */
   def add(df: DataFrame): Unit = persisted.add(df)
 
-  /** Unpersist and forget every tracked frame. */
+  /** Count df at most once per CANONICAL plan — the plan-construction
+    * counts the MIH joins need (chunk geometry and join strategy derive
+    * from relation size) run eagerly when an operator is *built*, so a
+    * long-lived serve loop that rebuilds the same plan per batch (or a
+    * Flow resume that replays construction) would re-count an unchanged
+    * state relation every time. Keyed the way CacheManager keys cache
+    * sharing, so equal-but-separately-built frames share one count. A
+    * GROWN state is a different canonical plan and re-counts, as it
+    * must — the count feeds size-dependent decisions.
+    */
+  def countOnce(df: DataFrame): Long =
+    counts.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
+      _ => java.lang.Long.valueOf(df.count())).longValue()
+
+  /** Number of tracked frames (diagnostics / scope-leak specs). */
+  def size: Int = persisted.size()
+
+  /** Unpersist and forget every tracked frame and memoized count. */
   def release(): Unit = {
     val it = persisted.iterator()
     while (it.hasNext) { it.next().unpersist(); it.remove() }
+    counts.clear()
   }
 }

@@ -39,7 +39,8 @@ object MihProbe {
       .select(col("doc_id").as("_id"), col("simhash").as("_sig"))
       .persist()
     val n = sigs.count()
-    val auto = graft.operators.Dedup.mihChunks(bits, maxDist, n)
+    val auto = graft.operators.Dedup.mihChunks(bits, maxDist, n,
+      graft.operators.Dedup.mihBroadcastRows(spark))
     val legacy = maxDist + 1
     println(s"n=$n bits=$bits maxDist=$maxDist autoChunks=$auto")
 

@@ -64,10 +64,40 @@ object Dedup {
   /** Registry for every derived index this family persists (shingle
     * rows, prefix table, band table, per-doc shingle sets, verified pair
     * sets, converged cluster labels) — see [[graft.CacheRegistry]].
+    *
+    * Two scopes (r15 advice): CORPUS indexes live session-long in
+    * `registry`; PER-BATCH frames (an arriving micro-batch's signatures
+    * and shingles in the serve operators) land in `batchRegistry`
+    * instead, so a long-lived ingest loop can evict them once the
+    * batch's decisions are materialized — without them, every served
+    * batch left its signature/shingle frames persisted until a full
+    * [[releaseIndexes]]. Construction that builds batch-lifetime frames
+    * wraps itself in [[batchScope]]; everything else defaults to the
+    * session registry.
     */
   private val registry = new graft.CacheRegistry
+  private val batchRegistry = new graft.CacheRegistry
+  private val batchScopeOn = new scala.util.DynamicVariable[Boolean](false)
+
+  /** Route [[cacheIndex]] calls inside `body` to the batch-scoped
+    * registry — used by the serve-side operators around their
+    * batch-derived frames (plan construction is eager, so wrapping the
+    * construction site is sufficient).
+    */
+  private[graft] def batchScope[T](body: => T): T =
+    batchScopeOn.withValue(true)(body)
+
   private[operators] def cacheIndex(df: DataFrame): DataFrame =
-    registry.cache(df)
+    (if (batchScopeOn.value) batchRegistry else registry).cache(df)
+
+  /** Unpersist every per-batch frame cached by the serve operators —
+    * call once per micro-batch, after the batch's decision boundary is
+    * materialized (the foreachBatch recipe in
+    * [[graft.operators.IngestGate]] does). Corpus-lifetime indexes are
+    * untouched.
+    */
+  def releaseBatchIndexes(): Unit = batchRegistry.release()
+  private[graft] def batchIndexCount: Int = batchRegistry.size
 
   /** Public face of the shared shingle index for sibling operator
     * families (e.g. Reporting.sourceOverlap).
@@ -77,7 +107,7 @@ object Dedup {
   /** Unpersist every index cached by the near-dup operators. Call
     * between corpora in a long-lived session.
     */
-  def releaseIndexes(): Unit = registry.release()
+  def releaseIndexes(): Unit = { registry.release(); batchRegistry.release() }
 
   /** Exact 3-gram Jaccard similarity join via prefix filtering (AllPairs /
     * PPJoin family): all pairs with j >= minJ, no approximation.
@@ -519,9 +549,12 @@ object Dedup {
       bits: Int, maxDist: Int): DataFrame = {
     val s = cacheIndex(
       sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
-    val n = s.count()
+    // Memoized per canonical plan: sibling queries over the same
+    // signature frame (q101/q102/q104 share one) pay one count job, and
+    // a replayed plan construction (Flow resume) pays none.
+    val n = registry.countOnce(s)
     hammingNearPairsWithChunks(s, bits, maxDist,
-      mihChunks(bits, maxDist, n), n)
+      mihChunks(bits, maxDist, n, mihBroadcastRows(sigs.sparkSession)), n)
   }
 
   /** [[hammingNearPairs]] at an explicit chunk count — the spec's
@@ -534,7 +567,8 @@ object Dedup {
       bits: Int, maxDist: Int, chunks: Int, n: Long = -1L): DataFrame = {
     import sigs.sparkSession.implicits._
     val exact = indexSide(chunkSigs(sigs, bits, maxDist, chunks),
-      if (n < 0) sigs.count() else n, chunks)
+      if (n < 0) sigs.count() else n, chunks,
+      mihBroadcastRows(sigs.sparkSession))
     val probe = chunkProbes(sigs, bits, maxDist, chunks)
     exact.as("x").join(probe.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
@@ -557,10 +591,45 @@ object Dedup {
     * whole join at 5M docs (65 s, vs 42 s for the r=0 split that MIH
     * should beat) — a hash build per partition needs no sort on
     * either side.
+    *
+    * The broadcast cutoff is the session's byte budget
+    * ([[mihBroadcastRows]]), not a hard-coded row count (r15 advice):
+    * the r15 constant (4M rows ≈ 192 MB of hash relation) was tuned on
+    * a 128 GiB local host and would pressure executor memory on a real
+    * cluster; the budget now rides on
+    * `spark.sql.autoBroadcastJoinThreshold` (override:
+    * `spark.graft.mih.broadcastBytes`) so the cluster's own memory
+    * policy decides the regime.
     */
-  private def indexSide(exact: DataFrame, n: Long, chunks: Int): DataFrame =
-    if (n * chunks <= 4_000_000L) broadcast(exact)
+  private def indexSide(exact: DataFrame, n: Long, chunks: Int,
+      bcastRows: Long): DataFrame =
+    if (n * chunks <= bcastRows) broadcast(exact)
     else exact.hint("shuffle_hash")
+
+  /** Broadcast budget for the MIH joins, in hash-relation ROWS: the
+    * session's byte budget over the ~48-byte footprint of one
+    * (_id, _sig, c, v) UnsafeRow in a broadcast hash relation (8-byte
+    * null bitmap + four 8-byte slots + relation overhead). The budget
+    * is `spark.graft.mih.broadcastBytes` when set — the knob for scale
+    * probes on big-memory hosts, where a few hundred MB of broadcast
+    * index side measured 2.6–3.9× faster than the shuffled join
+    * (bench_r15_sf1 §mih_hamming 500k leg) without touching every
+    * OTHER join's broadcast policy — else
+    * `spark.sql.autoBroadcastJoinThreshold`, so an un-tuned session
+    * inherits exactly the memory budget the cluster operator already
+    * declared for broadcast relations. A non-positive budget (e.g.
+    * autoBroadcastJoinThreshold = -1, broadcasts disabled) routes every
+    * MIH join to the shuffled-hash regime.
+    */
+  private[graft] def mihBroadcastRows(spark: SparkSession): Long = {
+    val s = spark.conf.getOption("spark.graft.mih.broadcastBytes")
+      .orElse(spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+      .getOrElse("10m").trim
+    val bytes =
+      if (s.startsWith("-")) 0L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+    bytes / 48L
+  }
 
   /** MIH chunk-count selection from (signature width, radius, corpus
     * size): minimize per-doc work = probe fan-out (c·ball rows, cost-
@@ -575,17 +644,21 @@ object Dedup {
     * more than it saves.
     *
     * The row weight is regime-dependent (measured, bench_r15_sf1.json
-    * §mih_hamming): while the index side broadcasts (c·n ≤ the
-    * [[indexSide]] threshold) probe rows never shuffle and cost about
+    * §mih_hamming): while the index side broadcasts (c·n ≤ `bcastRows`,
+    * the same session budget [[indexSide]] applies — callers pass
+    * [[mihBroadcastRows]] so the model prices the join the planner will
+    * actually build) probe rows never shuffle and cost about
     * one in-join eval; once the join shuffles, a probe row costs ~30
     * evals (90 ns/row vs the measured ~2G in-join evals/s at 5M docs).
     * Without the weight the model flips to wide 2-chunk geometries
     * past ~20M docs, whose 900+-row per-doc fan-out (46G shuffled rows
     * at 50M) costs far more than the candidate evals it saves. Pure
     * function of its arguments, so plans stay deterministic at a given
-    * corpus size.
+    * corpus size; the default budget is the measured local[32] value
+    * (4M rows ≈ 192 MB).
     */
-  private[graft] def mihChunks(bits: Int, maxDist: Int, n: Long): Int = {
+  private[graft] def mihChunks(bits: Int, maxDist: Int, n: Long,
+      bcastRows: Long = 4_000_000L): Int = {
     def ball(w: Int, r: Int): Double = {
       var total = 0.0; var c = 1.0
       for (i <- 0 to r) { total += c; c = c * (w - i) / (i + 1) }
@@ -595,12 +668,21 @@ object Dedup {
     var best = maxDist + 1
     var bestCost = Double.MaxValue
     for (c <- 1 to math.min(bits, maxDist + 1)) {
-      val w = bits / c // min chunk width (the last chunk only gets wider)
       val r = maxDist / c
-      val b = ball(w, r)
-      val rowW = if (c * nd <= 4_000_000d) 1.0 else 30.0
-      val cost = rowW * c * b + c * b * nd / math.pow(2.0, w.toDouble)
-      if (b <= 8192 && cost < bestCost) { bestCost = cost; best = c }
+      // Ball/cost per ACTUAL chunk width: when c doesn't divide bits the
+      // last chunk absorbs the remainder and its ball is the largest, so
+      // the min-width approximation both under-prices the fan-out and —
+      // the real bug — let the driver-built mask list overshoot the 8192
+      // cap (ball grows ~(w'/w)^r for the wider last chunk). The cap now
+      // bounds the widest chunk's real xorMasks size; fanOut/cands sum
+      // the exact per-chunk terms chunkProbes will build.
+      val balls = (0 until c).map(i => ball(chunkWidth(bits, c, i), r))
+      val fanOut = balls.sum
+      val cands = (0 until c).map(i =>
+        balls(i) * nd / math.pow(2.0, chunkWidth(bits, c, i).toDouble)).sum
+      val rowW = if (c * nd <= bcastRows.toDouble) 1.0 else 30.0
+      val cost = rowW * fanOut + cands
+      if (balls.max <= 8192 && cost < bestCost) { bestCost = cost; best = c }
     }
     best
   }
@@ -720,12 +802,20 @@ object Dedup {
   def hammingNearPairsAgainst(state: DataFrame, batch: DataFrame,
       idCol: String, sigCol: String, bits: Int, maxDist: Int): DataFrame = {
     import state.sparkSession.implicits._
-    val st = cacheIndex(
+    val bcastRows = mihBroadcastRows(state.sparkSession)
+    // State frames are corpus-lifetime (explicitly session-scoped even
+    // when a caller wraps the whole serve in batchScope) and their
+    // count is memoized per canonical plan: a serve loop probing the
+    // same state every micro-batch counts it once, not once per batch.
+    val st = registry.cache(
       state.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
-    val chunks = mihChunks(bits, maxDist, st.count())
+    val chunks = mihChunks(bits, maxDist, registry.countOnce(st), bcastRows)
     val stChunks = chunkSigs(st, bits, maxDist, chunks)
-    val b = cacheIndex(
-      batch.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
+    // Batch frames are batch-lifetime — scoped so the serve loop can
+    // evict them per micro-batch (releaseBatchIndexes) instead of
+    // accreting one persisted signature frame per served batch.
+    val b = batchScope(cacheIndex(
+      batch.select(col(idCol).as("_id"), col(sigCol).as("_sig"))))
     val bt = chunkProbes(b, bits, maxDist, chunks)
     // Per-micro-batch serve broadcasts the batch's probe fan-out (the
     // state never moves); a BACKFILL-sized batch whose fan-out exceeds
@@ -735,7 +825,7 @@ object Dedup {
     val fanOut = b.count() * (0 until chunks)
       .map(c => xorMasks(chunkWidth(bits, chunks, c), r).size.toLong).sum
     val probeSide =
-      if (fanOut <= 4_000_000L) broadcast(bt) else bt.hint("shuffle_hash")
+      if (fanOut <= bcastRows) broadcast(bt) else bt.hint("shuffle_hash")
     stChunks.as("x").join(probeSide.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x._id") =!= col("y._id"))
@@ -757,7 +847,9 @@ object Dedup {
     */
   def simhashNearDupsFromState(state: DataFrame, batchDocs: DataFrame,
       maxDist: Int, bits: Int = 16): DataFrame =
-    hammingNearPairsAgainst(state, simhashes(batchDocs, bits),
+    // Batch signing builds batch-lifetime shingle/signature caches —
+    // scope them for per-micro-batch eviction (releaseBatchIndexes).
+    hammingNearPairsAgainst(state, batchScope(simhashes(batchDocs, bits)),
       "doc_id", "simhash", bits, maxDist)
       .select(col("id").as("doc_id"), col("dup_of"), col("hamming"))
 

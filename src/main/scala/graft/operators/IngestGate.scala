@@ -134,10 +134,20 @@ object IngestGate {
     * state inherit the corpus-scale policy without per-call arguments.
     * Negative means "width-derived" ([[widthMaxDist]]) — the
     * reference-parity behavior of explicitly-widthed states.
+    *
+    * `simhashAuto` marks a state whose radius CAME FROM the budget
+    * policy and may therefore be re-priced by [[compact]] as the
+    * corpus grows. It is an explicit flag, not the sign of the radius
+    * (r15 advice): a hand-constructed state with an explicit
+    * non-negative radius carries CALLER semantics — compact warns
+    * about an outgrown budget but never silently rewrites it unless
+    * the state opted in. [[buildState]]'s auto policy and
+    * [[resignSims]]' 60-bit migration set it; everything else
+    * defaults to caller-owned.
     */
   final case class GateState(fps: DataFrame, sims: DataFrame,
       cents: DataFrame, assigned: DataFrame, simhashBits: Int = 60,
-      simhashMaxDist: Int = -1)
+      simhashMaxDist: Int = -1, simhashAuto: Boolean = false)
 
   /** The effective SimHash policy of a state: its stored width, its
     * stored budget radius (falling back to the width-derived edit
@@ -227,7 +237,8 @@ object IngestGate {
       .groupBy($"fp").agg(min($"doc_id").as("keep_id"))
     val sims = signedWithFloor(docs, pol.bits, pol.minShingles)
     val (cents, assigned) = Similarity.ivfIndex(embeddings, nlist = nlist)
-    GateState(fps, sims, cents, assigned, pol.bits, pol.maxDist)
+    GateState(fps, sims, cents, assigned, pol.bits, pol.maxDist,
+      simhashAuto = simhashBits <= 0)
   }
 
   /** Persist a gate state under `dir`: the four tables as parquet plus
@@ -244,8 +255,8 @@ object IngestGate {
     state.sims.write.mode("overwrite").parquet(s"$dir/sims")
     state.cents.write.mode("overwrite").parquet(s"$dir/cents")
     state.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
-    Seq((state.simhashBits, state.simhashMaxDist))
-      .toDF("simhash_bits", "simhash_max_dist")
+    Seq((state.simhashBits, state.simhashMaxDist, state.simhashAuto))
+      .toDF("simhash_bits", "simhash_max_dist", "simhash_auto")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -259,7 +270,7 @@ object IngestGate {
     * regenerate themselves at a new geometry).
     */
   def loadState(spark: SparkSession, dir: String): GateState = {
-    val (bits, maxDist) =
+    val (bits, maxDist, auto) =
       try {
         val meta = spark.read.parquet(s"$dir/meta")
         val b = meta.select("simhash_bits").head().getInt(0)
@@ -270,20 +281,28 @@ object IngestGate {
           if (meta.columns.contains("simhash_max_dist"))
             meta.select("simhash_max_dist").head().getInt(0)
           else -1
-        (b, d)
+        // A meta written before the auto flag rode in it (r15): a
+        // stored non-negative radius could only have come from
+        // buildState's auto policy then, so that sign IS the legacy
+        // flag — new layouts carry it explicitly.
+        val a =
+          if (meta.columns.contains("simhash_auto"))
+            meta.select("simhash_auto").head().getBoolean(0)
+          else d >= 0
+        (b, d, a)
       } catch {
         case _: org.apache.spark.sql.AnalysisException =>
           println(s"GRAFT gate state at $dir has no meta table — legacy " +
             "16-bit layout assumed; re-sign via IngestGate.resignSims(" +
             "state, docs, 60) to migrate (signatures are not invertible: " +
             "the rebuild reads the raw document corpus)")
-          (16, -1)
+          (16, -1, false)
       }
     GateState(
       spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/sims"),
       spark.read.parquet(s"$dir/cents"),
       spark.read.parquet(s"$dir/assigned"), simhashBits = bits,
-      simhashMaxDist = maxDist)
+      simhashMaxDist = maxDist, simhashAuto = auto)
   }
 
   /** Width migration: rebuild the signature table at `bits` from the
@@ -301,11 +320,14 @@ object IngestGate {
       simhashBits = bits,
       // The migrated corpus's size is in hand — re-price the probe
       // radius the way a fresh auto build would (only ever shrinks the
-      // width-derived radius; simhashParams' budget leg).
+      // width-derived radius; simhashParams' budget leg). A 60-bit
+      // migration is thereby an auto state; any other width keeps
+      // caller (reference-parity) semantics.
       simhashMaxDist = simhashParams(docs.count()) match {
         case SimhashPolicy(60, d, _) if bits == 60 => d
         case _ => -1
-      })
+      },
+      simhashAuto = bits == 60)
 
   /** Run one batch through the cascade. `batchEmb` carries (vec_id,
     * embedding) rows keyed by the batch's doc_ids (docs without an
@@ -361,7 +383,10 @@ object IngestGate {
     // distance ZERO). Bypassed docs still face the exact tier before
     // and the content-based embedding tier after — they lose only the
     // unreliable signature check, never dedup coverage.
-    val simInput = withEnoughShingles(s1, ms)
+    // Batch scope: the survivors' shingle-floor counts are batch-
+    // lifetime frames — a serve loop evicts them per micro-batch via
+    // Dedup.releaseBatchIndexes() once decisions are materialized.
+    val simInput = Dedup.batchScope(withEnoughShingles(s1, ms))
     val simHits = hits(
       Dedup.simhashNearDupsFromState(state.sims, simInput, md,
           state.simhashBits)
@@ -428,8 +453,11 @@ object IngestGate {
     val newFps = state.fps.unionByName(
       sDocs.select(TextAnalysis.fingerprint($"text").as("fp"), $"doc_id")
         .groupBy($"fp").agg(min($"doc_id").as("keep_id")))
+    // Batch scope: the admitted slice's shingle/signature caches are
+    // batch-lifetime; evicting them after the grown state is persisted
+    // just makes the union's new subtree recompute lazily if re-read.
     val newSims = state.sims.unionByName(
-      signedWithFloor(sDocs, state.simhashBits, ms))
+      Dedup.batchScope(signedWithFloor(sDocs, state.simhashBits, ms)))
     val sEmb = batchEmb.join(
       broadcast(survivors.select($"doc_id".as("vec_id"))), Seq("vec_id"))
     val newAssigned = state.assigned.unionByName(
@@ -462,8 +490,12 @@ object IngestGate {
     * would stale as [[admit]] grows the state), so a 60-bit state's
     * radius is re-derived from the compacted signature count via
     * [[budgetMaxDist]] (it only ever shrinks — the budget tightens
-    * with n) with a one-line notice. Narrow parity widths are warned,
-    * never silently re-priced: their semantics are the reference's.
+    * with n) with a one-line notice — but ONLY for states that carry
+    * the `simhashAuto` opt-in ([[buildState]]'s auto policy,
+    * [[resignSims]]' 60-bit migration). Everything else — narrow
+    * parity widths AND hand-constructed states with an explicit
+    * radius — is warned, never silently re-priced: their semantics
+    * are the caller's (r15 advice).
     */
   def compact(state: GateState): GateState = {
     import state.fps.sparkSession.implicits._
@@ -473,21 +505,25 @@ object IngestGate {
     val stored = statePolicy(state).maxDist
     val repriced =
       if (budget >= stored) state.simhashMaxDist
-      else if (state.simhashMaxDist >= 0) {
-        // Auto-built state (the radius rode in from simhashParams):
+      else if (state.simhashAuto) {
+        // Auto-built state (the radius rode in from simhashParams, and
+        // the state carries the explicit opt-in flag — r15 advice: a
+        // hand-constructed state with a non-negative radius is caller
+        // semantics, not an invitation to re-price):
         // the budget is the contract — tighten it.
         println(s"GRAFT gate compact: $n stored signatures outgrew " +
           s"the maxDist=$stored false-hit budget — re-priced to " +
           s"$budget (IngestGate.budgetMaxDist)")
         budget
       } else {
-        // Explicit-width state (reference-parity opt-in): its
-        // semantics are the caller's — warn, never silently re-price.
+        // Caller-owned state (explicit parity width, or hand-built
+        // with an explicit radius): its semantics are the caller's —
+        // warn, never silently re-price.
         println(s"GRAFT gate compact: $n stored signatures outgrew " +
           s"the ${state.simhashBits}-bit maxDist=$stored budget " +
-          s"(would need $budget); explicit-width states are not " +
+          s"(would need $budget); caller-owned states are not " +
           "auto-re-priced — migrate via IngestGate.resignSims(state, " +
-          "docs, 60)")
+          "docs, 60) or copy(simhashAuto = true) to opt in")
         state.simhashMaxDist
       }
     state.copy(

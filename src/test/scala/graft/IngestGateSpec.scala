@@ -303,12 +303,18 @@ class IngestGateSpec extends SparkSpec {
     val cents = Seq((0L, Array(0.0f))).toDF("cid", "centroid")
     val assigned = Seq((0L, 0L)).toDF("vec_id", "cid")
     val grown = IngestGate.GateState(fps, sims5k, cents, assigned,
-      simhashBits = 60, simhashMaxDist = 11)
+      simhashBits = 60, simhashMaxDist = 11, simhashAuto = true)
     val c = IngestGate.compact(grown)
     assert(c.simhashMaxDist == 10,
       s"auto state must re-price 11 -> 10 at 5k docs: ${c.simhashMaxDist}")
     assert(IngestGate.budgetMaxDist(60, 5000) == 10)
     assert(IngestGate.budgetMaxDist(60, 50000) == 9)
+    // A hand-constructed state with an explicit non-negative radius but
+    // WITHOUT the auto opt-in carries caller semantics: compact warns
+    // about the outgrown budget but leaves the radius alone (r15
+    // advice — re-pricing used to key on the radius sign alone).
+    val callerOwned = grown.copy(simhashAuto = false)
+    assert(IngestGate.compact(callerOwned).simhashMaxDist == 11)
     // Explicit-width (reference-parity) state: same growth, radius is
     // width-derived (-1) — compact warns but never silently re-prices.
     val parity = IngestGate.GateState(fps, sims5k, cents, assigned,

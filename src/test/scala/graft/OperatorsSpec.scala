@@ -291,12 +291,15 @@ class TextDedupSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.Dedup
     // Synthetic 16-bit signatures with planted near pairs: id 3k+1 is
-    // id 3k with one bit flipped, 3k+2 with five flipped (outside
-    // maxDist=3) — plus the deterministic spread of the base hashes.
+    // id 3k with one bit flipped, 3k+2 with five flipped — bits 0, 4,
+    // 8, 12, 15, all inside the 16-bit width, outside maxDist=3.
+    // (An earlier form wrote `s ^ 0x1111L + 16L`, which precedence
+    // parses as `s ^ 0x1121L` — four flips, not five; brute force was
+    // the oracle either way, but plant and intent now agree.)
     val base = (0 until 60).map(i =>
       (i * 3L, (graft.functions.Fp.detHash32Local("mih", i.toString) & 0xFFFFL)))
     val sigs = base.flatMap { case (id, s) =>
-      Seq((id, s), (id + 1, s ^ 2L), (id + 2, s ^ 0x1111L + 16L))
+      Seq((id, s), (id + 1, s ^ 2L), (id + 2, s ^ 0x9111L))
     }.toDF("_id", "_sig")
     val brute = sigs.as("x").crossJoin(sigs.as("y"))
       .filter(col("x._id") < col("y._id"))
@@ -342,6 +345,72 @@ class TextDedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(mih == legacy && mih.nonEmpty, s"wide geometry c=$c diverged")
     }
+  }
+
+  test("MIH join strategy honors the session broadcast budget") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sigs = (0 until 200).map(i =>
+      (i.toLong, graft.functions.Fp.detHash32Local("mihbb", i.toString) & 0xFFFFL))
+      .toDF("_id", "_sig")
+    def strategies(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Default budget (autoBroadcastJoinThreshold 10 MB ≈ 218k rows):
+    // a 200-row index side broadcasts.
+    val bplan = Dedup.hammingNearPairs(sigs, "_id", "_sig", 16, 3)
+    assert(strategies(bplan).contains("BroadcastHashJoin"),
+      "small index side must broadcast under the default budget")
+    val bres = pairs(bplan)
+    // Budget 0 (the conf a broadcast-disabled cluster declares): the
+    // same join flips to the shuffled-hash regime — and returns the
+    // identical pair set. graft.mih.broadcastBytes overrides WITHOUT
+    // touching other joins' broadcast policy.
+    spark.conf.set("spark.graft.mih.broadcastBytes", "0")
+    try {
+      assert(Dedup.mihBroadcastRows(spark) == 0L)
+      val splan = Dedup.hammingNearPairs(sigs, "_id", "_sig", 16, 3)
+      val s = strategies(splan)
+      assert(s.contains("ShuffledHashJoin") && !s.contains("BroadcastHashJoin"),
+        "zero budget must force the shuffled-hash regime")
+      assert(pairs(splan) == bres && bres.nonEmpty)
+      // The serve-side join honors the same budget on its batch fan-out.
+      val servePlan = Dedup.hammingNearPairsAgainst(
+        sigs.select($"_id".as("doc_id"), $"_sig".as("simhash")),
+        sigs.filter($"_id" < 20).select($"_id".as("doc_id"),
+          $"_sig".as("simhash")), "doc_id", "simhash", 16, 3)
+      assert(strategies(servePlan).contains("ShuffledHashJoin"))
+    } finally spark.conf.unset("spark.graft.mih.broadcastBytes")
+    // Disabled auto-broadcast (-1) reads as a zero budget, not a crash.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(Dedup.mihBroadcastRows(spark) == 0L)
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("serve-side batch caches are scoped and evictable per micro-batch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    Dedup.releaseBatchIndexes()
+    val state = Dedup.simhashes(tables.documents, 60)
+    val before = Dedup.batchIndexCount
+    // Two served batches: each signing builds batch-lifetime frames that
+    // land in the batch registry, NOT the session registry.
+    val d1 = Dedup.simhashNearDupsFromState(state,
+      tables.documents.filter($"doc_id" < 50), 5, bits = 60).count()
+    val d2 = Dedup.simhashNearDupsFromState(state,
+      tables.documents.filter($"doc_id" >= 50 && $"doc_id" < 100), 5,
+      bits = 60).count()
+    assert(Dedup.batchIndexCount > before,
+      "batch frames must register in the batch scope")
+    // The per-micro-batch eviction the ingest loop runs: batch frames
+    // drain; corpus indexes are untouched and the serve still answers.
+    Dedup.releaseBatchIndexes()
+    assert(Dedup.batchIndexCount == 0)
+    val d3 = Dedup.simhashNearDupsFromState(state,
+      tables.documents.filter($"doc_id" < 50), 5, bits = 60).count()
+    assert(d3 == d1 && d1 + d2 >= 0)
+    Dedup.releaseBatchIndexes()
   }
 
   test("MinhashBands equals the aggregate minhash formulation bit-for-bit") {
