@@ -598,32 +598,70 @@ object IngestGate {
        |LEFT JOIN sim_hits s ON s.doc_id = d.doc_id
        |LEFT JOIN emb_hits m ON m.doc_id = d.doc_id""".stripMargin
 
-  /** Driver-contract binding: the flagship composed operator reached
-    * through the SQL surface — state built from the corpus, persisted
-    * as parquet, re-loaded by the `gate_decisions` table function
-    * ([[graft.GraftExtensions]]), and a 100-doc batch gated from pure
-    * SQL. min_cos 0.35 keeps the embedding tier substantive at verify
-    * scale (the 0.9 production default sees no iid-gaussian pairs).
+  /** One persisted gate state per (sfDir) for the q106 pair — built and
+    * saved by whichever half runs first (sorted order puts the build
+    * half first in both Verify and Bench, so the serve half measures
+    * load + serve, not a second build — the q77 build/serve precedent,
+    * applied here because the r15 bench's single composite hid the
+    * serve cost inside a 7.5 s build+save+serve unit).
     */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q106_sql_gate_decisions" -> ((s, d) => {
-      import s.implicits._
-      graft.GraftExtensions.register(s)
+  private val q106Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q106StateDir(s: SparkSession, d: String): String =
+    q106Dirs.computeIfAbsent(d, _ => {
       val t = Tables.load(s, d)
       val state = buildState(t.documents, t.embeddings)
       val dir = java.nio.file.Files.createTempDirectory("gatesql")
         .toString
       saveState(state, s"$dir/state")
+      s"$dir/state"
+    })
+
+  /** Driver-contract bindings: the flagship composed operator reached
+    * through the SQL surface, split into its two production phases.
+    *
+    * `q106_gate_state_build` builds the three-tier state from the
+    * corpus and persists it ([[buildState]] + [[saveState]]), returning
+    * the signature tier's PERSISTED relation — re-read from parquet, so
+    * the oracle proves the saved layout, not just the plan — at the
+    * pinned verify-scale policy (60-bit, minShingles floor).
+    *
+    * `q106_sql_gate_decisions` serves a 100-doc batch against that
+    * prebuilt state from pure SQL: the `gate_decisions` table function
+    * ([[graft.GraftExtensions]]) reloads the parquet state at analysis
+    * time and macro-expands the cascade. min_cos 0.35 keeps the
+    * embedding tier substantive at verify scale (the 0.9 production
+    * default sees no iid-gaussian pairs).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_gate_state_build" -> ((s, d) => {
+      val dir = q106StateDir(s, d)
+      s.read.parquet(s"$dir/sims").select("doc_id", "simhash")
+    }),
+    "q106_sql_gate_decisions" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.register(s)
+      val t = Tables.load(s, d)
+      val dir = q106StateDir(s, d)
       t.documents.filter($"doc_id" < q106Batch)
         .createOrReplaceTempView("gate_docs_v")
       t.embeddings.filter($"vec_id" < q106Batch)
         .createOrReplaceTempView("gate_emb_v")
       s.sql(s"""SELECT doc_id, stage, dup_of FROM gate_decisions(
-               |  '$dir/state', 'gate_docs_v', 'gate_emb_v', 0.35, 4)"""
+               |  '$dir', 'gate_docs_v', 'gate_emb_v', 0.35, 4)"""
         .stripMargin)
     }))
 
   def oracles: Map[String, String] = Map(
+    // The persisted signature tier: every corpus doc at or above the
+    // policy's shingle floor, signed at the 60-bit ceiling — the same
+    // sig/shc CTEs the decisions oracle replays.
+    "q106_gate_state_build" ->
+      s"""WITH ${Dedup.simhashCteAt(60)},
+         |shc AS (SELECT doc_id, COUNT(*) AS nsh FROM shx GROUP BY doc_id)
+         |SELECT s.doc_id, s.simhash
+         |FROM sig s JOIN shc c ON c.doc_id = s.doc_id
+         |WHERE c.nsh >= ${q106Pol.minShingles}""".stripMargin,
     "q106_sql_gate_decisions" ->
       gateOracleSql(q106Batch, "0.35", q106Pol))
 }
