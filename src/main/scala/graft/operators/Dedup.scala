@@ -350,6 +350,61 @@ object Dedup {
     verifyJaccard(cand, sh, minJ).distinct()
   }
 
+  /** Corpus-size default for [[nearDupsAdaptive]]'s exact/LSH boundary.
+    * Justified from the measured Σdf² growth of the df-cut exact join
+    * (TextProbe, bench_r15_sf1 §text_neardup_decades): 1.9 s at 5k docs
+    * (sf0.1) but 47.3 s at 500k — the prefix join's work grows with the
+    * square of surviving-shingle document frequencies, which scale with
+    * the corpus — while the LSH route measures build-dominated ~linear
+    * (9.8 s at 500k, 144.7 s at 5M). Interpolating the measured decades
+    * puts the wall-clock crossover between 50k and 500k; 100k is the
+    * conservative pick — below it the exact join costs at most a few
+    * seconds AND carries no miss probability, above it LSH is both
+    * faster and exact-on-candidates.
+    */
+  val defaultExactMaxDocs = 100000L
+
+  /** Bands for the LSH route at a given threshold: the smallest band
+    * count (at the verified 4-rows-per-band geometry) whose probability
+    * of missing a TRUE pair at j = minJ, (1 − minJ⁴)^b, is ≤ 1e-4 —
+    * floored at the measured q27 default (16, miss 5e-8 at j = 0.9) so
+    * the high-threshold shape is unchanged, and capped at 256 (1024
+    * minhashes): below j ≈ 0.55 the guarantee would need thousands of
+    * permutations, and a corpus-scale join at such thresholds is the
+    * wrong tool regardless — the pair volume itself is no longer
+    * near-dup-sparse.
+    */
+  private[graft] def minhashBandsFor(minJ: Double): Int = {
+    val p = math.pow(math.min(math.max(minJ, 0.05), 0.999), 4)
+    val b = math.ceil(math.log(1e-4) / math.log1p(-p)).toInt
+    math.min(256, math.max(16, b))
+  }
+
+  /** Corpus-size-routed near-dup dispatcher (the
+    * [[graft.operators.Reporting.lengthOutliersAdaptive]] pattern
+    * applied to the near-dup family): the exact prefix-filtered Jaccard
+    * join below `exactMaxDocs` documents, the MinHash-LSH route — with
+    * a band count sized for the threshold by [[minhashBandsFor]] —
+    * above it. Both legs emit the same (doc_a, doc_b, jaccard) schema
+    * with exact Jaccard values (the LSH leg verifies every candidate
+    * exactly; only candidate GENERATION is probabilistic, with miss
+    * ≤ 1e-4 at the threshold by construction).
+    *
+    * This encodes in code what was previously doctrine in docs: the
+    * exact join's Σdf² term makes it a small/mid-corpus tool (measured
+    * 47 s at 500k docs where LSH does the same job in 9.8 s —
+    * bench_r15_sf1 §text_neardup_decades), but BELOW the boundary it is
+    * both cheaper than the signature build and miss-free. The one count
+    * job is memoized per corpus plan.
+    */
+  def nearDupsAdaptive(docs: DataFrame, minJ: Double,
+      maxDf: Long = defaultMaxDf,
+      exactMaxDocs: Long = defaultExactMaxDocs): DataFrame = {
+    val n = registry.countOnce(docs.select(col("doc_id")))
+    if (n <= exactMaxDocs) jaccardNearDups(docs, minJ, maxDf)
+    else lshNearDups(docs, minJ, minhashBandsFor(minJ), 4)
+  }
+
   /** Persistable LSH dedup state for a corpus generation: the banded
     * MinHash signature rows (doc_id, band, bh) and the sorted shingle-set
     * arrays (doc_id, ss) — everything [[incrementalNearDups]] needs to
@@ -1058,6 +1113,13 @@ object Dedup {
     "q26_neardup_jaccard" -> ((s, d) =>
       jaccardNearDups(Tables.load(s, d).documents, 0.6, defaultMaxDf)),
     "q27_neardup_lsh" -> ((s, d) => lshNearDups(Tables.load(s, d).documents, 0.9)),
+    // The size-routed dispatcher on its exact side (the verify corpus
+    // sits far below the 100k boundary): the oracle is the full exact
+    // Jaccard answer, which is the dispatcher's contract there. The LSH
+    // side's routing is pinned by spec (DedupSpec) — its w.h.p.
+    // candidate generation is deliberately not an oracle surface.
+    "q107_neardups_adaptive" -> ((s, d) =>
+      nearDupsAdaptive(Tables.load(s, d).documents, 0.7)),
     // Corpus-growth scenario on driver data: the lower 90% of the id
     // space is the already-signed corpus (state built once, text never
     // re-read), the top 10% arrives as a batch — see [[batchCut]]; the
@@ -1275,6 +1337,7 @@ object Dedup {
         |      ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC) AS rk
         |  FROM events) WHERE rk = 1""".stripMargin,
     "q26_neardup_jaccard" -> jaccardSql(0.6, shingleCteCut(defaultMaxDf)),
+    "q107_neardups_adaptive" -> jaccardSql(0.7, shingleCteCut(defaultMaxDf)),
     // The oracle is the full exact answer (no prefix machinery): prefix
     // filtering is completeness-preserving, so the sets must be equal.
     "q91_containment" ->

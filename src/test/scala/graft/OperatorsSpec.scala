@@ -347,6 +347,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupsAdaptive routes by corpus size; bands track the threshold") {
+    import graft.operators.Dedup
+    val docs = tables.documents
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Below the boundary (every test corpus is): the dispatcher IS the
+    // exact prefix-filtered join.
+    assert(pairs(Dedup.nearDupsAdaptive(docs, 0.7)) ==
+      pairs(Dedup.jaccardNearDups(docs, 0.7, Dedup.defaultMaxDf)))
+    // Forced above the boundary: the dispatcher becomes the LSH route
+    // at the threshold-derived band count (16 at 0.9 — the q27
+    // geometry, so the plans coincide exactly).
+    assert(pairs(Dedup.nearDupsAdaptive(docs, 0.9, exactMaxDocs = 1L)) ==
+      pairs(Dedup.lshNearDups(docs, 0.9)))
+    // Band sizing: floored at the measured q27 default, growing as the
+    // threshold falls (miss (1-j^4)^b <= 1e-4), capped at 256.
+    assert(Dedup.minhashBandsFor(0.9) == 16)
+    assert(Dedup.minhashBandsFor(0.7) == 34)
+    assert(Dedup.minhashBandsFor(0.6) == 67)
+    assert(Dedup.minhashBandsFor(0.3) == 256)
+    val bs = Seq(0.95, 0.9, 0.8, 0.7, 0.6, 0.5).map(Dedup.minhashBandsFor)
+    assert(bs == bs.sorted, s"bands must grow as the threshold falls: $bs")
+  }
+
   test("MIH join strategy honors the session broadcast budget") {
     import spark.implicits._
     import graft.operators.Dedup
