@@ -598,6 +598,131 @@ object IngestGate {
        |LEFT JOIN sim_hits s ON s.doc_id = d.doc_id
        |LEFT JOIN emb_hits m ON m.doc_id = d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // The SQL-first ingest loop (r15 verdict task 6): `gate_decisions`
+  // gives SQL callers the gate's READ half; the write half —
+  // admit/compact/saveState — is necessarily engine code (SQL cannot
+  // persist state), but it is GENERIC: nothing in it depends on the
+  // batch's content logic, which stays in SQL. These helpers are that
+  // generic shell, so a SQL-first team runs the full loop with one
+  // foreachBatch line:
+  //
+  //   IngestGate.initSqlGateState(initialState, root)
+  //   stream.writeStream.option("checkpointLocation", ckpt)
+  //     .foreachBatch(IngestGate.sqlGateBatch(spark, root) _).start()
+  //
+  // State layout under `root`: one immutable version per committed
+  // batch (`init`, `b0`, `b1`, …), each a full saveState layout plus
+  // the batch's decision relation, committed by a _GATE_COMMITTED
+  // marker written LAST — so an at-least-once replay of a committed
+  // batch id is a no-op, a crash mid-version leaves no marker and the
+  // replay overwrites cleanly, and every batch's decisions stay
+  // queryable forever (SELECT * FROM parquet.`root/b3/decisions`).
+  // ---------------------------------------------------------------------
+
+  private val commitMarker = "_GATE_COMMITTED"
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Seed the versioned layout with the initial state (possibly built
+    * from an empty corpus) — the one-time setup before the stream
+    * starts.
+    */
+  def initSqlGateState(state: GateState, root: String): Unit = {
+    val dir = s"$root/init"
+    saveState(state, dir)
+    val fs = hadoopFs(state.fps.sparkSession, dir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/$commitMarker")).close()
+  }
+
+  /** The newest COMMITTED state version under `root` — what the next
+    * batch gates against, and what a restarted driver resumes from
+    * (the cross-JVM restart path GateRestartSpec proves for the Scala
+    * loop applies unchanged: state is plain parquet).
+    */
+  def latestGateStateDir(spark: SparkSession, root: String): String = {
+    val fs = hadoopFs(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val committed = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, commitMarker)))
+      .map(p => p.getName match {
+        case "init" => (-1L, p.toString)
+        case b if b.startsWith("b") => (b.drop(1).toLong, p.toString)
+        case _ => (Long.MinValue, p.toString)
+      })
+      .filter(_._1 > Long.MinValue)
+    require(committed.nonEmpty,
+      s"no committed gate state under $root — run initSqlGateState first")
+    committed.maxBy(_._1)._2
+  }
+
+  /** The foreachBatch body of the SQL-first ingest loop. The batch
+    * frame carries (doc_id, text, embedding) rows — the natural
+    * ingest row, embeddings riding with their documents. Per batch:
+    *
+    *  1. register the batch's docs/embeddings as temp views and take
+    *     the decision relation from PURE SQL —
+    *     `gate_decisions(latest_state, docs_v, emb_v, min_cos, nprobe)`
+    *     (policy rides in the state's meta table; the SQL side needs
+    *     no tuning knowledge);
+    *  2. persist the decisions into this batch's version dir (the
+    *     loop's queryable output);
+    *  3. [[admit]] the survivors into the state, [[compact]] every
+    *     `compactEvery` batches (which also re-prices an auto state's
+    *     radius as the corpus grows), [[saveState]] the grown state as
+    *     the new version;
+    *  4. commit the version with its marker, then drain the per-batch
+    *     serve caches ([[Dedup.releaseBatchIndexes]]) — the eviction
+    *     point the batch-scoped registry exists for.
+    *
+    * A replayed committed batch id returns immediately (marker check),
+    * so the loop is idempotent under the sink's at-least-once
+    * contract; decisions for batch k are exactly-once at
+    * `root/b<k>/decisions`.
+    */
+  def sqlGateBatch(spark: SparkSession, root: String, minCos: Double = 0.9,
+      nprobe: Int = 4, compactEvery: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import spark.implicits._
+    val vdir = s"$root/b$batchId"
+    val fs = hadoopFs(spark, root)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$vdir/$commitMarker")))
+      return
+    if (batch.isEmpty) return
+    // Pin the micro-batch (the flow lesson: micro-batch lineage must
+    // not stack through the admit chain), then split the ingest row
+    // into the gate's two relations. Everything SQL-facing runs on the
+    // BATCH's session: foreachBatch hands over a micro-batch session
+    // clone, and a temp view registered there is invisible to the
+    // driver session (and vice versa).
+    val bs = batch.sparkSession
+    val bd = batch.localCheckpoint()
+    val docs = bd.select($"doc_id", $"text")
+    val emb = bd.select($"doc_id".as("vec_id"), $"embedding")
+    docs.createOrReplaceTempView("graft_gate_batch_docs")
+    emb.createOrReplaceTempView("graft_gate_batch_emb")
+    graft.GraftExtensions.register(bs)
+    val prev = latestGateStateDir(spark, root)
+    bs.sql(
+      s"""SELECT doc_id, stage, dup_of FROM gate_decisions(
+         |  '$prev', 'graft_gate_batch_docs', 'graft_gate_batch_emb',
+         |  $minCos, $nprobe)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$vdir/decisions")
+    val decisions = bs.read.parquet(s"$vdir/decisions")
+    val grown = admit(loadState(bs, prev), decisions, docs, emb)
+    val next =
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        compact(grown)
+      else grown
+    saveState(next, vdir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$vdir/$commitMarker")).close()
+    Dedup.releaseBatchIndexes()
+  }
+
   /** One persisted gate state per (sfDir) for the q106 pair — built and
     * saved by whichever half runs first (sorted order puts the build
     * half first in both Verify and Bench, so the serve half measures

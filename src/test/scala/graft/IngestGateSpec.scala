@@ -249,6 +249,97 @@ class IngestGateSpec extends SparkSpec {
     Similarity.releaseIndexes()
   }
 
+  test("SQL-first ingest loop: gate_decisions + admit foreachBatch equals the all-Scala loop") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // Corpus + initial state (the one-time Scala setup a SQL-first team
+    // runs once).
+    val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
+      .toDF("doc_id", "text")
+    val embs = (0 until 40).map(i => (i.toLong, stateEmb(i)))
+      .toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("sqlgate").toString
+    IngestGate.initSqlGateState(
+      IngestGate.buildState(docs, embs, nlist = 4), s"$root/state")
+    // Three micro-batches as jsonl files (maxFilesPerTrigger=1 — the
+    // repo's deterministic micro-batch pattern), embeddings riding in
+    // the row: b1 = a novel doc; b2 = its VERBATIM copy (catchable only
+    // through batch-1's admit); b3 = a copy of an ORIGINAL state doc
+    // plus a second novel doc.
+    val novelText = "unrelated treatise on the migration patterns of " +
+      "arctic terns across hemispheres every single year"
+    val novel2 = "entirely different essay regarding deep sea vents and " +
+      "the chemosynthetic bacteria thriving beside them in darkness"
+    def row(id: Long, text: String, embOf: Int): String =
+      s"""{"doc_id":$id,"text":"$text","embedding":[${
+        stateEmb(embOf).mkString(",")}]}"""
+    Files.createDirectories(Paths.get(s"$root/in"))
+    Files.writeString(Paths.get(s"$root/in/b1.jsonl"), row(300, novelText, 300))
+    Files.writeString(Paths.get(s"$root/in/b2.jsonl"), row(301, novelText, 300))
+    Files.writeString(Paths.get(s"$root/in/b3.jsonl"),
+      row(302, stateText(5), 5) + "\n" + row(303, novel2, 303))
+    // The file source orders batches by modification time; three writes
+    // in the same millisecond gave a nondeterministic order — pin it.
+    Seq("b1", "b2", "b3").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(s"$root/in/$f.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
+    }
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$root/in")
+    // The whole write half is the one generic line.
+    val q = streaming.Streams.toForeachBatchSink(stream, s"$root/ckpt")(
+      IngestGate.sqlGateBatch(spark, s"$root/state") _)
+    q.awaitTermination()
+    // The per-batch serve caches drained at each commit (the scoped
+    // registry's eviction point inside sqlGateBatch) — checked BEFORE
+    // the all-Scala reference loop below, whose gate() calls fill the
+    // batch scope again without a loop to drain it.
+    assert(Dedup.batchIndexCount == 0)
+    // The loop's queryable output: per-batch decision relations.
+    val sqlDecisions = (0 to 2).flatMap { b =>
+      spark.read.parquet(s"$root/state/b$b/decisions")
+        .collect().map(r => (r.getLong(0),
+          (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+    }.toMap
+    // The all-Scala reference loop over the same batches.
+    var state = IngestGate.buildState(docs, embs, nlist = 4)
+    val scalaDecisions = scala.collection.mutable.Map[Long, (String, Long)]()
+    for (f <- Seq("b1", "b2", "b3")) {
+      val bd = spark.read
+        .schema("doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>")
+        .json(s"$root/in/$f.jsonl").localCheckpoint()
+      val bdocs = bd.select($"doc_id", $"text")
+      val bemb = bd.select($"doc_id".as("vec_id"), $"embedding")
+      val d = IngestGate.gate(state, bdocs, bemb).localCheckpoint()
+      d.collect().foreach(r => scalaDecisions(r.getLong(0)) =
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      state = IngestGate.admit(state, d, bdocs, bemb)
+    }
+    assert(sqlDecisions == scalaDecisions.toMap,
+      s"sql=$sqlDecisions scala=$scalaDecisions")
+    // The content expectations themselves (not just loop equality).
+    assert(sqlDecisions(300L)._1 == "pass")
+    assert(sqlDecisions(301L) == ("exact", 300L))
+    assert(sqlDecisions(302L) == ("exact", 5L))
+    assert(sqlDecisions(303L)._1 == "pass")
+    // Idempotence under at-least-once replay: re-running a committed
+    // batch id is a no-op (marker short-circuit) — decisions unchanged
+    // (batch 0 is b1.jsonl = doc 300 under the pinned file order).
+    IngestGate.sqlGateBatch(spark, s"$root/state")(
+      Seq((999L, "SHOULD NOT BE GATED", stateEmb(300)))
+        .toDF("doc_id", "text", "embedding"), 0L)
+    assert(spark.read.parquet(s"$root/state/b0/decisions")
+      .collect().map(_.getLong(0)).toSeq == Seq(300L))
+    // The restart path: a fresh consumer resumes from the newest
+    // committed version.
+    assert(IngestGate.latestGateStateDir(spark, s"$root/state")
+      .endsWith("/b2"))
+    Dedup.releaseIndexes()
+    Similarity.releaseIndexes()
+  }
+
   test("compact: an at-least-once replayed admit collapses to the replay-free state, decisions unchanged") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong, stateText(i)))
