@@ -15,10 +15,25 @@ import org.apache.spark.sql.functions._
   * via simhashNearDupsFromState) at the auto geometry.
   *
   *   SPARK_GRAFT_SF_DIR=bench/sf1 tools/run.sh graft.MihProbe
+  *
+  * SPARK_GRAFT_MIH_SIGS selects the SIGNATURE-ONLY mode (r15 verdict
+  * task 1 — the 50M-decade probe, where generating/signing 50M
+  * documents would cost more than the join being measured): point it
+  * at a (doc_id, simhash) parquet (tools/gen_sigs_scale.py — uniform
+  * 60-bit signatures with near-pairs planted at the rate the
+  * doc-derived corpora measure) and the probe loads signatures
+  * directly; the serve leg probes the first 200 signatures against the
+  * full state through the same hammingNearPairsAgainst join the gate
+  * tier runs (batch-local signing is irrelevant to what it measures —
+  * the state-side join geometry).
+  *
+  *   SPARK_GRAFT_MIH_SIGS=bench/sigs50M/signatures.parquet \
+  *     SPARK_GRAFT_MIH_LEGS=mih tools/run.sh graft.MihProbe
   */
 object MihProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "bench/sf1")
+    val sigsPath = sys.env.get("SPARK_GRAFT_MIH_SIGS")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,18 +46,44 @@ object MihProbe {
     import spark.implicits._
 
     val (bits, maxDist) = (60, 5)
-    val docs = Tables.load(spark, sfDir).documents
     // Sign once, persist, and time ONLY the join legs: the signature
     // aggregation is identical for both geometries and would otherwise
-    // dominate the comparison.
-    val sigs = graft.operators.Dedup.simhashes(docs, bits)
-      .select(col("doc_id").as("_id"), col("simhash").as("_sig"))
-      .persist()
+    // dominate the comparison. In sigs mode the signatures come
+    // pre-built from parquet.
+    val sigs = (sigsPath match {
+      case Some(p) => spark.read.parquet(p)
+        .select(col("doc_id").as("_id"), col("simhash").as("_sig"))
+      case None =>
+        graft.operators.Dedup.simhashes(
+            Tables.load(spark, sfDir).documents, bits)
+          .select(col("doc_id").as("_id"), col("simhash").as("_sig"))
+    }).persist()
     val n = sigs.count()
     val auto = graft.operators.Dedup.mihChunks(bits, maxDist, n,
       graft.operators.Dedup.mihBroadcastRows(spark))
     val legacy = maxDist + 1
-    println(s"n=$n bits=$bits maxDist=$maxDist autoChunks=$auto")
+    // The cost model's own predictions for the picked geometry — the
+    // "predicted vs measured" row of the r16 capture: expected raw
+    // candidates under the uniform-signature model (per-chunk ball ×
+    // n²/2^width, summed) and the probe-side fan-out rows.
+    def ballSz(w: Int, r: Int): Double = {
+      var t = 0.0; var c = 1.0
+      for (i <- 0 to r) { t += c; c = c * (w - i) / (i + 1) }
+      t
+    }
+    def predicted(c: Int): (Double, Double) = {
+      val r = maxDist / c
+      val terms = (0 until c).map { i =>
+        val w = if (i == c - 1) bits - (bits / c) * (c - 1) else bits / c
+        val b = ballSz(w, r)
+        // n²/2: the join keeps ordered x._id < y._id pairs only.
+        (b, b * n.toDouble * n.toDouble / 2.0 / math.pow(2.0, w.toDouble))
+      }
+      (terms.map(_._1).sum * n, terms.map(_._2).sum)
+    }
+    val (predFan, predCand) = predicted(auto)
+    println(s"n=$n bits=$bits maxDist=$maxDist autoChunks=$auto " +
+      f"predictedFanOutRows=$predFan%.3e predictedCandidates=$predCand%.3e")
 
     def leg(name: String, chunks: Int): (Long, Long, Double) = {
       val cand = graft.operators.Dedup
@@ -68,12 +109,20 @@ object MihProbe {
       require(pl == pa, s"geometries disagree: $pl vs $pa")
 
     // Serve leg: a 200-doc batch probed against the full corpus state
-    // at the auto geometry (what the gate's signature tier runs).
-    val batch = docs.filter($"doc_id" < 200)
+    // at the auto geometry (what the gate's signature tier runs). Doc
+    // mode signs the batch docs (the full q96 path); sigs mode probes
+    // pre-built batch signatures through the same state-side join.
+    val state = sigs.select(col("_id").as("doc_id"), col("_sig").as("simhash"))
     val t0 = System.nanoTime()
-    val served = graft.operators.Dedup.simhashNearDupsFromState(
-      sigs.select(col("_id").as("doc_id"), col("_sig").as("simhash")),
-      batch, maxDist, bits).count()
+    val served = (sigsPath match {
+      case Some(_) =>
+        graft.operators.Dedup.hammingNearPairsAgainst(state,
+          state.filter($"doc_id" < 200), "doc_id", "simhash", bits, maxDist)
+      case None =>
+        graft.operators.Dedup.simhashNearDupsFromState(state,
+          Tables.load(spark, sfDir).documents.filter($"doc_id" < 200),
+          maxDist, bits)
+    }).count()
     val serveSec = (System.nanoTime() - t0) / 1e9
 
     println(s"""{"probe":"mih","sf_dir":"$sfDir","n":$n,""" +

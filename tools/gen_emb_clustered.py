@@ -92,14 +92,64 @@ def gen(n, out):
           f"(reused sources={n_reused}) true_pairs@0.8={true_pairs}")
 
 
+def gen_big(n, out, chunk=2_000_000):
+    """Chunked variant for n >= ~10M (the r16 embc1000 = 20M corpus):
+    gen() holds the whole float64 matrix plus a python-object embedding
+    column and brute-forces planted ground truth -- fine to 2M, hopeless
+    at 20M. Same structure per chunk (5% planted copies at cos uniform
+    in [0.82, 0.97], 20% source reuse, copies from the chunk's first
+    half -- the recall probe measures retrieval geometry, not
+    cross-chunk placement), vectorized mutation, flat-buffer arrow
+    lists, streamed row groups. No brute-force ground-truth print: the
+    probe computes exact top-k itself.
+    """
+    rng = np.random.RandomState(SEED)
+    os.makedirs(out, exist_ok=True)
+    writer = None
+    planted = 0
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        E = rng.randn(m, 64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        n_pl = int(m * RATE)
+        targets = rng.choice(np.arange(m // 2, m), size=n_pl, replace=False)
+        n_reused = n_pl // 5
+        srcs = rng.choice(m // 2, size=n_pl - n_reused, replace=False)
+        sources = np.concatenate(
+            [srcs, rng.choice(srcs, size=n_reused, replace=False)])
+        want = rng.uniform(0.82, 0.97, size=n_pl)
+        sigma = np.sqrt((1.0 / (want * want) - 1.0) / 64.0)
+        V = E[sources] + sigma[:, None] * rng.randn(n_pl, 64)
+        E[targets] = V / np.linalg.norm(V, axis=1, keepdims=True)
+        planted += n_pl
+        flat = pa.array(E.astype(np.float32).ravel(), type=pa.float32())
+        offsets = pa.array(np.arange(0, (m + 1) * 64, 64, dtype=np.int32))
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(lo, lo + m, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offsets, flat),
+            "label": pa.array(rng.randint(0, 10, size=m).astype(np.int32)),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(f"{out}/embeddings.parquet", tbl.schema)
+        writer.write_table(tbl)
+    writer.close()
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"]:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{name}.parquet", dst)
+    print(f"{out}: n={n} planted={planted} (chunked, no brute-force check)")
+
+
 if len(sys.argv) > 2:
     # One explicit corpus: n and (derived) directory name — how the
     # embc10 (200k) and embc100 (2M) probe corpora are produced.
     #   python3 tools/gen_emb_clustered.py bench 200000   -> bench/embc10
     #   python3 tools/gen_emb_clustered.py bench 2000000  -> bench/embc100
+    #   python3 tools/gen_emb_clustered.py bench 20000000 -> bench/embc1000
     n = int(sys.argv[2])
     name = sys.argv[3] if len(sys.argv) > 3 else f"embc{n // 20000}"
-    gen(n, f"{OUTROOT}/{name}")
+    (gen_big if n >= 10_000_000 else gen)(n, f"{OUTROOT}/{name}")
 else:
     gen(2000, f"{OUTROOT}/embc0.1")
     gen(20000, f"{OUTROOT}/embc1")
