@@ -779,7 +779,7 @@ object Dedup {
     * (_id, _sig, c, v). This is the stored/persisted/cached side of
     * both MIH joins — it never fans out beyond `chunks` rows per doc.
     */
-  private def chunkSigs(sigs: DataFrame, bits: Int, maxDist: Int,
+  private[graft] def chunkSigs(sigs: DataFrame, bits: Int, maxDist: Int,
       chunks: Int): DataFrame = {
     import sigs.sparkSession.implicits._
     require(bits >= 1 && bits <= 64 && maxDist < bits,
@@ -801,7 +801,7 @@ object Dedup {
     * of structs — one explode, all map-side). At chunks = maxDist+1
     * the radius is 0 and this degenerates to [[chunkSigs]] exactly.
     */
-  private def chunkProbes(sigs: DataFrame, bits: Int, maxDist: Int,
+  private[graft] def chunkProbes(sigs: DataFrame, bits: Int, maxDist: Int,
       chunks: Int): DataFrame = {
     import sigs.sparkSession.implicits._
     val r = maxDist / chunks
@@ -826,18 +826,31 @@ object Dedup {
         ownVal.bitwiseXOR(maskCol).as("v"))
   }
 
-  /** Diagnostic: raw candidate volume (join matches before the verify
-    * filter and dedup) of the MIH join at an explicit geometry — the
-    * probe's evidence that the chunk choice controls the quadratic
-    * term. Not a query path.
+  /** Raw candidate volume of [[hammingNearPairsWithChunks]] — the
+    * number of (x, y) join matches the verify step would see — WITHOUT
+    * running the join. Chunk-match is symmetric (v_x ∈ ball_r(v_y) ⇔
+    * v_y ∈ ball_r(v_x)) and a doc matches itself in exactly one probe
+    * row per chunk (the mask-0 entry), so with M = Σ_{(c,v)}
+    * idxCnt(c,v)·probeCnt(c,v) the ordered `x._id < y._id` count is
+    * exactly (M − chunks·n) / 2. The two groupBys partial-aggregate
+    * map-side, so the shuffle is bounded by distinct (c, v) keys
+    * (≤ chunks·2^chunkWidth), not the c·ball·n probe fan-out — at the
+    * 50M-signature decade this is the difference between a ~50 GB
+    * shuffle pass and a ~200 MB one (the join-based count plus the
+    * timed join overflowed local disk). `OperatorsSpec` pins equality
+    * with the materialized join's count across geometries.
     */
   private[graft] def hammingCandidateCount(sigs: DataFrame, bits: Int,
-      maxDist: Int, chunks: Int): Long =
-    chunkSigs(sigs, bits, maxDist, chunks).as("x")
-      .join(chunkProbes(sigs, bits, maxDist, chunks).as("y"),
-        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x._id") < col("y._id"))
-      .count()
+      maxDist: Int, chunks: Int): Long = {
+    val n = sigs.count()
+    val idx = chunkSigs(sigs, bits, maxDist, chunks)
+      .groupBy("c", "v").agg(count("*").as("xc"))
+    val prb = chunkProbes(sigs, bits, maxDist, chunks)
+      .groupBy("c", "v").agg(count("*").as("yc"))
+    val m = idx.join(prb, Seq("c", "v"))
+      .agg(sum(col("xc") * col("yc"))).head().getLong(0)
+    (m - chunks * n) / 2
+  }
 
   /** Hamming-≤maxDist pairs of an INCOMING batch against a stored
     * signature state — the serving-side form of [[hammingNearPairs]],

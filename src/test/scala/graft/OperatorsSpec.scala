@@ -322,6 +322,29 @@ class TextDedupSpec extends SparkSpec {
     assert(auto == brute)
   }
 
+  test("MIH candidate count: aggregated form equals the materialized join") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // hammingCandidateCount derives (M - chunks*n) / 2 from two
+    // (c, v)-grouped counts instead of materializing the join (the 50M
+    // probe's disk fix); the identity must hold at every geometry,
+    // including ones where a pair matches in several chunks (counted
+    // once per matching chunk by both forms).
+    val sigs = (0 until 150).map { i =>
+      val s = graft.functions.Fp.detHash32Local("mihcand", i.toString) & 0xFFFFL
+      (i.toLong, if (i % 3 == 1) s ^ 1L else s)
+    }.toDF("_id", "_sig")
+    for (c <- 1 to 4) {
+      val joined = Dedup.chunkSigs(sigs, 16, 3, c).as("x")
+        .join(Dedup.chunkProbes(sigs, 16, 3, c).as("y"),
+          col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+            col("x._id") < col("y._id"))
+        .count()
+      val agg = Dedup.hammingCandidateCount(sigs, 16, 3, c)
+      assert(agg == joined, s"candidate-count identity broke at c=$c")
+    }
+  }
+
   test("MIH wide geometry on the real corpus equals the r=0 split") {
     import graft.operators.Dedup
     // The q101 shape: 60-bit signatures, maxDist 5. The corpus-size-
