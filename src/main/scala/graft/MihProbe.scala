@@ -97,33 +97,48 @@ object MihProbe {
       (cand, pairs, sec)
     }
 
-    // SPARK_GRAFT_MIH_LEGS selects legs (mih|legacy|both, default
-    // both) — at 5M docs the legacy leg alone is a ~75G-candidate
-    // join, so the decades are probed as separate processes.
+    // SPARK_GRAFT_MIH_LEGS selects legs (mih|legacy|both|serve,
+    // default both) — at 5M docs the legacy leg alone is a
+    // ~75G-candidate join, so the decades are probed as separate
+    // processes; "serve" skips both join legs entirely (the 50M mih
+    // leg is a 35-minute join — re-measuring serve must not re-pay it).
     val legs = sys.env.getOrElse("SPARK_GRAFT_MIH_LEGS", "both")
     val (cl, pl, sl) =
-      if (legs != "mih") leg("legacy", legacy) else (0L, -1L, 0.0)
+      if (legs == "both" || legs == "legacy") leg("legacy", legacy)
+      else (0L, -1L, 0.0)
     val (ca, pa, sa) =
-      if (legs != "legacy") leg("mih", auto) else (0L, -1L, 0.0)
+      if (legs == "both" || legs == "mih") leg("mih", auto)
+      else (0L, -1L, 0.0)
     if (pl >= 0 && pa >= 0)
       require(pl == pa, s"geometries disagree: $pl vs $pa")
 
-    // Serve leg: a 200-doc batch probed against the full corpus state
-    // at the auto geometry (what the gate's signature tier runs). Doc
-    // mode signs the batch docs (the full q96 path); sigs mode probes
-    // pre-built batch signatures through the same state-side join.
+    // Serve legs: two successive 200-doc batches probed against the
+    // full corpus state at the auto geometry (what the gate's
+    // signature tier runs). The FIRST batch pays the one-time state
+    // chunk-index build and cache population (O(n), amortized across a
+    // gate loop's lifetime); the SECOND reuses it — the steady-state
+    // per-batch serve cost, which is what "serve stays flat across
+    // state decades" must mean. Doc mode signs the batch docs (the
+    // full q96 path); sigs mode probes pre-built batch signatures
+    // through the same state-side join.
     val state = sigs.select(col("_id").as("doc_id"), col("_sig").as("simhash"))
-    val t0 = System.nanoTime()
-    val served = (sigsPath match {
-      case Some(_) =>
-        graft.operators.Dedup.hammingNearPairsAgainst(state,
-          state.filter($"doc_id" < 200), "doc_id", "simhash", bits, maxDist)
-      case None =>
-        graft.operators.Dedup.simhashNearDupsFromState(state,
-          Tables.load(spark, sfDir).documents.filter($"doc_id" < 200),
-          maxDist, bits)
-    }).count()
-    val serveSec = (System.nanoTime() - t0) / 1e9
+    def serveLeg(lo: Long, hi: Long): (Long, Double) = {
+      val batchIds = $"doc_id" >= lo && $"doc_id" < hi
+      val t0 = System.nanoTime()
+      val served = (sigsPath match {
+        case Some(_) =>
+          graft.operators.Dedup.hammingNearPairsAgainst(state,
+            state.filter(batchIds), "doc_id", "simhash", bits, maxDist)
+        case None =>
+          graft.operators.Dedup.simhashNearDupsFromState(state,
+            Tables.load(spark, sfDir).documents.filter(batchIds),
+            maxDist, bits)
+      }).count()
+      graft.operators.Dedup.releaseBatchIndexes()
+      (served, (System.nanoTime() - t0) / 1e9)
+    }
+    val (served, serveSec) = serveLeg(0L, 200L)
+    val (served2, serveSec2) = serveLeg(200L, 400L)
 
     println(s"""{"probe":"mih","sf_dir":"$sfDir","n":$n,""" +
       s""""bits":$bits,"max_dist":$maxDist,""" +
@@ -132,7 +147,8 @@ object MihProbe {
       s""""mih":{"chunks":$auto,"candidates":$ca,"pairs":$pa,""" +
       f""""sec":$sa%.3f},""" +
       f""""candidate_drop":${cl.toDouble / math.max(1L, ca)}%.1f,""" +
-      f""""serve":{"batch":200,"rows":$served,"sec":$serveSec%.3f}}""")
+      f""""serve":{"batch":200,"rows":$served,"sec":$serveSec%.3f,""" +
+      f""""rows_warm":$served2,"sec_warm":$serveSec2%.3f}}""")
     spark.stop()
   }
 }
