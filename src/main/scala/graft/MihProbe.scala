@@ -122,6 +122,12 @@ object MihProbe {
     // full q96 path); sigs mode probes pre-built batch signatures
     // through the same state-side join.
     val state = sigs.select(col("_id").as("doc_id"), col("_sig").as("simhash"))
+    // SPARK_GRAFT_MIH_BATCH sizes the serve batches (default 200). The
+    // serve join broadcasts the batch's ball fan-out and SCANS the
+    // cached state chunk index map-side — O(state) per batch with a
+    // small constant, so the honest serve metric at big states is
+    // per-DOC amortized cost: a 50x bigger batch rides the same scan.
+    val batchN = sys.env.getOrElse("SPARK_GRAFT_MIH_BATCH", "200").toLong
     def serveLeg(lo: Long, hi: Long): (Long, Double) = {
       val batchIds = $"doc_id" >= lo && $"doc_id" < hi
       val t0 = System.nanoTime()
@@ -137,8 +143,8 @@ object MihProbe {
       graft.operators.Dedup.releaseBatchIndexes()
       (served, (System.nanoTime() - t0) / 1e9)
     }
-    val (served, serveSec) = serveLeg(0L, 200L)
-    val (served2, serveSec2) = serveLeg(200L, 400L)
+    val (served, serveSec) = serveLeg(0L, batchN)
+    val (served2, serveSec2) = serveLeg(batchN, 2L * batchN)
 
     println(s"""{"probe":"mih","sf_dir":"$sfDir","n":$n,""" +
       s""""bits":$bits,"max_dist":$maxDist,""" +
@@ -147,7 +153,7 @@ object MihProbe {
       s""""mih":{"chunks":$auto,"candidates":$ca,"pairs":$pa,""" +
       f""""sec":$sa%.3f},""" +
       f""""candidate_drop":${cl.toDouble / math.max(1L, ca)}%.1f,""" +
-      f""""serve":{"batch":200,"rows":$served,"sec":$serveSec%.3f,""" +
+      f""""serve":{"batch":$batchN,"rows":$served,"sec":$serveSec%.3f,""" +
       f""""rows_warm":$served2,"sec_warm":$serveSec2%.3f}}""")
     spark.stop()
   }

@@ -8,6 +8,11 @@ java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
 java.base/sun.util.calendar"
 FLAGS=""
 for p in $OPENS; do FLAGS="$FLAGS --add-opens $p=ALL-UNNAMED"; done
-exec java $FLAGS $EXTRA_JVM -XX:+UseParallelGC -Xmx"${SPARK_DRIVER_MEM:-32g}" \
+# ParallelGC maximizes throughput at bench heaps (<=32g); big-heap scale
+# probes (50M-row aggregations at -Xmx64g) override with GRAFT_GC=-XX:+UseG1GC
+# -- a ParallelGC full collection over a ~40 GB live execution-memory heap
+# pauses the whole local[32] driver past Spark's 120 s heartbeat timeout and
+# kills the app, while G1 bounds pauses.
+exec java $FLAGS $EXTRA_JVM ${GRAFT_GC:--XX:+UseParallelGC} -Xmx"${SPARK_DRIVER_MEM:-32g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
