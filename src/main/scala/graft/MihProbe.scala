@@ -112,15 +112,18 @@ object MihProbe {
     if (pl >= 0 && pa >= 0)
       require(pl == pa, s"geometries disagree: $pl vs $pa")
 
-    // Serve legs: two successive 200-doc batches probed against the
-    // full corpus state at the auto geometry (what the gate's
-    // signature tier runs). The FIRST batch pays the one-time state
-    // chunk-index build and cache population (O(n), amortized across a
-    // gate loop's lifetime); the SECOND reuses it — the steady-state
-    // per-batch serve cost, which is what "serve stays flat across
-    // state decades" must mean. Doc mode signs the batch docs (the
-    // full q96 path); sigs mode probes pre-built batch signatures
-    // through the same state-side join.
+    // Serve legs: two successive batches probed against the full
+    // corpus state at the auto geometry (what the gate's signature
+    // tier runs). The FIRST batch pays the one-time state chunk-index
+    // build and cache population (O(n), amortized across a gate
+    // loop's lifetime); the SECOND reuses it — the steady-state
+    // per-batch serve cost. That cost is NOT flat in state (the r16
+    // 50M leg measured the break: 3.87 s at 5M → 13.4 s at 50M for a
+    // 200-doc batch) — it is one map-side scan of the cached chunk
+    // index per batch, O(state) with a small constant, amortized over
+    // the batch size. Doc mode signs the batch docs (the full q96
+    // path); sigs mode probes pre-built batch signatures through the
+    // same state-side join.
     val state = sigs.select(col("_id").as("doc_id"), col("_sig").as("simhash"))
     // SPARK_GRAFT_MIH_BATCH sizes the serve batches (default 200). The
     // serve join broadcasts the batch's ball fan-out and SCANS the

@@ -707,7 +707,16 @@ object Dedup {
     * evals (90 ns/row vs the measured ~2G in-join evals/s at 5M docs).
     * Without the weight the model flips to wide 2-chunk geometries
     * past ~20M docs, whose 900+-row per-doc fan-out (46G shuffled rows
-    * at 50M) costs far more than the candidate evals it saves. Pure
+    * at 50M) costs far more than the candidate evals it saves. The
+    * weight itself is scale-dependent and conservative: the r16 50M
+    * measurement (bench_r16_sf1 §mih_hamming_50M) puts the effective
+    * per-shuffled-row cost nearer ~300 evals once the shuffle outgrows
+    * page-cache-friendly spills (~1 µs/row at 3.15G rows/53 GB on one
+    * local disk) — the GEOMETRY pick is unchanged by the 10× (c=3
+    * still beats c=2's 932-mask fan-out and c=4's 2¹⁵ key space by
+    * >10× under either weight; the candidate model itself measured
+    * exact to 0.01% at 50M), so the model keeps the 5M-fitted weight
+    * rather than a host-disk-specific one. Pure
     * function of its arguments, so plans stay deterministic at a given
     * corpus size; the default budget is the measured local[32] value
     * (4M rows ≈ 192 MB).
