@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   * at a (doc_id, simhash) parquet (tools/gen_sigs_scale.py — uniform
   * 60-bit signatures with near-pairs planted at the rate the
   * doc-derived corpora measure) and the probe loads signatures
-  * directly; the serve leg probes the first 200 signatures against the
-  * full state through the same hammingNearPairsAgainst join the gate
-  * tier runs (batch-local signing is irrelevant to what it measures —
-  * the state-side join geometry).
+  * directly; the serve legs probe batches of SPARK_GRAFT_MIH_BATCH
+  * signatures (default 200; the r16 50M capture also ran 10k) against
+  * the full state through the same hammingNearPairsAgainst join the
+  * gate tier runs (batch-local signing is irrelevant to what it
+  * measures — the state-side join geometry).
   *
   *   SPARK_GRAFT_MIH_SIGS=bench/sigs50M/signatures.parquet \
   *     SPARK_GRAFT_MIH_LEGS=mih tools/run.sh graft.MihProbe
@@ -130,7 +131,12 @@ object MihProbe {
     // cached state chunk index map-side — O(state) per batch with a
     // small constant, so the honest serve metric at big states is
     // per-DOC amortized cost: a 50x bigger batch rides the same scan.
-    val batchN = sys.env.getOrElse("SPARK_GRAFT_MIH_BATCH", "200").toLong
+    val batchRaw = sys.env.getOrElse("SPARK_GRAFT_MIH_BATCH", "200")
+    val batchN = try batchRaw.toLong catch {
+      case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_MIH_BATCH must be a positive integer, got '$batchRaw'")
+    }
+    require(batchN > 0, s"SPARK_GRAFT_MIH_BATCH must be positive: $batchN")
     def serveLeg(lo: Long, hi: Long): (Long, Double) = {
       val batchIds = $"doc_id" >= lo && $"doc_id" < hi
       val t0 = System.nanoTime()
