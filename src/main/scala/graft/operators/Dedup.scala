@@ -621,18 +621,37 @@ object Dedup {
   private[graft] def hammingNearPairsWithChunks(sigs: DataFrame,
       bits: Int, maxDist: Int, chunks: Int, n: Long = -1L): DataFrame = {
     import sigs.sparkSession.implicits._
-    val exact = indexSide(chunkSigs(sigs, bits, maxDist, chunks),
+    val exact = indexSide(
+      packedCv(chunkSigs(sigs, bits, maxDist, chunks), chunks),
       if (n < 0) sigs.count() else n, chunks,
       mihBroadcastRows(sigs.sparkSession))
-    val probe = chunkProbes(sigs, bits, maxDist, chunks)
+    val probe = packedCv(chunkProbes(sigs, bits, maxDist, chunks), chunks)
     exact.as("x").join(probe.as("y"),
-        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x._id") < col("y._id"))
+        col("x.cv") === col("y.cv") && col("x._id") < col("y._id"))
       .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
         bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long")
           .as("hamming"))
       .distinct()
       .filter($"hamming" <= maxDist)
+  }
+
+  /** (_id, _sig, c, v) → (_id, _sig, cv) with the (chunk, value) key
+    * packed into ONE long — both MIH joins key on `cv` so the hash
+    * build is a `LongHashedRelation` (dense long-keyed map, one probe
+    * per row) instead of a generic row-keyed relation, and the shuffled
+    * row drops a slot (32-byte UnsafeRow, was 40). Safe by the chunk
+    * geometry: chunks ≥ 2 bounds every chunk width at 33 bits (the last
+    * chunk absorbs bits − ⌊bits/c⌋·(c−1) ≤ 33 for bits ≤ 64), so v sits
+    * far below bit 48 and the chunk index (< 64) far below the sign
+    * bit — the same packing [[chunkProbes]] uses for its mask table. A
+    * single chunk has a constant c and v may use all 64 bits, so cv is
+    * just v.
+    */
+  private[graft] def packedCv(chunked: DataFrame, chunks: Int): DataFrame = {
+    val cv =
+      if (chunks == 1) col("v")
+      else shiftleft(col("c").cast("long"), 48).bitwiseOR(col("v"))
+    chunked.select(col("_id"), col("_sig"), cv.as("cv"))
   }
 
   /** Join-strategy control for the MIH index side — the probe side is
@@ -887,13 +906,19 @@ object Dedup {
     val st = registry.cache(
       state.select(col(idCol).as("_id"), col(sigCol).as("_sig")))
     val chunks = mihChunks(bits, maxDist, registry.countOnce(st), bcastRows)
-    val stChunks = chunkSigs(st, bits, maxDist, chunks)
+    // The CHUNKED index is what every batch scans — cache it packed
+    // (not just the raw signatures) so steady-state serve is a columnar
+    // scan + one long-key hash probe per chunk row, not a per-batch
+    // re-explode of the whole state (the r16 50M finding: the explode
+    // plus generic (c, v)-keyed probe put the 200-doc batch at 13.4 s).
+    val stChunks = registry.cache(
+      packedCv(chunkSigs(st, bits, maxDist, chunks), chunks))
     // Batch frames are batch-lifetime — scoped so the serve loop can
     // evict them per micro-batch (releaseBatchIndexes) instead of
     // accreting one persisted signature frame per served batch.
     val b = batchScope(cacheIndex(
       batch.select(col(idCol).as("_id"), col(sigCol).as("_sig"))))
-    val bt = chunkProbes(b, bits, maxDist, chunks)
+    val bt = packedCv(chunkProbes(b, bits, maxDist, chunks), chunks)
     // Per-micro-batch serve broadcasts the batch's probe fan-out (the
     // state never moves); a BACKFILL-sized batch whose fan-out exceeds
     // the broadcast budget degrades to a shuffled hash join instead —
@@ -904,8 +929,7 @@ object Dedup {
     val probeSide =
       if (fanOut <= bcastRows) broadcast(bt) else bt.hint("shuffle_hash")
     stChunks.as("x").join(probeSide.as("y"),
-        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
-          col("x._id") =!= col("y._id"))
+        col("x.cv") === col("y.cv") && col("x._id") =!= col("y._id"))
       .select(col("y._id").as("id"), col("x._id").as("dup_of"),
         bit_count(col("x._sig").bitwiseXOR(col("y._sig"))).cast("long")
           .as("hamming"))
