@@ -63,13 +63,29 @@ object QDebug {
     // plan before timing it — the plan-shape audit loop (PushedFilters,
     // broadcast vs shuffle joins, WholeStageCodegen spans).
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN")
+    // SPARK_GRAFT_TORDD=1 times queryExecution.toRdd.count() — the exact
+    // action Bench times — instead of count(), whose aggregate pushdown
+    // can plan away count-invariant work and under-measure (q92/q101).
+    val toRdd = sys.env.get("SPARK_GRAFT_TORDD").contains("1")
     args.foreach { name =>
-      explain.foreach(SparkEntry.queries(name)(spark, sfDir).explain)
+      // Construction timed separately from execution: several operators
+      // do eager driver-side work when the query FUNCTION runs (state
+      // builds, k-means training collects, geometry count jobs) that the
+      // bench's single construct+execute wall hides. Note the explain
+      // dump itself constructs the frame once more (eta-expansion of
+      // .explain evaluates the receiver), warming session caches — use
+      // it for plan shape, not for timing.
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tc = (System.nanoTime() - t0) / 1e9
+      explain.foreach(df.explain)
+      val t1 = System.nanoTime()
+      val n = if (toRdd) df.queryExecution.toRdd.count() else df.count()
       println(String.format(java.util.Locale.ROOT,
-        "QDEBUG %-30s %8.3f s  rows=%d",
-        name, java.lang.Double.valueOf((System.nanoTime() - t0) / 1e9),
+        "QDEBUG %-30s %8.3f s  (construct %7.3f + execute %7.3f)  rows=%d",
+        name, java.lang.Double.valueOf(tc + (System.nanoTime() - t1) / 1e9),
+        java.lang.Double.valueOf(tc),
+        java.lang.Double.valueOf((System.nanoTime() - t1) / 1e9),
         java.lang.Long.valueOf(n)))
     }
     spark.stop()

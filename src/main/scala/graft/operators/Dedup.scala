@@ -536,15 +536,21 @@ object Dedup {
     // shingle text, exactly what the oracle computes from the strings.
     val sh = shingleRows(docs)
     val h = $"s64"
+    // Popcount arithmetic instead of a ±1 CASE per bit: Σ±1 over a group
+    // of n rows is 2·Σbit − n, so "Σ±1 > 0" ⟺ "2·Σbit > n" exactly (all
+    // integers). The update expression per (row, bit) drops from a
+    // branching CASE WHEN to shift-and-add — measured 4.4× on the warm
+    // 60-bit aggregate at sf0.1 (0.996 → 0.226 s) with a visibly smaller
+    // generated class (faster first-run codegen/JIT too). One extra
+    // count(1) column rides the same aggregate.
     val bitSums = (0 until bits).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
+      sum(shiftright(h, j).bitwiseAND(lit(1L))).as(s"b$j")
     }
     sh.groupBy($"doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1L)).as("_n")): _*)
       .select($"doc_id",
         (0 until bits).map(j =>
-          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          when(col(s"b$j") * 2L > $"_n", lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
