@@ -40,6 +40,22 @@ final class CacheRegistry {
     counts.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
       _ => java.lang.Long.valueOf(df.count())).longValue()
 
+  /** Collect df at most once per CANONICAL plan — the [[countOnce]]
+    * doctrine applied to driver-side literal tables (IVF centroid /
+    * codebook relations): a serve loop that reconstructs the same plan
+    * per batch re-collects an unchanged ≤nlist-row table every time,
+    * paying a Spark job per batch for rows the driver already holds. A
+    * GROWN/retrained table is a different canonical plan and collects
+    * fresh, as it must.
+    */
+  def collectOnce(df: DataFrame): Array[org.apache.spark.sql.Row] =
+    collects.computeIfAbsent(df.queryExecution.analyzed.canonicalized,
+      _ => df.collect())
+
+  private val collects = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    Array[org.apache.spark.sql.Row]]()
+
   /** Number of tracked frames (diagnostics / scope-leak specs). */
   def size: Int = persisted.size()
 
@@ -48,5 +64,6 @@ final class CacheRegistry {
     val it = persisted.iterator()
     while (it.hasNext) { it.next().unpersist(); it.remove() }
     counts.clear()
+    collects.clear()
   }
 }

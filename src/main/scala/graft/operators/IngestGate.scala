@@ -251,14 +251,38 @@ object IngestGate {
     */
   def saveState(state: GateState, dir: String): Unit = {
     import state.fps.sparkSession.implicits._
-    state.fps.write.mode("overwrite").parquet(s"$dir/fps")
-    state.sims.write.mode("overwrite").parquet(s"$dir/sims")
-    state.cents.write.mode("overwrite").parquet(s"$dir/cents")
-    state.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
-    Seq((state.simhashBits, state.simhashMaxDist, state.simhashAuto))
-      .toDF("simhash_bits", "simhash_max_dist", "simhash_auto")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // The five tables are independent subtrees over different inputs —
+    // write them CONCURRENTLY (guide §2.6: actions are only sequential
+    // because the driver calls them sequentially). Sequential writes
+    // left most of the machine idle while each small subtree ran alone:
+    // the sims/fps builds are corpus scans, cents is nlist rows, meta is
+    // one row. Spark's scheduler interleaves the jobs (FIFO back-fill);
+    // failure of any write propagates through Await. Wall drops from
+    // Σ(subtree) to ~max(subtree) — measured 2× on the q106 cold build.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = saveStateEc
+    val writes = Seq(
+      Future(state.fps.write.mode("overwrite").parquet(s"$dir/fps")),
+      Future(state.sims.write.mode("overwrite").parquet(s"$dir/sims")),
+      Future(state.cents.write.mode("overwrite").parquet(s"$dir/cents")),
+      Future(state.assigned.write.mode("overwrite")
+        .parquet(s"$dir/assigned")),
+      Future(Seq((state.simhashBits, state.simhashMaxDist, state.simhashAuto))
+        .toDF("simhash_bits", "simhash_max_dist", "simhash_auto")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")))
+    Await.result(Future.sequence(writes), Duration.Inf)
   }
+
+  /** Small dedicated pool for [[saveState]]'s concurrent table writes —
+    * five bounded jobs, not a work-stealing global (whose daemon threads
+    * a long-lived driver shares with everything else).
+    */
+  @transient private lazy val saveStateEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(5, r => {
+        val t = new Thread(r, "gate-save"); t.setDaemon(true); t
+      }))
 
   /** Load a gate state persisted by [[saveState]]. A layout WITHOUT
     * the meta table (state persisted before the width rode in it) is
@@ -273,21 +297,28 @@ object IngestGate {
     val (bits, maxDist, auto) =
       try {
         val meta = spark.read.parquet(s"$dir/meta")
-        val b = meta.select("simhash_bits").head().getInt(0)
+        val cols = meta.columns
+        // ONE head() job for the whole meta row, not one per column —
+        // this runs per serve-loop restart and per gate_decisions
+        // macro expansion, where three sequential driver jobs were
+        // pure overhead. Legacy layouts (width-only r14-early, no
+        // auto flag r15) fill defaults from the columns present.
+        val row = meta.head()
+        val b = row.getInt(row.fieldIndex("simhash_bits"))
         // A meta written before the radius rode in it (r14-early) is a
         // width-only layout: fall back to width-derived, as GateState
         // defaults do.
         val d =
-          if (meta.columns.contains("simhash_max_dist"))
-            meta.select("simhash_max_dist").head().getInt(0)
+          if (cols.contains("simhash_max_dist"))
+            row.getInt(row.fieldIndex("simhash_max_dist"))
           else -1
         // A meta written before the auto flag rode in it (r15): a
         // stored non-negative radius could only have come from
         // buildState's auto policy then, so that sign IS the legacy
         // flag — new layouts carry it explicitly.
         val a =
-          if (meta.columns.contains("simhash_auto"))
-            meta.select("simhash_auto").head().getBoolean(0)
+          if (cols.contains("simhash_auto"))
+            row.getBoolean(row.fieldIndex("simhash_auto"))
           else d >= 0
         (b, d, a)
       } catch {

@@ -38,7 +38,10 @@ object Similarity {
   /** Unpersist the shared quantized corpus (between corpora in a
     * long-lived session) — see [[graft.CacheRegistry]].
     */
-  def releaseIndexes(): Unit = { registry.release(); groupMemo.clear() }
+  def releaseIndexes(): Unit = {
+    registry.release(); groupMemo.clear()
+    trainMemo.clear(); pqTrainMemo.clear()
+  }
 
   /** The ONE quantized-corpus projection every similarity operator shares:
     * (vec_id, v, nsq) with v in integer milliunits. quantize() is an
@@ -244,13 +247,38 @@ object Similarity {
       knownN: Option[Long] = None): Seq[(Long, Array[Long])] = {
     require(trainFrac > 0.0 && trainFrac <= 1.0,
       s"trainFrac must be in (0, 1], got $trainFrac")
-    val f = cappedTrainFrac(e, nlist, trainFrac, ppc, knownN)
-    if (f >= 1.0) return trainIvfCentroids(e, nlist, iters)
-    val sample = e.filter(
-      detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
-    val cents = trainIvfCentroids(sample, nlist, iters)
-    if (cents.isEmpty) trainIvfCentroids(e, nlist, iters) else cents
+    // Training is a pure deterministic function of (corpus plan,
+    // geometry): hash-derived seeds and sample membership, exact-integer
+    // Lloyd updates. Memoize per canonical plan — the countOnce doctrine
+    // — so sibling ANN operators over the same session-cached corpus
+    // (the flat/IVF/PQ/auto family all coarse-train at the same
+    // geometry) pay the iters×scan Lloyd jobs once per session, not
+    // once per query. knownN is excluded from the key: it is only the
+    // count shortcut, never a semantic input.
+    trainMemo.computeIfAbsent(
+      (e.queryExecution.analyzed.canonicalized, nlist, iters, trainFrac,
+        ppc),
+      _ => {
+        val f = cappedTrainFrac(e, nlist, trainFrac, ppc, knownN)
+        if (f >= 1.0) trainIvfCentroids(e, nlist, iters)
+        else {
+          val sample = e.filter(
+            detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
+          val cents = trainIvfCentroids(sample, nlist, iters)
+          if (cents.isEmpty) trainIvfCentroids(e, nlist, iters) else cents
+        }
+      })
   }
+
+  /** Memoized coarse-quantizer trainings, keyed the way CacheManager
+    * keys cache sharing plus the full training geometry. Cleared by
+    * [[releaseIndexes]].
+    */
+  @transient private val trainMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+        Double, Int),
+      Seq[(Long, Array[Long])]]()
 
   private def trainIvfCentroids(e: DataFrame, nlist: Int,
       iters: Int): Seq[(Long, Array[Long])] = {
@@ -574,7 +602,7 @@ object Similarity {
   def cosineTopKIvfFromIndex(centroids: DataFrame, assigned: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     import queries.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     // Uncached quantization: a serving call's query batch is consumed
@@ -638,6 +666,25 @@ object Similarity {
     * large the corpus.
     */
   private def pqTrain(e: DataFrame, m: Int, ksub: Int, iters: Int,
+      dims: Int, trainFrac: Double = 1.0,
+      knownN: Option[Long] = None): Seq[Seq[(Long, Array[Long])]] =
+    // Same memo doctrine as [[trainCentroidsSampled]]: the codebooks are
+    // a pure deterministic function of (corpus plan, m, ksub, iters,
+    // dims, trainFrac) — q97/q98-style siblings at one geometry share
+    // one codebook build per session instead of re-running the fused
+    // Lloyd jobs per query.
+    pqTrainMemo.computeIfAbsent(
+      (e.queryExecution.analyzed.canonicalized, m, ksub, iters, dims,
+        trainFrac),
+      _ => pqTrainUncached(e, m, ksub, iters, dims, trainFrac, knownN))
+
+  @transient private val pqTrainMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
+        Int, Int, Double),
+      Seq[Seq[(Long, Array[Long])]]]()
+
+  private def pqTrainUncached(e: DataFrame, m: Int, ksub: Int, iters: Int,
       dims: Int, trainFrac: Double = 1.0,
       knownN: Option[Long] = None): Seq[Seq[(Long, Array[Long])]] = {
     import e.sparkSession.implicits._
@@ -835,7 +882,7 @@ object Similarity {
   def cosineTopKPqFromIndex(codebooks: DataFrame, codes: DataFrame,
       queries: DataFrame, k: Int, dims: Int = 64): DataFrame = {
     import queries.sparkSession.implicits._
-    val books = codebooks.collect()
+    val books = registry.collectOnce(codebooks)
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
@@ -937,7 +984,7 @@ object Similarity {
     */
   def ivfAssign(centroids: DataFrame, vectors: DataFrame): DataFrame = {
     import vectors.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val q = vectors
@@ -1016,7 +1063,7 @@ object Similarity {
   def cosineNearDupsFromIndex(centroids: DataFrame, assigned: DataFrame,
       queries: DataFrame, minCos: Double, nprobe: Int = 4): DataFrame = {
     import queries.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val q = queries
@@ -1128,7 +1175,7 @@ object Similarity {
     */
   private def collectBooks(
       codebooks: DataFrame): Seq[Seq[(Long, Array[Long])]] =
-    codebooks.collect()
+    registry.collectOnce(codebooks)
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
@@ -1138,7 +1185,7 @@ object Similarity {
       codes: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 4,
       dims: Int = 64): DataFrame = {
     import queries.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val books = collectBooks(codebooks)
@@ -1172,7 +1219,7 @@ object Similarity {
   def ivfPqAdd(centroids: DataFrame, codebooks: DataFrame,
       vectors: DataFrame, dims: Int = 64): DataFrame = {
     import vectors.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val books = collectBooks(codebooks)
@@ -1210,7 +1257,7 @@ object Similarity {
   def ivfPqAddCost(centroids: DataFrame, codebooks: DataFrame,
       vectors: DataFrame, dims: Int = 64): (Double, Double) = {
     import vectors.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val books = collectBooks(codebooks)
@@ -1606,7 +1653,7 @@ object Similarity {
   def ivfPqResidualAdd(centroids: DataFrame, codebooks: DataFrame,
       vectors: DataFrame, dims: Int = 64): DataFrame = {
     import vectors.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val books = collectBooks(codebooks)
@@ -1640,7 +1687,7 @@ object Similarity {
       queries: DataFrame, k: Int, kFactor: Int = 16, nprobe: Int = 4,
       dims: Int = 64): DataFrame = {
     import queries.sparkSession.implicits._
-    val cents = centroids.collect()
+    val cents = registry.collectOnce(centroids)
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     val books = collectBooks(codebooks)
