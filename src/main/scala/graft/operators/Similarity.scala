@@ -260,14 +260,110 @@ object Similarity {
         ppc),
       _ => {
         val f = cappedTrainFrac(e, nlist, trainFrac, ppc, knownN)
-        if (f >= 1.0) trainIvfCentroids(e, nlist, iters)
-        else {
-          val sample = e.filter(
+        val sample =
+          if (f >= 1.0) e
+          else e.filter(
             detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
+        // Driver-local Lloyd when the training set is driver-sized: the
+        // ppc cap bounds it at ~256·nlist rows BY DESIGN at any corpus
+        // scale (the FAISS shape — coarse quantizers train on a small
+        // sample regardless of index size), so iters×(assign+update)
+        // Spark jobs collapse to ONE collect job plus microseconds of
+        // driver arithmetic. Guarded to the flat-argmin regime and a
+        // conservative row bound; [[trainLloydLocal]] mirrors the
+        // distributed path's integer arithmetic exactly (spec-pinned
+        // equality), so the route is a work-alike, not a variant.
+        val expected =
+          if (ppc <= 0) Long.MaxValue
+          else {
+            val n = knownN.getOrElse(e.count())
+            if (f >= 1.0) n else math.min(n, ppc.toLong * nlist * 2)
+          }
+        if (nlist <= 4096 && expected <= localTrainMaxRows) {
+          val cents = trainLloydLocal(collectTrainRows(sample), nlist, iters)
+          if (cents.nonEmpty || f >= 1.0) cents
+          else trainIvfCentroids(e, nlist, iters)
+        } else {
           val cents = trainIvfCentroids(sample, nlist, iters)
-          if (cents.isEmpty) trainIvfCentroids(e, nlist, iters) else cents
+          if (cents.isEmpty && f < 1.0) trainIvfCentroids(e, nlist, iters)
+          else cents
         }
       })
+  }
+
+  /** Row bound for the driver-local training route (per training set:
+    * rows × dims longs collected once). The default covers every
+    * ppc-capped coarse geometry to nlist≈512 and every ksub≤256 PQ
+    * codebook with margin; big-memory hosts can raise it
+    * (`graft.train.local.max.rows`), 0 disables the route.
+    */
+  private def localTrainMaxRows: Long =
+    sys.props.get("graft.train.local.max.rows").map(_.toLong)
+      .getOrElse(262144L)
+
+  /** One collect job: the (vec_id, v, u) rows a trainer needs, with the
+    * SAME detUniform seed ordering key the distributed seed selection
+    * sorts on.
+    */
+  private def collectTrainRows(t: DataFrame): Array[(Long, Array[Long], Double)] = {
+    import t.sparkSession.implicits._
+    t.select($"vec_id", $"v", detUniform("ivfseed", $"vec_id").as("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+  }
+
+  /** Driver-local mirror of [[trainIvfCentroids]] — each step replicates
+    * the distributed path's arithmetic exactly, so the centroids are
+    * bit-identical (SimilaritySpec pins the equality):
+    *  - seeds: rows sorted by (u asc, vec_id asc), first nlist, cid by
+    *    seed order;
+    *  - assignment: argmin over (‖c‖² − 2·<v,c>, cid) in wrapping long
+    *    arithmetic — [[graft.functions.VecExprs.argminCentroid]]'s exact
+    *    ordering;
+    *  - update: per assigned cid, count + per-dim long sums, centroid =
+    *    floor(sum.toDouble / cnt) — the same double division; cids with
+    *    no rows are dropped, survivors sorted by cid.
+    */
+  private def trainLloydLocal(rows: Array[(Long, Array[Long], Double)],
+      nlist: Int, iters: Int): Seq[(Long, Array[Long])] = {
+    if (rows.isEmpty) return Seq.empty
+    val dims = rows.head._2.length
+    var cents: Seq[(Long, Array[Long])] = rows
+      .sortBy(r => (r._3, r._1)).take(nlist)
+      .zipWithIndex.map { case (r, i) => (i.toLong, r._2) }.toSeq
+    for (_ <- 1 to iters) {
+      val cidArr = cents.map(_._1).toArray
+      val cvArr = cents.map(_._2).toArray
+      val cnsq = cvArr.map(_.map(x => x * x).sum)
+      val cnt = new java.util.HashMap[Long, Long]()
+      val sums = new java.util.HashMap[Long, Array[Long]]()
+      rows.foreach { case (_, v, _) =>
+        var best = Long.MaxValue; var bestCid = Long.MaxValue
+        var j = 0
+        while (j < cvArr.length) {
+          val row = cvArr(j)
+          var dot = 0L; var i = 0
+          while (i < dims) { dot += v(i) * row(i); i += 1 }
+          val s = cnsq(j) - 2L * dot
+          if (s < best || (s == best && cidArr(j) < bestCid)) {
+            best = s; bestCid = cidArr(j)
+          }
+          j += 1
+        }
+        cnt.merge(bestCid, 1L, _ + _)
+        val acc = sums.computeIfAbsent(bestCid, _ => new Array[Long](dims))
+        var i = 0
+        while (i < dims) { acc(i) += v(i); i += 1 }
+      }
+      cents = cnt.keySet().toArray(Array.empty[java.lang.Long])
+        .map(_.longValue()).sorted.toSeq.map { cid =>
+          val c = cnt.get(cid)
+          val s = sums.get(cid)
+          (cid, Array.tabulate(dims)(i =>
+            math.floor(s(i).toDouble / c).toLong))
+        }
+    }
+    cents
   }
 
   /** Memoized coarse-quantizer trainings, keyed the way CacheManager
@@ -744,13 +840,95 @@ object Similarity {
 
     val f = cappedTrainFrac(e, ksub, trainFrac, trainPointsPerCentroid,
       knownN)
-    if (f >= 1.0) trainOn(e)
-    else {
-      val sample = e.filter(
+    val sample =
+      if (f >= 1.0) e
+      else e.filter(
         detHash32("ivftrain", col("vec_id")) < lit(trainHashCap(f)))
+    // Same driver-local route as [[trainCentroidsSampled]]: the ksub-
+    // capped training set is driver-sized by construction, so the
+    // 1+iters fused Lloyd jobs collapse to ONE collect. The local
+    // mirror replicates the fused trainer's arithmetic exactly —
+    // per-subspace argmin in wrapping longs, (sub, cid) grouped long
+    // sums, floor(sum.toDouble/cnt) — spec-pinned equality.
+    val expected = {
+      val n = knownN.getOrElse(e.count())
+      if (f >= 1.0) n
+      else math.min(n, trainPointsPerCentroid.toLong * ksub * 2)
+    }
+    if (expected <= localTrainMaxRows) {
+      val books = pqTrainLocal(collectTrainRows(sample), m, ksub, iters, len)
+      if (books.exists(_.isEmpty) && f < 1.0) {
+        val full = pqTrainLocal(collectTrainRows(e), m, ksub, iters, len)
+        if (expectedFullLocal(e, knownN)) full else trainOn(e)
+      } else books
+    } else if (f >= 1.0) trainOn(e)
+    else {
       val books = trainOn(sample)
       if (books.exists(_.isEmpty)) trainOn(e) else books
     }
+  }
+
+  /** Whether the FULL corpus fits the local-training bound (the rare
+    * empty-sample fallback path) — one memoized count via the caller's
+    * knownN when present.
+    */
+  private def expectedFullLocal(e: DataFrame, knownN: Option[Long]): Boolean =
+    knownN.getOrElse(e.count()) <= localTrainMaxRows
+
+  /** Driver-local mirror of [[pqTrainUncached]]'s fused trainer — see
+    * [[trainLloydLocal]] for the exactness contract. Seeds are the
+    * (u, vec_id)-sorted first ksub rows sliced per subspace; each
+    * iteration assigns every row's subvector to its subspace codebook
+    * by the argmin ordering and rebuilds centroids with the same
+    * floor-of-double division, dropping empty cids.
+    */
+  private def pqTrainLocal(rows: Array[(Long, Array[Long], Double)],
+      m: Int, ksub: Int, iters: Int,
+      len: Int): Seq[Seq[(Long, Array[Long])]] = {
+    if (rows.isEmpty) return Seq.fill(m)(Seq.empty)
+    val seeds = rows.sortBy(r => (r._3, r._1)).take(ksub)
+    var books: Seq[Seq[(Long, Array[Long])]] = (0 until m).map { s =>
+      seeds.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r._2.slice(s * len, s * len + len))
+      }.toSeq
+    }
+    for (_ <- 1 to iters) {
+      val next = (0 until m).map { s =>
+        val cs = books(s)
+        val cidArr = cs.map(_._1).toArray
+        val cvArr = cs.map(_._2).toArray
+        val cnsq = cvArr.map(_.map(x => x * x).sum)
+        val cnt = new java.util.HashMap[Long, Long]()
+        val sums = new java.util.HashMap[Long, Array[Long]]()
+        rows.foreach { case (_, v, _) =>
+          var best = Long.MaxValue; var bestCid = Long.MaxValue
+          var j = 0
+          while (j < cvArr.length) {
+            val row = cvArr(j)
+            var dot = 0L; var i = 0
+            while (i < len) { dot += v(s * len + i) * row(i); i += 1 }
+            val d = cnsq(j) - 2L * dot
+            if (d < best || (d == best && cidArr(j) < bestCid)) {
+              best = d; bestCid = cidArr(j)
+            }
+            j += 1
+          }
+          cnt.merge(bestCid, 1L, _ + _)
+          val acc = sums.computeIfAbsent(bestCid, _ => new Array[Long](len))
+          var i = 0
+          while (i < len) { acc(i) += v(s * len + i); i += 1 }
+        }
+        cnt.keySet().toArray(Array.empty[java.lang.Long])
+          .map(_.longValue()).sorted.toSeq.map { cid =>
+            val c = cnt.get(cid)
+            val sv = sums.get(cid)
+            (cid, Array.tabulate(len)(i =>
+              math.floor(sv(i).toDouble / c).toLong))
+          }
+      }
+      books = next
+    }
+    books
   }
 
   /** Lloyd can leave a centroid empty (its cid then has no row in the

@@ -102,4 +102,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 103)
     assert((0L until 100L).forall(i => out(i) == (i, 1L, true)))
   }
+
+  test("driver-local training is bit-identical to the distributed Lloyd") {
+    // The r17 local-training route (one collect + driver Lloyd when the
+    // ppc-capped training set is driver-sized) must be a WORK-ALIKE of
+    // the distributed path: same seeds, same argmin ordering, same
+    // floor-of-double centroid update. Build the same indexes with the
+    // route forced OFF (row bound 0) and ON, through the public index
+    // builders, and require byte-equal centroid/codebook tables.
+    val e = tables.embeddings
+    def centSet(df: DataFrame): Set[(Long, Seq[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    def books(df: DataFrame): Set[(Int, Long, Seq[Long])] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+    sys.props("graft.train.local.max.rows") = "0"
+    Similarity.releaseIndexes()
+    val (cD, aD) = Similarity.ivfIndex(e, nlist = 8, iters = 3)
+    val (pcD, pbD, _) = Similarity.ivfPqIndex(e, nlist = 8, m = 4, ksub = 16)
+    val centsDist = centSet(cD)
+    val pqDist = books(pbD)
+    val pqCentsDist = centSet(pcD)
+    val assignedDist = aD.select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    sys.props.remove("graft.train.local.max.rows")
+    Similarity.releaseIndexes()
+    val (cL, aL) = Similarity.ivfIndex(e, nlist = 8, iters = 3)
+    val (pcL, pbL, _) = Similarity.ivfPqIndex(e, nlist = 8, m = 4, ksub = 16)
+    assert(centSet(cL) == centsDist)
+    assert(centSet(pcL) == pqCentsDist)
+    assert(books(pbL) == pqDist)
+    assert(aL.select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == assignedDist)
+    Similarity.releaseIndexes()
+  }
 }
