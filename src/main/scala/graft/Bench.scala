@@ -32,6 +32,10 @@ object Bench {
     } catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Label the query's jobs (guide §1.5) so a Spark UI / event-log
+      // reading of a bench run attributes stages to queries. Purely
+      // cosmetic — timing methodology and output are unchanged.
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       // Execute the query's OWN physical plan (toRdd.count), not a
       // count() over it: count() lets Catalyst drop count-invariant
@@ -44,6 +48,7 @@ object Bench {
       catch { case _: Throwable => failed += name; false }
       // -1 marks a failure in the numbers themselves; failed queries do
       // not contribute to the total, so a crash can't read as a speedup.
+      spark.sparkContext.setJobDescription(null)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     // Millisecond precision and sorted keys keep the printed line short
