@@ -12,6 +12,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE coalesce INSIDE cached-plan materialization too (off by
+      // default): the operator families here are built on session-cached
+      // indexes (shingle/prefix/sets tables, quantized corpora, MIH chunk
+      // indexes), and without this flag every one of them materializes at
+      // the raw shuffle-partition count — 64 tiny sorted partitions each
+      // at local[32] — and every consumer scans that many tiny batches.
+      // Measured (QDebug, sf0.1, cold): q26 12.9 → 5.8 s, q91 5.5 →
+      // 2.0 s at local[32]; it also removes the inverse core-count
+      // scaling (16-partition 8-core runs used to BEAT 64-partition
+      // 32-core runs on the text family). Scale-safe: AQE sizes cache
+      // partitions by bytes (advisoryPartitionSizeInBytes) instead of
+      // inheriting a static count — the same policy any cluster wants.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // Cached index columns are hashes/quantized values — high-entropy,
       // incompressible; the encoders are pure CPU here (see Verify).

@@ -18,9 +18,17 @@ object QDebug {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
+      // SPARK_GRAFT_PARTS decouples the shuffle-partition count from the
+      // core count for A/B isolation of "more cores" vs "more partitions".
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_PARTS").map(_.toInt)
+          .getOrElse(cpus.toInt * 2))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Mirror Bench: AQE coalescing applies inside cached-plan
+      // materialization (see Bench.scala for the measured 2× effect).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       // Keep cache-build cost identical to Bench (uncompressed columnar
       // cache; the shingle index builds ~2x faster without the encoders).

@@ -29,36 +29,68 @@ import graft.functions.Fp._
   */
 object Dedup {
 
-  /** The ONE shingle inverted index every near-dup operator shares:
-    * distinct (doc_id, s64) rows with s64 = hash60(md5) of the 3-gram
-    * string. One representation serves all four consumers — Jaccard
-    * join/dedup keys (any injective key works; candidates are verified
-    * exactly), MinHash permutation input, and the SimHash bit source
-    * (whose oracle-visible bits are defined as hash60 of the shingle
-    * text) — so the corpus is tokenized, exploded, and deduplicated
-    * exactly once per session, not once per hash flavor. Collision odds
-    * at 2⁶⁰ over ~10⁶ shingles are ~10⁻⁶; a collision would surface as
-    * an oracle mismatch, not silent corruption.
+  /** The ONE shingle index every near-dup operator shares, cached in its
+    * PER-DOC ARRAY form: (doc_id, ss) with ss = the SORTED DISTINCT
+    * hash60(md5) values of the doc's 3-gram shingle strings; docs with
+    * fewer than 3 tokens (no shingles) have no row — the same contract
+    * as the old exploded form. One representation serves every consumer:
+    * the exploded (doc_id, s64) inverted-index view ([[shingleRows]]) is
+    * a map-side explode of this cache; the sorted-set view the exact
+    * verify and the MinHash signer need IS this cache (it used to be a
+    * separate collect_list shuffle); per-doc shingle counts are size()
+    * over it. Collision odds at 2⁶⁰ over ~10⁶ shingles are ~10⁻⁶; a
+    * collision would surface as an oracle mismatch, not silent
+    * corruption.
     *
-    * Build shape: materialize the token array once per doc (a named
-    * column — NOT a transform() lambda over it: a lambda body that
-    * references the outer split(text) expression re-evaluates the split
-    * per element, measured ~50× per row on this corpus), posexplode it,
-    * and read the two following tokens with element_at on the array that
-    * Generate carries along. Pure map-side work — the first shuffle in
-    * the index build is the final distinct. The result is persisted;
+    * Build shape — the r18 point: per-doc distinct is ROW-LOCAL (all of
+    * a doc's 3-grams come from its own token array), so the whole index
+    * build is one map-side pass: split once into a named `toks` column,
+    * transform over the gram-start index range with element_at reads
+    * (the lambda binds the materialized array attribute, never the
+    * split(text) expression — a lambda body referencing the outer split
+    * re-evaluates it per element, measured ~50× per row), then
+    * array_distinct + array_sort per row. NO shuffle at all — the old
+    * exploded form paid a full (doc_id, s64) distinct exchange to
+    * deduplicate pairs that were never spread across partitions in the
+    * first place (guide §2.4: remove shuffles outright), and its
+    * consumers paid collect_list shuffles to UNDO the explode. The
+    * array_distinct/array_sort expressions are safe from Catalyst
+    * project-collapse re-evaluation BECAUSE the result is persisted:
+    * consumers read the InMemoryRelation attribute, not the expression
+    * tree (the r10 minhash lesson — an inline array column collapsed
+    * into 64 permutation lambdas re-evaluated the build 64× per row).
     * CacheManager keys on the canonical plan, so sibling operators over
     * the same corpus share one copy ([[releaseIndexes]] frees them).
     */
+  private[operators] def shingleArrays(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = transform(
+      sequence(lit(1), size($"toks") - 2),
+      i => hash60(concat_ws(" ", element_at($"toks", i),
+        element_at($"toks", i + 1), element_at($"toks", i + 2))))
+    cacheIndex(docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", array_sort(array_distinct(grams)).as("ss")))
+  }
+
+  /** The exploded (doc_id, s64) inverted-index view of [[shingleArrays]]
+    * — a map-side explode of the cache, NOT a second cached table (the
+    * explode is cheap against the columnar cache, and caching both forms
+    * would double the index's memory).
+    */
   private[operators] def shingleRows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = docs
-      .select($"doc_id", split($"text", " ").as("toks"))
-      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
-      .filter($"i" <= size($"toks") - 3)
-      .select($"doc_id", hash60(concat_ws(" ", $"w",
-        element_at($"toks", $"i" + 2), element_at($"toks", $"i" + 3))).as("s64"))
-    cacheIndex(sh.distinct())
+    shingleArrays(docs).select($"doc_id", explode($"ss").as("s64"))
+  }
+
+  /** Per-doc distinct-shingle counts — size() over the cached array
+    * form: map-side, no aggregate (the old form paid a groupBy(doc_id)
+    * count over the exploded index).
+    */
+  private[operators] def shingleCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    shingleArrays(docs).select($"doc_id", size($"ss").cast("long").as("_n"))
   }
 
   /** Registry for every derived index this family persists (shingle
@@ -311,17 +343,17 @@ object Dedup {
     * exact-Jaccard verify defines the output — so only within-Spark
     * determinism is needed, and xxhash64 is codegen-native.
     */
-  private def bandedSignatures(shingleRows: DataFrame, bands: Int,
+  private def bandedSignatures(sets: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    import shingleRows.sparkSession.implicits._
+    import sets.sparkSession.implicits._
     // One native expression (functions.MinhashBands) over the per-doc
-    // sorted set arrays — the SAME cached sets table the exact verify
-    // builds — instead of bands×rowsPerBand separate min(xxhash64)
-    // aggregates. That formulation paid a second full shuffle of the
-    // shingle index beside the sets groupBy; now signatures are map-side
-    // over the shared cache, bit-for-bit identical output (persisted
-    // state interoperates — pinned by DedupSpec's parity test).
-    val sets = sortedSets(shingleRows)
+    // sorted set arrays — since r18 the CACHED FORM of the shingle index
+    // itself ([[shingleArrays]]), so signatures are map-side over the
+    // shared cache with no aggregate anywhere in the subtree (the pre-r10
+    // formulation paid bands×rowsPerBand min(xxhash64) aggregates; the
+    // r10–r17 one a collect_list groupBy), bit-for-bit identical output
+    // (persisted state interoperates — pinned by DedupSpec's parity
+    // test).
     sets.select($"doc_id",
       posexplode(graft.functions.VecExprs.minhashBands(
         $"ss", bands, rowsPerBand)).as(Seq("band", "bh")))
@@ -336,8 +368,8 @@ object Dedup {
   def lshNearDups(docs: DataFrame, minJ: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = shingleRows(docs)
-    val banded = cacheIndex(bandedSignatures(sh, bands, rowsPerBand))
+    val sets = shingleArrays(docs)
+    val banded = cacheIndex(bandedSignatures(sets, bands, rowsPerBand))
     // Same multiplicity reasoning as the Jaccard join: a pair colliding in
     // k bands is verified k times (broadcast probes) instead of paying a
     // candidate-dedup shuffle; the distinct runs on the verified output.
@@ -345,9 +377,9 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // Exact verify: jaccard on candidate pairs only, reusing the shingle
-    // rows already built for the signatures.
-    verifyJaccard(cand, sh, minJ).distinct()
+    // Exact verify: jaccard on candidate pairs only, directly against
+    // the cached per-doc arrays the signatures came from.
+    verifyJaccardSets(cand, sets, minJ).distinct()
   }
 
   /** Corpus-size default for [[nearDupsAdaptive]]'s exact/LSH boundary.
@@ -414,24 +446,31 @@ object Dedup {
     */
   def lshDedupState(docs: DataFrame, bands: Int = 16,
       rowsPerBand: Int = 4): (DataFrame, DataFrame) =
-    lshDedupStateFromShingles(shingleRows(docs), bands, rowsPerBand)
+    lshDedupStateFromSets(shingleArrays(docs), bands, rowsPerBand)
 
   /** [[lshDedupState]] from pre-built (doc_id, s64) shingle rows — the
-    * entry point when a corpus-wide shingle index already exists in the
-    * session: shingling is per-document, so state over a doc subset is
-    * exactly the shared index filtered on doc_id (a map-side filter over
-    * the cache), never a re-tokenization of the subset's text.
+    * entry point when only an EXPLODED shingle relation exists (e.g.
+    * state read back from a row-form layout); pays one collect_list
+    * shuffle to rebuild the per-doc arrays. Sessions holding the shared
+    * array-form index route through [[lshDedupStateFromSets]] instead,
+    * which has no aggregate at all.
     */
   def lshDedupStateFromShingles(sh: DataFrame, bands: Int = 16,
-      rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
-    import sh.sparkSession.implicits._
-    // Both state tables join the session index cache: a caller that
-    // builds state and then serves batches against it (or benchmarks the
-    // two halves separately) pays the signature aggregation once.
-    (cacheIndex(bandedSignatures(sh, bands, rowsPerBand)),
-      cacheIndex(
-        sh.groupBy($"doc_id").agg(sort_array(collect_list($"s64")).as("ss"))))
-  }
+      rowsPerBand: Int = 4): (DataFrame, DataFrame) =
+    lshDedupStateFromSets(sortedSets(sh), bands, rowsPerBand)
+
+  /** [[lshDedupState]] from pre-built (doc_id, ss) sorted shingle-set
+    * arrays — the shared index's cached form: shingling is
+    * per-document, so state over a doc subset is exactly the shared
+    * index filtered on doc_id (a map-side filter over the cache), never
+    * a re-tokenization of the subset's text. The band table is cached
+    * (it feeds two band joins per serve); the sets side is returned
+    * as-is — it is either the session cache itself or a map-side filter
+    * of it, so a second persist would only duplicate memory.
+    */
+  def lshDedupStateFromSets(sets: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 4): (DataFrame, DataFrame) =
+    (cacheIndex(bandedSignatures(sets, bands, rowsPerBand)), sets)
 
   /** Incremental near-dup: all pairs with exact Jaccard >= minJ that
     * involve the arriving batch — the same pair CONTENTS as
@@ -459,20 +498,31 @@ object Dedup {
   def incrementalNearDups(stateBands: DataFrame, stateSets: DataFrame,
       newDocs: DataFrame, minJ: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame =
-    incrementalNearDupsFromShingles(stateBands, stateSets,
-      shingleRows(newDocs), minJ, bands, rowsPerBand)
+    incrementalNearDupsFromSets(stateBands, stateSets,
+      shingleArrays(newDocs), minJ, bands, rowsPerBand)
 
   /** [[incrementalNearDups]] from the batch's pre-built shingle rows —
     * see [[lshDedupStateFromShingles]] for when that shape applies.
     */
   def incrementalNearDupsFromShingles(stateBands: DataFrame,
       stateSets: DataFrame, newShingles: DataFrame, minJ: Double,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    incrementalNearDupsFromSets(stateBands, stateSets,
+      sortedSets(newShingles), minJ, bands, rowsPerBand)
+
+  /** [[incrementalNearDups]] from the batch's pre-built (doc_id, ss)
+    * sorted shingle-set arrays — the shared array-form index filtered to
+    * the batch ([[lshDedupStateFromSets]] doctrine).
+    */
+  def incrementalNearDupsFromSets(stateBands: DataFrame,
+      stateSets: DataFrame, newSets0: DataFrame, minJ: Double,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    import newShingles.sparkSession.implicits._
-    // Both halves arrive cached from the state builder (newBands feeds
-    // two band joins, newSets the anti-join probe and the union).
+    import newSets0.sparkSession.implicits._
+    // The band table arrives cached from the state builder (it feeds
+    // two band joins); the sets side is the cache itself (or a map-side
+    // filter of it).
     val (newBands, newSets) =
-      lshDedupStateFromShingles(newShingles, bands, rowsPerBand)
+      lshDedupStateFromSets(newSets0, bands, rowsPerBand)
     // Old–new candidates: state id carries as doc_a (the survivor side),
     // batch id as doc_b. The =!= guard keeps an at-least-once replay (a
     // doc present in both state and batch) from emitting (X, X) — which
@@ -963,7 +1013,7 @@ object Dedup {
   /** Diagnostic: banded-candidate count for the default LSH config. */
   def lshCandidateCount(docs: DataFrame): Long = {
     import docs.sparkSession.implicits._
-    val banded = cacheIndex(bandedSignatures(shingleRows(docs), 16, 4))
+    val banded = cacheIndex(bandedSignatures(shingleArrays(docs), 16, 4))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1190,8 +1240,8 @@ object Dedup {
     "q77_dedup_state_build" -> ((s, d) => {
       val docs = Tables.load(s, d).documents
       val cut = batchCut(docs)
-      val (sb, ss) = lshDedupStateFromShingles(
-        shingleRows(docs).filter(col("doc_id") < cut))
+      val (sb, ss) = lshDedupStateFromSets(
+        shingleArrays(docs).filter(col("doc_id") < cut))
       ss.select(col("doc_id"), size(col("ss")).cast("long").as("n_shingles"))
         .join(sb.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bands")), "doc_id")
@@ -1199,10 +1249,10 @@ object Dedup {
     "q77_incremental_neardups" -> ((s, d) => {
       val docs = Tables.load(s, d).documents
       val cut = batchCut(docs)
-      val sh = shingleRows(docs)
-      val (sb, ss) = lshDedupStateFromShingles(sh.filter(col("doc_id") < cut))
-      incrementalNearDupsFromShingles(sb, ss,
-        sh.filter(col("doc_id") >= cut), 0.9)
+      val sets = shingleArrays(docs)
+      val (sb, ss) = lshDedupStateFromSets(sets.filter(col("doc_id") < cut))
+      incrementalNearDupsFromSets(sb, ss,
+        sets.filter(col("doc_id") >= cut), 0.9)
     }),
     "q28_simhash" -> ((s, d) => simhashes(Tables.load(s, d).documents)),
     "q47_simhash_pairs" -> ((s, d) =>

@@ -183,8 +183,10 @@ object IngestGate {
     else docs.join(floorIds(docs, minShingles), Seq("doc_id"))
 
   private def floorIds(docs: DataFrame, minShingles: Int): DataFrame =
-    broadcast(Dedup.shingleRows(docs).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") >= minShingles)
+    // size() over the shared array-form index — map-side, no aggregate
+    // (the old form paid a groupBy(doc_id) count over the exploded
+    // index per gate/admit/build call).
+    broadcast(Dedup.shingleCounts(docs).filter(col("_n") >= minShingles)
       .select(col("doc_id")))
 
   /** Sign `docs` at `bits` and keep only signatures above the shingle
@@ -262,16 +264,36 @@ object IngestGate {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = saveStateEc
+    // The pool's threads were created under SOME earlier caller, so
+    // Spark's inheritable thread-locals (job group/description) are
+    // whatever that caller had — NOT this caller's (r17 advice). Capture
+    // the caller's scheduling properties here and re-apply them inside
+    // each Future, so cancelJobGroup reaches the five write jobs and the
+    // UI attributes them to the caller's label.
+    val sc = state.fps.sparkSession.sparkContext
+    val callerProps = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel").map(k => k -> sc.getLocalProperty(k))
+    def run[T](body: => T): Future[T] = Future {
+      callerProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+      body
+    }
     val writes = Seq(
-      Future(state.fps.write.mode("overwrite").parquet(s"$dir/fps")),
-      Future(state.sims.write.mode("overwrite").parquet(s"$dir/sims")),
-      Future(state.cents.write.mode("overwrite").parquet(s"$dir/cents")),
-      Future(state.assigned.write.mode("overwrite")
+      run(state.fps.write.mode("overwrite").parquet(s"$dir/fps")),
+      run(state.sims.write.mode("overwrite").parquet(s"$dir/sims")),
+      run(state.cents.write.mode("overwrite").parquet(s"$dir/cents")),
+      run(state.assigned.write.mode("overwrite")
         .parquet(s"$dir/assigned")),
-      Future(Seq((state.simhashBits, state.simhashMaxDist, state.simhashAuto))
+      run(Seq((state.simhashBits, state.simhashMaxDist, state.simhashAuto))
         .toDF("simhash_bits", "simhash_max_dist", "simhash_auto")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")))
-    Await.result(Future.sequence(writes), Duration.Inf)
+    try Await.result(Future.sequence(writes), Duration.Inf)
+    catch { case t: Throwable =>
+      // Future.sequence fails fast; let the sibling writes settle before
+      // rethrowing so no background write races the caller's cleanup
+      // (r17 advice).
+      writes.foreach(w => Await.ready(w, Duration.Inf))
+      throw t
+    }
   }
 
   /** Small dedicated pool for [[saveState]]'s concurrent table writes —

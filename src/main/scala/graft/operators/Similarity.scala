@@ -256,10 +256,17 @@ object Similarity {
     // once per query. knownN is excluded from the key: it is only the
     // count shortcut, never a semantic input.
     trainMemo.computeIfAbsent(
-      (e.queryExecution.analyzed.canonicalized, nlist, iters, trainFrac,
-        ppc),
+      (graft.CacheRegistry.planKey(e), nlist, iters, trainFrac, ppc),
       _ => {
-        val f = cappedTrainFrac(e, nlist, trainFrac, ppc, knownN)
+        // ONE resolved count feeds both the cap pricing and the local-
+        // route bound (r17 advice: the two independent
+        // knownN.getOrElse(e.count()) calls launched a second count job
+        // per first-time geometry); countOnce memoizes it across sibling
+        // geometries over the same corpus.
+        val nOpt =
+          if (ppc <= 0) knownN
+          else Some(knownN.getOrElse(registry.countOnce(e)))
+        val f = cappedTrainFrac(e, nlist, trainFrac, ppc, nOpt)
         val sample =
           if (f >= 1.0) e
           else e.filter(
@@ -273,12 +280,12 @@ object Similarity {
         // conservative row bound; [[trainLloydLocal]] mirrors the
         // distributed path's integer arithmetic exactly (spec-pinned
         // equality), so the route is a work-alike, not a variant.
-        val expected =
-          if (ppc <= 0) Long.MaxValue
-          else {
-            val n = knownN.getOrElse(e.count())
+        val expected = nOpt match {
+          case _ if ppc <= 0 => Long.MaxValue
+          case Some(n) =>
             if (f >= 1.0) n else math.min(n, ppc.toLong * nlist * 2)
-          }
+          case None => Long.MaxValue
+        }
         if (nlist <= 4096 && expected <= localTrainMaxRows) {
           val cents = trainLloydLocal(collectTrainRows(sample), nlist, iters)
           if (cents.nonEmpty || f >= 1.0) cents
@@ -367,13 +374,15 @@ object Similarity {
   }
 
   /** Memoized coarse-quantizer trainings, keyed the way CacheManager
-    * keys cache sharing plus the full training geometry. Cleared by
-    * [[releaseIndexes]].
+    * keys cache sharing — plus the file snapshot
+    * ([[graft.CacheRegistry.planKey]]): a corpus dir REWRITTEN IN PLACE
+    * canonicalizes equal to its old self (r17 advice), so the snapshot
+    * component is what keeps a retrain from serving stale centroids —
+    * plus the full training geometry. Cleared by [[releaseIndexes]].
     */
   @transient private val trainMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
-        Double, Int),
+      (graft.CacheRegistry.Key, Int, Int, Double, Int),
       Seq[(Long, Array[Long])]]()
 
   private def trainIvfCentroids(e: DataFrame, nlist: Int,
@@ -770,14 +779,12 @@ object Similarity {
     // one codebook build per session instead of re-running the fused
     // Lloyd jobs per query.
     pqTrainMemo.computeIfAbsent(
-      (e.queryExecution.analyzed.canonicalized, m, ksub, iters, dims,
-        trainFrac),
+      (graft.CacheRegistry.planKey(e), m, ksub, iters, dims, trainFrac),
       _ => pqTrainUncached(e, m, ksub, iters, dims, trainFrac, knownN))
 
   @transient private val pqTrainMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int,
-        Int, Int, Double),
+      (graft.CacheRegistry.Key, Int, Int, Int, Int, Double),
       Seq[Seq[(Long, Array[Long])]]]()
 
   private def pqTrainUncached(e: DataFrame, m: Int, ksub: Int, iters: Int,
@@ -838,8 +845,12 @@ object Similarity {
       books
     }
 
+    // ONE resolved count (r17 advice): cappedTrainFrac and the local-
+    // route bound both need n — resolve it once, memoized per corpus
+    // plan, instead of two independent count jobs.
+    val n = knownN.getOrElse(registry.countOnce(e))
     val f = cappedTrainFrac(e, ksub, trainFrac, trainPointsPerCentroid,
-      knownN)
+      Some(n))
     val sample =
       if (f >= 1.0) e
       else e.filter(
@@ -850,16 +861,18 @@ object Similarity {
     // mirror replicates the fused trainer's arithmetic exactly —
     // per-subspace argmin in wrapping longs, (sub, cid) grouped long
     // sums, floor(sum.toDouble/cnt) — spec-pinned equality.
-    val expected = {
-      val n = knownN.getOrElse(e.count())
+    val expected =
       if (f >= 1.0) n
       else math.min(n, trainPointsPerCentroid.toLong * ksub * 2)
-    }
     if (expected <= localTrainMaxRows) {
       val books = pqTrainLocal(collectTrainRows(sample), m, ksub, iters, len)
       if (books.exists(_.isEmpty) && f < 1.0) {
-        val full = pqTrainLocal(collectTrainRows(e), m, ksub, iters, len)
-        if (expectedFullLocal(e, knownN)) full else trainOn(e)
+        // Guard BEFORE the full-corpus collect (r17 advice): the bound
+        // exists to keep corpus-sized collects off the driver, so it
+        // must be checked before collectTrainRows(e), not after.
+        if (n <= localTrainMaxRows)
+          pqTrainLocal(collectTrainRows(e), m, ksub, iters, len)
+        else trainOn(e)
       } else books
     } else if (f >= 1.0) trainOn(e)
     else {
@@ -867,13 +880,6 @@ object Similarity {
       if (books.exists(_.isEmpty)) trainOn(e) else books
     }
   }
-
-  /** Whether the FULL corpus fits the local-training bound (the rare
-    * empty-sample fallback path) — one memoized count via the caller's
-    * knownN when present.
-    */
-  private def expectedFullLocal(e: DataFrame, knownN: Option[Long]): Boolean =
-    knownN.getOrElse(e.count()) <= localTrainMaxRows
 
   /** Driver-local mirror of [[pqTrainUncached]]'s fused trainer — see
     * [[trainLloydLocal]] for the exactness contract. Seeds are the
