@@ -351,10 +351,19 @@ object IngestGate {
             "the rebuild reads the raw document corpus)")
           (16, -1, false)
       }
-    GateState(
-      spark.read.parquet(s"$dir/fps"), spark.read.parquet(s"$dir/sims"),
-      spark.read.parquet(s"$dir/cents"),
-      spark.read.parquet(s"$dir/assigned"), simhashBits = bits,
+    // The four table reads are independent driver-side listing/footer
+    // jobs (~0.2–1 s each on cold dirs) — overlap them on the same pool
+    // saveState writes on (guide §2.6 applied to the read side): a
+    // serve-loop restart and every gate_decisions macro expansion pays
+    // this load.
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = saveStateEc
+    val reads = Seq("fps", "sims", "cents", "assigned")
+      .map(t => Future(spark.read.parquet(s"$dir/$t")))
+    val Seq(fps, sims, cents, assigned) =
+      Await.result(Future.sequence(reads), Duration.Inf)
+    GateState(fps, sims, cents, assigned, simhashBits = bits,
       simhashMaxDist = maxDist, simhashAuto = auto)
   }
 
@@ -410,9 +419,18 @@ object IngestGate {
     val pol = statePolicy(state)
     val md = if (maxDist < 0) pol.maxDist else maxDist
     val ms = if (minShingles < 0) pol.minShingles else minShingles
+    // Each tier's hit table is consumed TWICE — broadcast for the next
+    // tier's anti-join AND plainly in the final decisions union — and a
+    // broadcast exchange is never reused by a non-broadcast consumer,
+    // so without materialization every tier's whole join subtree
+    // executes twice per batch (the exact fp join and the simhash serve
+    // join both did). The tables are hit-sized (≤ |batch| rows);
+    // persist them in batch scope (evicted per micro-batch by
+    // Dedup.releaseBatchIndexes, the serve loop's eviction point).
     def hits(pairs: DataFrame, stage: String): DataFrame =
-      pairs.groupBy($"doc_id").agg(min($"dup_of").as("dup_of"))
-        .select($"doc_id", lit(stage).as("stage"), $"dup_of")
+      Dedup.batchScope(Dedup.cacheIndex(
+        pairs.groupBy($"doc_id").agg(min($"dup_of").as("dup_of"))
+          .select($"doc_id", lit(stage).as("stage"), $"dup_of")))
 
     // Stage 1 — exact fingerprint: one join of the batch's md5 rows
     // against the fp state; a state fp row exists per distinct text.

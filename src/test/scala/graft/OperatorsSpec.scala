@@ -619,6 +619,55 @@ class ChunkingSpec extends SparkSpec {
     // Multi-chunk docs exist at this SF (longest docs exceed one window).
     assert(chunks.groupBy(_._1).exists(_._2.length > 1))
   }
+
+  test("array-form shingle index equals the exploded-distinct formulation") {
+    import spark.implicits._
+    import operators.Dedup
+    // Edge corpus: repeated 3-grams (per-doc distinct must collapse
+    // them), a 2-token doc and an empty doc (no shingles — NO row in
+    // either form), and a plain doc. Plus the real sf corpus below.
+    val edge = Seq((1L, "a b c a b c a b c"), (2L, "a b"), (3L, ""),
+      (4L, "x y z w")).toDF("doc_id", "text")
+    def oldForm(docs: org.apache.spark.sql.DataFrame) = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks", posexplode($"toks").as(Seq("i", "w")))
+      .filter($"i" <= size($"toks") - 3)
+      .select($"doc_id", graft.functions.Fp.hash60(concat_ws(" ", $"w",
+        element_at($"toks", $"i" + 2), element_at($"toks", $"i" + 3)))
+        .as("s64"))
+      .distinct()
+    for (docs <- Seq(edge, tables.documents)) {
+      val rows = Dedup.shingleIndex(docs)
+      val old = oldForm(docs)
+      assert(rows.except(old).isEmpty && old.except(rows).isEmpty)
+      assert(rows.count() == old.count()) // both sides distinct
+      // The cached array IS the sorted set the verify/signer consume —
+      // must equal the collect_list form the pre-r18 builder cached.
+      val sets = Dedup.lshDedupState(docs)._2.select($"doc_id", $"ss")
+      val setsOld = old.groupBy($"doc_id")
+        .agg(sort_array(collect_list($"s64")).as("ss"))
+      assert(sets.except(setsOld).isEmpty && setsOld.except(sets).isEmpty)
+    }
+    Dedup.releaseIndexes()
+  }
+
+  test("plan-keyed memos see in-place overwrites (file-snapshot key)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("memoKey").toString
+    val reg = new graft.CacheRegistry
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    assert(reg.collectOnce(spark.read.parquet(dir))
+      .map(_.getString(1)).toSeq == Seq("a"))
+    assert(reg.countOnce(spark.read.parquet(dir)) == 1L)
+    // Overwrite IN PLACE: the re-read canonicalizes equal (rootPaths-
+    // based file-index equality), so a plan-only memo key would serve
+    // the stale row — the snapshot component must miss and recompute.
+    Seq((1L, "b"), (2L, "b")).toDF("id", "v").write.mode("overwrite")
+      .parquet(dir)
+    assert(reg.collectOnce(spark.read.parquet(dir))
+      .map(_.getString(1)).toSet == Set("b"))
+    assert(reg.countOnce(spark.read.parquet(dir)) == 2L)
+  }
 }
 
 class SessionsSimilaritySpec extends SparkSpec {
