@@ -86,9 +86,15 @@ object MihProbe {
     println(s"n=$n bits=$bits maxDist=$maxDist autoChunks=$auto " +
       f"predictedFanOutRows=$predFan%.3e predictedCandidates=$predCand%.3e")
 
+    // SPARK_GRAFT_MIH_CANDS=0 skips the candidate-count pass (a ~20 min
+    // 3.15G-row aggregation at 50M) — for join-regime A/Bs where the
+    // candidate volume is already captured and only the wall changes.
+    val wantCands = !sys.env.get("SPARK_GRAFT_MIH_CANDS").contains("0")
     def leg(name: String, chunks: Int): (Long, Long, Double) = {
-      val cand = graft.operators.Dedup
-        .hammingCandidateCount(sigs, bits, maxDist, chunks)
+      val cand =
+        if (!wantCands) -1L
+        else graft.operators.Dedup
+          .hammingCandidateCount(sigs, bits, maxDist, chunks)
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup
         .hammingNearPairsWithChunks(sigs, bits, maxDist, chunks).count()
